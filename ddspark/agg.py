@@ -1,0 +1,317 @@
+"""Distributed DDSketch aggregation on the Spark DataFrame API.
+
+The reference's ``add``/``merge``/``get_quantile_value``
+(``ddsketch/ddsketch.py:138-215``) map onto Spark's partial/final aggregation
+split, hand-built with Arrow-vectorized pandas UDFs because PySpark has no
+custom partial-merging UDAF:
+
+1. **partial** — :func:`build_partials`: ``mapInPandas`` over the scan;
+   each task turns its Arrow batches into *one sketch row per (group,
+   partition)* with tight NumPy kernels (``np.log2`` → ``np.bincount``).
+   This is the map-side combine: the shuffle that follows moves kilobyte
+   sketch rows, never raw values, so group skew in the input does not
+   translate into shuffle skew.
+2. **final** — :func:`merge_partials`: ``groupBy(keys).applyInPandas`` doing
+   the associative store merge (reference ``ddsketch.py:186-215``), with an
+   optional intermediate tree level (``fanin``) for very high partition
+   counts.
+3. **finalize** — :func:`finalize_quantiles`: per merged row, cumsum /
+   searchsorted quantile extraction (reference ``ddsketch.py:159-184``),
+   plus the exact count/sum/min/max/avg the sketch tracks.
+
+The flagship entry point is :func:`quantile_sketch`.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import numpy as np
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .sketch import Sketch, SketchConfig
+
+__all__ = [
+    "STATE_FIELDS",
+    "STATE_COLS",
+    "build_partials",
+    "merge_partials",
+    "finalize_quantiles",
+    "quantile_sketch",
+    "sketch_to_driver",
+    "quantile_label",
+]
+
+STATE_FIELDS = [
+    StructField("gamma", DoubleType(), False),
+    StructField("zero_count", DoubleType(), False),
+    StructField("count", DoubleType(), False),
+    StructField("sum", DoubleType(), False),
+    StructField("min", DoubleType(), False),
+    StructField("max", DoubleType(), False),
+    StructField("pos_offset", LongType(), False),
+    StructField("pos_bins", ArrayType(DoubleType(), False), False),
+    StructField("neg_offset", LongType(), False),
+    StructField("neg_bins", ArrayType(DoubleType(), False), False),
+]
+STATE_COLS = [f.name for f in STATE_FIELDS]
+
+
+def _by_fields(df: DataFrame, by: list[str]) -> list[StructField]:
+    by_set = set(by)
+    fields = {f.name: f for f in df.schema.fields if f.name in by_set}
+    return [StructField(c, fields[c].dataType, True) for c in by]
+
+
+def _state_dict(sketch: Sketch) -> dict:
+    row = sketch.to_state()
+    row["pos_bins"] = row["pos_bins"].tolist()
+    row["neg_bins"] = row["neg_bins"].tolist()
+    return row
+
+
+def build_partials(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Map-side combine: one sketch row per (group, input partition).
+
+    Output schema: ``by... | gamma zero_count count sum min max pos_offset
+    pos_bins neg_offset neg_bins | rows | _pid``.  ``rows`` (values observed)
+    and ``_pid`` (task partition id) are the per-partition lineage the
+    checkpoint/resume layer keys on.  Null values are skipped (SQL aggregate
+    semantics; the reference API has no notion of null).
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    cols = by + [value_col] + ([weight_col] if weight_col else [])
+    narrow = df.select(*cols)
+    schema = StructType(
+        _by_fields(df, by)
+        + STATE_FIELDS
+        + [StructField("rows", LongType(), False), StructField("_pid", IntegerType(), False)]
+    )
+
+    def gen(batches):
+        groups: dict[tuple, list[Sketch]] = {}
+        rows: dict[tuple, int] = {}
+        for pdf in batches:
+            mask = pdf[value_col].notna()
+            if weight_col:
+                mask &= pdf[weight_col].notna()
+            if not mask.all():
+                pdf = pdf[mask]
+            if len(pdf) == 0:
+                continue
+            if by:
+                grouped = pdf.groupby(by, sort=False, dropna=False)
+            else:
+                grouped = [((), pdf)]
+            for key, g in grouped:
+                if not isinstance(key, tuple):
+                    key = (key,)
+                v = g[value_col].to_numpy(np.float64)
+                w = g[weight_col].to_numpy(np.float64) if weight_col else None
+                groups.setdefault(key, []).append(Sketch.from_values(v, cfg, w))
+                rows[key] = rows.get(key, 0) + len(g)
+        pid = TaskContext.get().partitionId()
+        out = []
+        for key, sketches in groups.items():
+            merged = Sketch.merge_all(sketches)
+            rec = dict(zip(by, key))
+            rec.update(_state_dict(merged))
+            rec["rows"] = rows[key]
+            rec["_pid"] = pid
+            out.append(rec)
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return narrow.mapInPandas(gen, schema)
+
+
+def _merge_fn(by: list[str], cfg: SketchConfig):
+    out_cols = by + STATE_COLS + ["rows", "n_partials"]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        gammas = pdf["gamma"].to_numpy()
+        if not np.all(gammas == cfg.gamma):
+            raise ValueError(
+                "Cannot merge DDSketches with different parameters: "
+                f"{cfg.gamma!r} vs {set(gammas.tolist())!r}"
+            )
+        sketches = [
+            Sketch.from_state(cfg, rec)
+            for rec in pdf[STATE_COLS].to_dict("records")
+        ]
+        merged = Sketch.merge_all(sketches)
+        rec = {c: pdf[c].iloc[0] for c in by}
+        rec.update(_state_dict(merged))
+        rec["rows"] = int(pdf["rows"].sum())
+        rec["n_partials"] = (
+            int(pdf["n_partials"].sum()) if "n_partials" in pdf.columns else len(pdf)
+        )
+        return pd.DataFrame([rec], columns=out_cols)
+
+    return merge
+
+
+def merge_partials(
+    partials: DataFrame,
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+    fanin: int | None = None,
+) -> DataFrame:
+    """Associative final merge of partial sketch rows.
+
+    With ``fanin`` set, a first tree level merges each group's partials in
+    ``fanin`` buckets (keyed on the originating partition id) before the
+    final single-row merge — bounding reducer fan-in at very large partition
+    counts (the ``treeReduce`` pattern expressed on DataFrames).
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    schema = StructType(
+        _by_fields(partials, by)
+        + STATE_FIELDS
+        + [
+            StructField("rows", LongType(), False),
+            StructField("n_partials", LongType(), False),
+        ]
+    )
+    df = partials
+    if fanin is not None and fanin > 1:
+        salt = F.pmod(F.col("_pid"), F.lit(fanin)).alias("_salt")
+        df = df.withColumn("_salt", salt)
+        stage_schema = StructType(schema.fields + [StructField("_salt", IntegerType())])
+
+        def merge_stage(key, pdf):
+            out = _merge_fn(by, cfg)(pdf)
+            out["_salt"] = key[-1]
+            return out
+
+        df = df.groupBy(*(by + ["_salt"])).applyInPandas(merge_stage, stage_schema)
+        df = df.drop("_salt")
+    if by:
+        return df.groupBy(*by).applyInPandas(_merge_fn(by, cfg), schema)
+    # global sketch: single group; partials are tiny (one row per partition)
+    return (
+        df.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: _merge_fn([], cfg)(pdf), schema)
+    )
+
+
+def quantile_label(q: float) -> str:
+    """0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9, 1.0 -> p100."""
+    s = f"{q * 100:g}".replace(".", "_")
+    return f"p{s}"
+
+
+def finalize_quantiles(
+    merged: DataFrame,
+    qs: list[float],
+    cfg: SketchConfig | None = None,
+    by: list[str] | None = None,
+    keep_state: bool = False,
+) -> DataFrame:
+    """Quantile extraction + exact stats from merged sketch rows.
+
+    Output: ``by... | count sum min max avg | p50 p95 ... [| state...]``.
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    q_cols = [quantile_label(q) for q in qs]
+    fields = (
+        _by_fields(merged, by)
+        + [
+            StructField("count", DoubleType()),
+            StructField("sum", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+            StructField("avg", DoubleType()),
+        ]
+        + [StructField(c, DoubleType()) for c in q_cols]
+    )
+    if keep_state:
+        fields += STATE_FIELDS
+    schema = StructType(fields)
+
+    def fin(batches):
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                sk = Sketch.from_state(cfg, rec)
+                row = {c: rec[c] for c in by}
+                row.update(
+                    count=sk.count,
+                    sum=sk.sum,
+                    min=sk.min,
+                    max=sk.max,
+                    avg=sk.avg if sk.count else None,
+                )
+                for q, c in zip(qs, q_cols):
+                    row[c] = sk.quantile(q)
+                if keep_state:
+                    row.update(_state_dict(sk))
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return merged.mapInPandas(fin, schema)
+
+
+def quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+    fanin: int | None = None,
+    keep_state: bool = False,
+) -> DataFrame:
+    """Flagship API: grouped (or global) quantile sketch over a DataFrame.
+
+    ``quantile_sketch(df, "content_length", by=["lang"], qs=[.5,.95,.99])``
+    returns one row per group with exact count/sum/min/max/avg and the
+    DDSketch quantile estimates, each within ``cfg.relative_accuracy`` of the
+    exact rank value.
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    partials = build_partials(df, value_col, by, cfg, weight_col)
+    merged = merge_partials(partials, by, cfg, fanin=fanin)
+    out = finalize_quantiles(merged, list(qs), cfg, by, keep_state=keep_state)
+    return out.drop("_g") if not by and "_g" in out.columns else out
+
+
+def sketch_to_driver(
+    df: DataFrame,
+    value_col: str,
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+) -> Sketch:
+    """Global sketch returned as a driver-side :class:`Sketch` object.
+
+    The rows collected are partial sketches — one per partition, kilobytes
+    each — so this is cheap even when ``df`` is huge.
+    """
+    cfg = cfg or SketchConfig()
+    partials = build_partials(df, value_col, None, cfg, weight_col)
+    rows = partials.collect()
+    if not rows:
+        return Sketch.empty(cfg)
+    return Sketch.merge_all(
+        [Sketch.from_state(cfg, r.asDict()) for r in rows]
+    )

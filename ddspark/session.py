@@ -8,8 +8,32 @@ real 1000-executor deployment.
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+
+def package_pyfiles(out_dir: str = "/tmp") -> str:
+    """Zip the ddspark package for shipping to executors.
+
+    This is the ``spark-submit --py-files`` artifact on a real cluster; in
+    local mode :func:`get_spark` attaches it with ``addPyFile`` so executor
+    Python workers can unpickle our UDF closures regardless of the driver's
+    working directory.
+    """
+    pkg_root = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(out_dir, "ddspark_pyfiles.zip")
+    tmp = out + f".{os.getpid()}.tmp"
+    with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg_root):
+            for fn in sorted(filenames):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(dirpath, fn)
+                rel = os.path.join("ddspark", os.path.relpath(full, pkg_root))
+                zf.write(full, rel)
+    os.replace(tmp, out)
+    return out
 
 
 def get_spark(
@@ -40,4 +64,9 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    try:
+        spark.sparkContext.addPyFile(package_pyfiles())
+    except Exception:
+        pass  # already added in this context, or a non-writable tmp
+    return spark

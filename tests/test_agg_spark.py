@@ -1,0 +1,182 @@
+"""End-to-end Spark aggregation tests: accuracy vs exact oracle, partition
+invariance, skewed groups, global/tree paths, weighted and null handling."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.agg import (
+    build_partials,
+    finalize_quantiles,
+    merge_partials,
+    quantile_label,
+    quantile_sketch,
+    sketch_to_driver,
+)
+from ddspark.datasets import exact_quantile, generate
+from ddspark.sketch import Sketch, SketchConfig
+from ddspark.store import COLLAPSE_LOWEST
+
+ALPHA = 0.01
+QS = [0.5, 0.95, 0.99]
+
+
+def exact_oracle(pdf: pd.DataFrame, by: str, value: str) -> dict:
+    out = {}
+    for key, g in pdf.groupby(by):
+        v = g[value].to_numpy(np.float64)
+        out[key] = {q: exact_quantile(v, q) for q in QS}
+    return out
+
+
+@pytest.fixture(scope="module")
+def skewed_df(spark):
+    """Zipf-skewed groups (top group ~45%) with lognormal values."""
+    rng = np.random.default_rng(42)
+    n = 40_000
+    langs = np.array(["python", "js", "java", "go", "rust", "ruby", "php", "c"])
+    weights = np.array([0.45, 0.2, 0.12, 0.08, 0.06, 0.04, 0.03, 0.02])
+    lang = rng.choice(langs, size=n, p=weights)
+    values = np.round(rng.lognormal(mean=5.0, sigma=1.5, size=n))
+    pdf = pd.DataFrame({"lang": lang, "v": values})
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+def test_grouped_quantiles_within_alpha(spark, skewed_df):
+    df, pdf = skewed_df
+    cfg = SketchConfig(ALPHA)
+    res = quantile_sketch(df, "v", by=["lang"], qs=QS, cfg=cfg).toPandas()
+    oracle = exact_oracle(pdf, "lang", "v")
+    assert set(res["lang"]) == set(oracle)
+    for rec in res.to_dict("records"):
+        for q in QS:
+            est = rec[quantile_label(q)]
+            exact = oracle[rec["lang"]][q]
+            assert abs(est - exact) <= ALPHA * abs(exact) + 1e-15
+        g = pdf[pdf["lang"] == rec["lang"]]["v"]
+        assert rec["count"] == len(g)
+        assert rec["sum"] == pytest.approx(g.sum())
+        assert rec["min"] == g.min() and rec["max"] == g.max()
+
+
+@pytest.mark.parametrize("n_parts", [1, 3, 32])
+def test_partition_invariance(spark, skewed_df, n_parts):
+    """The merged sketch state must be identical for any repartitioning."""
+    df, _ = skewed_df
+    cfg = SketchConfig(ALPHA)
+    states = []
+    parts = df.repartition(n_parts)
+    merged = merge_partials(
+        build_partials(parts, "v", ["lang"], cfg), ["lang"], cfg
+    ).toPandas()
+    merged = merged.sort_values("lang").reset_index(drop=True)
+    states.append(merged)
+    baseline = merge_partials(
+        build_partials(df.coalesce(1), "v", ["lang"], cfg), ["lang"], cfg
+    ).toPandas().sort_values("lang").reset_index(drop=True)
+    for col in ["lang", "zero_count", "count", "min", "max", "pos_offset", "neg_offset"]:
+        assert list(merged[col]) == list(baseline[col]), col
+    for a, b in zip(merged["pos_bins"], baseline["pos_bins"]):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+    for a, b in zip(merged["sum"], baseline["sum"]):
+        assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_fanin_tree_merge_equivalent(spark, skewed_df):
+    df, _ = skewed_df
+    cfg = SketchConfig(ALPHA)
+    partials = build_partials(df, "v", ["lang"], cfg)
+    flat = merge_partials(partials, ["lang"], cfg).toPandas().sort_values("lang")
+    tree = (
+        merge_partials(partials, ["lang"], cfg, fanin=4).toPandas().sort_values("lang")
+    )
+    for a, b in zip(flat["pos_bins"], tree["pos_bins"]):
+        np.testing.assert_array_equal(np.array(a), np.array(b))
+    assert list(flat["count"]) == list(tree["count"])
+    assert list(flat["rows"]) == list(tree["rows"])
+
+
+def test_global_sketch_paths(spark):
+    values = generate("lognormal", 5000)
+    df = spark.createDataFrame(pd.DataFrame({"v": values})).repartition(8)
+    cfg = SketchConfig(ALPHA)
+    # DataFrame path
+    res = quantile_sketch(df, "v", by=None, qs=QS, cfg=cfg).toPandas()
+    assert len(res) == 1
+    rec = res.iloc[0]
+    # driver-object path
+    sk = sketch_to_driver(df, "v", cfg)
+    local = Sketch.from_values(values, cfg)
+    assert sk.nonzero_bins() == local.nonzero_bins()
+    assert rec["count"] == len(values) == sk.count
+    for q in QS:
+        exact = exact_quantile(values, q)
+        assert abs(rec[quantile_label(q)] - exact) <= ALPHA * abs(exact) + 1e-15
+        assert sk.quantile(q) == local.quantile(q)
+
+
+def test_spark_matches_local_bitwise(spark, skewed_df):
+    """Distributed result == single-threaded local kernel on the same rows."""
+    df, pdf = skewed_df
+    cfg = SketchConfig(ALPHA, mode=COLLAPSE_LOWEST, bin_limit=256)
+    merged = merge_partials(
+        build_partials(df, "v", ["lang"], cfg), ["lang"], cfg
+    ).toPandas()
+    for rec in merged.to_dict("records"):
+        local = Sketch.from_values(
+            pdf[pdf["lang"] == rec["lang"]]["v"].to_numpy(np.float64), cfg
+        )
+        got = Sketch.from_state(cfg, rec)
+        assert got.nonzero_bins() == local.nonzero_bins(), rec["lang"]
+        assert got.count == local.count
+
+
+def test_weighted_and_nulls(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 4 + ["b"] * 3,
+            "v": [1.0, 10.0, None, 100.0, 5.0, None, 5.0],
+            "w": [1.0, 2.0, 1.0, 1.0, 3.0, 1.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    cfg = SketchConfig(0.05)
+    res = (
+        quantile_sketch(df, "v", by=["g"], qs=[0.5], cfg=cfg, weight_col="w")
+        .toPandas()
+        .set_index("g")
+    )
+    # nulls in value or weight are skipped
+    assert res.loc["a", "count"] == 4.0  # weights 1+2+1
+    assert res.loc["b", "count"] == 3.0
+    assert res.loc["a", "sum"] == pytest.approx(1 + 20 + 100)
+
+
+def test_partials_lineage_columns(spark, skewed_df):
+    df, _ = skewed_df
+    partials = build_partials(df.repartition(4), "v", ["lang"], SketchConfig())
+    pdf = partials.select("_pid", "rows").toPandas()
+    assert set(pdf["_pid"]) == {0, 1, 2, 3}
+    assert pdf["rows"].sum() == 40_000
+    merged = merge_partials(partials, ["lang"], SketchConfig()).toPandas()
+    assert merged["rows"].sum() == 40_000
+    assert (merged["n_partials"] >= 1).all()
+
+
+def test_gamma_guard_across_pipeline(spark):
+    cfg_a = SketchConfig(0.05)
+    cfg_b = SketchConfig(0.01)
+    sdf = spark.createDataFrame(pd.DataFrame({"v": [1.0, 2.0]}))
+    partials = build_partials(sdf, "v", [], cfg_a)
+    with pytest.raises(Exception):
+        merge_partials(partials, [], cfg_b).collect()
+
+
+def test_finalize_empty_group_is_absent(spark):
+    # groups simply don't appear when they have no rows; empty input -> empty out
+    df = spark.createDataFrame([], "g string, v double")
+    res = quantile_sketch(df, "v", by=["g"], qs=[0.5]).toPandas()
+    assert len(res) == 0
