@@ -44,6 +44,9 @@ __all__ = [
     "STATE_COLS",
     "build_partials",
     "merge_partials",
+    "build_cells",
+    "assemble_cells",
+    "sketch_agg",
     "finalize_quantiles",
     "quantile_sketch",
     "sketch_to_driver",
@@ -212,6 +215,162 @@ def merge_partials(
     )
 
 
+def build_cells(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """JVM-side partial aggregation: ``(by..., sgn, k) -> (c, s, mn, mx, rc)``.
+
+    The bucket key ``ceil(log2(v) * multiplier)`` (reference
+    ``mapping.py:75-83,107-109``) and the sign/zero routing (reference
+    ``ddsketch.py:144-149``) are plain Catalyst expressions, so the heavy
+    per-row work runs inside whole-stage codegen with Spark's own map-side
+    combine — the shuffle carries only ``groups x live-buckets`` cells, and
+    no raw row ever crosses the Python boundary.  Only the logarithmic
+    mapping has this pure-column form; interpolated mappings use the kernel
+    engine.
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    if cfg.mapping != "logarithmic":
+        raise ValueError("cells engine requires the logarithmic mapping")
+    mapping = cfg.key_mapping
+    m = mapping._multiplier
+    mp = mapping.min_possible
+    off = cfg.offset
+    v = F.col(value_col)
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    df = df.where(v.isNotNull())
+    if weight_col:
+        df = df.where(w.isNotNull())
+    sgn = (
+        F.when(v > F.lit(mp), F.lit(1))
+        .when(v < F.lit(-mp), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+
+    def key_expr(x):
+        k = F.ceil(F.log2(x) * F.lit(m))
+        if off:
+            k = (k.cast("double") + F.lit(off)).cast("long")
+        return k
+
+    keyed = df.select(
+        *by,
+        v.alias("_v"),
+        w.cast("double").alias("_w"),
+        sgn.alias("_sgn"),
+        F.when(sgn == 1, key_expr(v))
+        .when(sgn == -1, key_expr(-v))
+        .otherwise(F.lit(0))
+        .alias("_k"),
+    )
+    return keyed.groupBy(*by, "_sgn", "_k").agg(
+        F.sum("_w").alias("_c"),
+        F.sum(F.col("_v") * F.col("_w")).alias("_s"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_rc"),
+    )
+
+
+def assemble_cells(
+    cells: DataFrame, by: list[str] | None = None, cfg: SketchConfig | None = None
+) -> DataFrame:
+    """Assemble per-group sketch state rows from bucket cells (tiny input)."""
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    schema = StructType(
+        _by_fields(cells, by)
+        + STATE_FIELDS
+        + [
+            StructField("rows", LongType(), False),
+            StructField("n_partials", LongType(), False),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _sketch_from_cells(pdf, cfg)
+        rec = {col: pdf[col].iloc[0] for col in by}
+        rec.update(_state_dict(sk))
+        rec["rows"] = int(pdf["_rc"].sum())
+        rec["n_partials"] = len(pdf)
+        return pd.DataFrame([rec], columns=[f.name for f in schema.fields])
+
+    if by:
+        return cells.groupBy(*by).applyInPandas(assemble, schema)
+    return (
+        cells.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: assemble(pdf.drop(columns=["_g"])), schema)
+    )
+
+
+def _sketch_from_cells(pdf: pd.DataFrame, cfg: SketchConfig) -> Sketch:
+    from .store import bins_from_keys
+
+    sgn = pdf["_sgn"].to_numpy()
+    k = pdf["_k"].to_numpy(np.int64)
+    c = pdf["_c"].to_numpy(np.float64)
+    return Sketch(
+        cfg=cfg,
+        zero_count=float(c[sgn == 0].sum()),
+        count=float(c.sum()),
+        sum=float(pdf["_s"].to_numpy(np.float64).sum()),
+        min=float(pdf["_mn"].min()),
+        max=float(pdf["_mx"].max()),
+        pos=bins_from_keys(k[sgn == 1], c[sgn == 1], cfg.mode, cfg.bin_limit),
+        neg=bins_from_keys(k[sgn == -1], c[sgn == -1], cfg.mode, cfg.bin_limit),
+    )
+
+
+def finalize_cells(
+    cells: DataFrame,
+    qs: list[float],
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+) -> DataFrame:
+    """Fused assemble+finalize: one Python stage from bucket cells straight to
+    ``by... | count sum min max avg | p...`` — the fewest stage barriers the
+    cells engine can have."""
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    q_cols = [quantile_label(q) for q in qs]
+    schema = StructType(
+        _by_fields(cells, by)
+        + [
+            StructField("count", DoubleType()),
+            StructField("sum", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+            StructField("avg", DoubleType()),
+        ]
+        + [StructField(c, DoubleType()) for c in q_cols]
+    )
+
+    def fin(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _sketch_from_cells(pdf, cfg)
+        rec = {col: pdf[col].iloc[0] for col in by}
+        rec.update(
+            count=sk.count, sum=sk.sum, min=sk.min, max=sk.max,
+            avg=sk.avg if sk.count else None,
+        )
+        for q, c in zip(qs, q_cols):
+            rec[c] = sk.quantile(q)
+        return pd.DataFrame([rec], columns=[f.name for f in schema.fields])
+
+    if by:
+        return cells.groupBy(*by).applyInPandas(fin, schema)
+    return (
+        cells.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: fin(pdf.drop(columns=["_g"])), schema)
+    )
+
+
 def quantile_label(q: float) -> str:
     """0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9, 1.0 -> p100."""
     s = f"{q * 100:g}".replace(".", "_")
@@ -271,6 +430,38 @@ def finalize_quantiles(
     return merged.mapInPandas(fin, schema)
 
 
+def sketch_agg(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+    fanin: int | None = None,
+    engine: str = "auto",
+) -> DataFrame:
+    """Merged sketch-state rows per group.
+
+    Engines:
+
+    * ``cells`` (default for the logarithmic mapping) — bucket keys and the
+      heavy aggregation run entirely JVM-side (whole-stage codegen, map-side
+      combine); Python assembles one state row per group from its bucket
+      cells.  Fastest and most scalable: no raw row crosses the JVM/Python
+      boundary.
+    * ``kernel`` — Arrow-batch NumPy kernels per partition (mapInPandas) +
+      associative applyInPandas merge.  Required for interpolated mappings
+      and when per-partition partials/lineage are needed (checkpointing).
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    if engine == "auto":
+        engine = "cells" if cfg.mapping == "logarithmic" else "kernel"
+    if engine == "cells":
+        return assemble_cells(build_cells(df, value_col, by, cfg, weight_col), by, cfg)
+    partials = build_partials(df, value_col, by, cfg, weight_col)
+    return merge_partials(partials, by, cfg, fanin=fanin)
+
+
 def quantile_sketch(
     df: DataFrame,
     value_col: str,
@@ -280,6 +471,7 @@ def quantile_sketch(
     weight_col: str | None = None,
     fanin: int | None = None,
     keep_state: bool = False,
+    engine: str = "auto",
 ) -> DataFrame:
     """Flagship API: grouped (or global) quantile sketch over a DataFrame.
 
@@ -290,8 +482,14 @@ def quantile_sketch(
     """
     by = list(by or [])
     cfg = cfg or SketchConfig()
-    partials = build_partials(df, value_col, by, cfg, weight_col)
-    merged = merge_partials(partials, by, cfg, fanin=fanin)
+    if engine == "auto":
+        engine = "cells" if cfg.mapping == "logarithmic" else "kernel"
+    if engine == "cells" and not keep_state:
+        # fused single-Python-stage path
+        cells = build_cells(df, value_col, by, cfg, weight_col)
+        out = finalize_cells(cells, list(qs), by, cfg)
+        return out.drop("_g") if not by and "_g" in out.columns else out
+    merged = sketch_agg(df, value_col, by, cfg, weight_col, fanin=fanin, engine=engine)
     out = finalize_quantiles(merged, list(qs), cfg, by, keep_state=keep_state)
     return out.drop("_g") if not by and "_g" in out.columns else out
 

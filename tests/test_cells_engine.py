@@ -1,0 +1,130 @@
+"""The cells engine (JVM key computation + hash-agg, Python bin assembly)
+must produce the same sketch state as the kernel engine and the local
+algebra."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.agg import (
+    quantile_label,
+    quantile_sketch,
+    sketch_agg,
+)
+from ddspark.datasets import exact_quantile, generate
+from ddspark.sketch import Sketch, SketchConfig
+from ddspark.store import COLLAPSE_HIGHEST, COLLAPSE_LOWEST
+
+ALPHA = 0.01
+QS = [0.5, 0.95, 0.99]
+
+
+@pytest.fixture(scope="module")
+def mixed_df(spark):
+    """Positive, negative and zero values across skewed groups."""
+    rng = np.random.default_rng(7)
+    n = 20_000
+    g = rng.choice(["a", "b", "c"], size=n, p=[0.7, 0.2, 0.1])
+    v = np.round(rng.lognormal(4.0, 1.5, size=n))
+    v[rng.random(n) < 0.1] *= -1
+    v[rng.random(n) < 0.05] = 0.0
+    pdf = pd.DataFrame({"g": g, "v": v})
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        SketchConfig(ALPHA),
+        SketchConfig(0.05, mode=COLLAPSE_LOWEST, bin_limit=64),
+        SketchConfig(0.05, mode=COLLAPSE_HIGHEST, bin_limit=64),
+    ],
+    ids=["dense", "collapse_lowest", "collapse_highest"],
+)
+def test_cells_equals_kernel_and_local(spark, mixed_df, cfg):
+    df, pdf = mixed_df
+    cells = (
+        sketch_agg(df, "v", ["g"], cfg, engine="cells")
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    kernel = (
+        sketch_agg(df, "v", ["g"], cfg, engine="kernel")
+        .toPandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for key in cells.index:
+        local = Sketch.from_values(
+            pdf[pdf["g"] == key]["v"].to_numpy(np.float64), cfg
+        )
+        got = Sketch.from_state(cfg, cells.loc[key].to_dict())
+        ker = Sketch.from_state(cfg, kernel.loc[key].to_dict())
+        assert got.nonzero_bins() == local.nonzero_bins() == ker.nonzero_bins(), key
+        assert got.count == local.count == ker.count
+        assert got.zero_count == local.zero_count
+        assert got.min == local.min and got.max == local.max
+        assert got.sum == pytest.approx(local.sum, rel=1e-12)
+
+
+def test_cells_quantiles_within_alpha(spark, mixed_df):
+    df, pdf = mixed_df
+    res = (
+        quantile_sketch(df, "v", ["g"], QS, SketchConfig(ALPHA), engine="cells")
+        .toPandas()
+        .set_index("g")
+    )
+    for key, rec in res.iterrows():
+        v = pdf[pdf["g"] == key]["v"].to_numpy(np.float64)
+        for q in QS:
+            exact = exact_quantile(v, q)
+            assert abs(rec[quantile_label(q)] - exact) <= ALPHA * abs(exact) + 1e-15
+
+
+def test_cells_weighted(spark):
+    values = generate("integers", 1000) + 20.0
+    uniq, counts = np.unique(values, return_counts=True)
+    pdf = pd.DataFrame({"v": uniq, "w": counts.astype(float)})
+    df = spark.createDataFrame(pdf).repartition(4)
+    cfg = SketchConfig(0.05)
+    got = sketch_agg(df, "v", None, cfg, weight_col="w", engine="cells").toPandas()
+    local = Sketch.from_values(values, cfg)
+    sk = Sketch.from_state(cfg, got.iloc[0].to_dict())
+    assert sk.nonzero_bins() == local.nonzero_bins()
+    assert sk.count == local.count
+    for q in QS:
+        assert sk.quantile(q) == local.quantile(q)
+
+
+def test_cells_global_and_plan(spark, mixed_df):
+    df, pdf = mixed_df
+    res = quantile_sketch(df, "v", None, [0.5], SketchConfig(ALPHA), engine="cells")
+    rec = res.toPandas().iloc[0]
+    v = pdf["v"].to_numpy(np.float64)
+    exact = exact_quantile(v, 0.5)
+    assert abs(rec[quantile_label(0.5)] - exact) <= ALPHA * abs(exact) + 1e-15
+    # the pre-shuffle stage must be pure JVM: python only appears after
+    # the cell aggregation (FlatMapGroupsInPandas on tiny cells)
+    from ddspark.agg import build_cells
+
+    plan = (
+        build_cells(df, "v", ["g"], SketchConfig(ALPHA))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_cells_rejects_interpolated_mappings(spark, mixed_df):
+    df, _ = mixed_df
+    with pytest.raises(Exception):
+        sketch_agg(df, "v", ["g"], SketchConfig(0.01, mapping="cubic"), engine="cells").collect()
+    # auto falls back to kernel for cubic
+    res = sketch_agg(df, "v", ["g"], SketchConfig(0.05, mapping="cubic"), engine="auto")
+    assert res.count() == 3
