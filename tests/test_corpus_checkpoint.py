@@ -1,0 +1,106 @@
+"""Corpus generator determinism + checkpoint/resume semantics."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.agg import quantile_label, quantile_sketch
+from ddspark.checkpoint import (
+    attempts_info,
+    checkpointed_quantile_sketch,
+    checkpointed_sketch_agg,
+)
+from ddspark.corpus import LANGS, generate_corpus
+from ddspark.sketch import Sketch, SketchConfig
+
+CFG = SketchConfig(0.01)
+
+
+@pytest.fixture(scope="module")
+def corpus_pdf(spark):
+    return generate_corpus(spark, 2000, parts=8).toPandas()
+
+
+def test_corpus_deterministic_across_partitionings(spark, corpus_pdf):
+    again = generate_corpus(spark, 2000, parts=3).toPandas()
+    a = corpus_pdf.sort_values("id").reset_index(drop=True)
+    b = again.sort_values("id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_corpus_sha256_invariant(corpus_pdf):
+    for rec in corpus_pdf.sample(50, random_state=0).to_dict("records"):
+        assert hashlib.sha256(rec["content"].encode()).hexdigest() == rec["content_sha256"]
+
+
+def test_corpus_shape(corpus_pdf):
+    assert set(corpus_pdf["lang"]) <= set(LANGS)
+    top_share = corpus_pdf["lang"].value_counts(normalize=True).iloc[0]
+    assert 0.3 < top_share < 0.6  # Zipf skew
+    assert (corpus_pdf["content"].str.len() == 0).mean() < 0.02  # some empties
+    assert corpus_pdf["path"].is_unique
+
+
+def test_checkpoint_resume_matches_direct(spark, tmp_path, corpus_pdf):
+    src = str(tmp_path / "corpus_parquet")
+    ckpt = str(tmp_path / "ckpt")
+    generate_corpus(spark, 2000, parts=8).write.parquet(src)
+    n_files = len(spark.read.parquet(src).inputFiles())
+    assert n_files >= 4
+
+    # run 1: budget of 2 files, partial coverage
+    res1 = checkpointed_quantile_sketch(
+        spark, src, "length(content)", by=["lang"], qs=[0.5],
+        cfg=CFG, ckpt_dir=ckpt, max_files=2,
+    ).toPandas()
+    info = attempts_info(ckpt)
+    assert len(info) == 1 and info[0]["n_files"] == 2
+    assert res1["count"].sum() < 2000
+
+    # run 2: finish the rest
+    res2 = checkpointed_quantile_sketch(
+        spark, src, "length(content)", by=["lang"], qs=[0.5],
+        cfg=CFG, ckpt_dir=ckpt,
+    ).toPandas()
+    info = attempts_info(ckpt)
+    assert len(info) == 2
+    assert sum(i["n_files"] for i in info) == n_files
+    assert sum(i["rows"] for i in info) == 2000
+    assert res2["count"].sum() == 2000
+
+    # run 3: nothing left to do — pure resume read, same answer
+    res3 = checkpointed_quantile_sketch(
+        spark, src, "length(content)", by=["lang"], qs=[0.5],
+        cfg=CFG, ckpt_dir=ckpt,
+    ).toPandas()
+    assert len(attempts_info(ckpt)) == 2  # no new attempt
+    direct = quantile_sketch(
+        spark.read.parquet(src).withColumn("_v", F.expr("length(content)")),
+        "_v", by=["lang"], qs=[0.5], cfg=CFG,
+    ).toPandas()
+    got = res3.sort_values("lang").reset_index(drop=True)
+    want = direct.sort_values("lang").reset_index(drop=True)
+    assert list(got["lang"]) == list(want["lang"])
+    assert list(got["count"]) == list(want["count"])
+    assert list(got[quantile_label(0.5)]) == list(want[quantile_label(0.5)])
+
+
+def test_interrupted_attempt_is_ignored(spark, tmp_path):
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    generate_corpus(spark, 500, parts=4).write.parquet(src)
+    # full run
+    checkpointed_sketch_agg(
+        spark, src, "length(content)", ["lang"], CFG, ckpt
+    ).collect()
+    # fake a crashed attempt: dir without _SUCCESS, no meta json
+    os.makedirs(os.path.join(ckpt, "attempt_99999"))
+    res = checkpointed_quantile_sketch(
+        spark, src, "length(content)", by=["lang"], qs=[0.5], cfg=CFG, ckpt_dir=ckpt
+    ).toPandas()
+    assert res["count"].sum() == 500
