@@ -143,6 +143,104 @@ def _q_orders_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.dedup import exact_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def _q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.textops import digit_ratio, punct_ratio, token_count
+
+    docs = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "lang",
+        token_count(t).alias("tc"),
+        punct_ratio(t).alias("pr"),
+        digit_ratio(t).alias("dr"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("tc").cast("double").alias("total_tokens"),
+        F.round(F.avg("tc"), 6).alias("avg_tokens"),
+        F.round(F.avg("pr"), 6).alias("avg_punct_ratio"),
+        F.round(F.avg("dr"), 6).alias("avg_digit_ratio"),
+    )
+
+
+def _q_quality_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.textops import quality_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(F.floor(quality_score(F.col("text")) * 10).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+
+
+def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.textops import language_id
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select(language_id(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.dedup import jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return jaccard_pairs(docs, threshold=0.05, n=2)
+
+
+def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.ann import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def _q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.multimodal import extract_features, with_blob
+
+    docs = _read(spark, sf_dir, "documents")
+    feats = extract_features(with_blob(docs))
+    return feats.select("doc_id", "n_bytes")
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return minhash_dedup_pairs(docs, n=2, threshold=0.2)
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.dedup import simhash_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return simhash_pairs(docs, max_hamming=12)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.ann import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, queries_df, k=5, n_planes=4, n_tables=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -159,6 +257,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_exact_stats_by_lang": wrap(_q_exact_stats_by_lang),
         "ddsketch_quantity_by_status_sqlpath": wrap(_q_quantity_by_status_sqlpath),
         "ddsketch_orders_price_by_priority": wrap(_q_orders_price_by_priority),
+        "dedup_exact_fingerprint": wrap(_q_dedup_exact),
+        "text_stats_by_lang": wrap(_q_text_stats_by_lang),
+        "text_quality_hist": wrap(_q_quality_hist),
+        "text_lang_id_counts": wrap(_q_lang_id_counts),
+        "dedup_jaccard_pairs": wrap(_q_jaccard_pairs),
+        "ann_cosine_topk": wrap(_q_ann_topk),
+        "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
+        "dedup_minhash_lsh": wrap(_q_minhash_lsh),
+        "dedup_simhash_pairs": wrap(_q_simhash_pairs),
+        "ann_lsh_topk": wrap(_q_ann_lsh),
     }
 
 
@@ -203,4 +311,127 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_orders_price_by_priority": ansi_sql_quantile_sketch(
             "orders", "o_totalprice", ["o_orderpriority"], QS, ALPHA, round_digits=ROUND
         ),
+        "dedup_exact_fingerprint": r"""
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                   MIN(doc_id) AS keep_id,
+                   COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "text_stats_by_lang": r"""
+            WITH per_doc AS (
+              SELECT lang,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS tc,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]+', '', 'g')) AS DOUBLE) / length(text) END AS pr,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(length(regexp_replace(text, '[^0-9]+', '', 'g')) AS DOUBLE) / length(text) END AS dr
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   CAST(SUM(tc) AS DOUBLE) AS total_tokens,
+                   ROUND(AVG(tc), 6) AS avg_tokens,
+                   ROUND(AVG(pr), 6) AS avg_punct_ratio,
+                   ROUND(AVG(dr), 6) AS avg_digit_ratio
+            FROM per_doc GROUP BY lang
+        """,
+        "text_quality_hist": r"""
+            WITH q AS (
+              SELECT ROUND(
+                LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                * (1.0 - 0.5 * LEAST(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]+', '', 'g')) AS DOUBLE) / length(text) END * 4.0, 1.0))
+                * (1.0 - 0.5 * LEAST(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[^0-9]+', '', 'g')) AS DOUBLE) / length(text) END * 4.0, 1.0))
+                * (1.0 - CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END) = 0 THEN 1.0 ELSE 0.0 END),
+                6) AS quality
+              FROM documents
+            )
+            SELECT CAST(FLOOR(quality * 10) AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS DOUBLE) AS n_docs
+            FROM q GROUP BY 1
+        """,
+        "text_lang_id_counts": _lang_id_oracle_sql(),
+        "dedup_jaccard_pairs": r"""
+            WITH toks AS (
+              SELECT doc_id AS id,
+                     string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+              FROM documents WHERE doc_id < 150
+            ),
+            sh AS (
+              SELECT DISTINCT id, t[i] || ' ' || t[i+1] AS shingle
+              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+              WHERE len(t) >= 2
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.05
+        """,
+        "ann_cosine_topk": r"""
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            u AS (
+              SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS uv
+              FROM v
+            ),
+            p AS (
+              SELECT q.vec_id AS qid, c.vec_id AS nid,
+                     ROUND(list_dot_product(c.uv, q.uv), 6) AS cosine
+              FROM u c, u q
+              WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+            ),
+            r AS (
+              SELECT qid, nid, cosine,
+                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT) AS rank
+              FROM p
+            )
+            SELECT qid, nid, rank, cosine FROM r WHERE rank <= 5
+        """,
+        "multimodal_byte_plumbing": """
+            SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
+        """,
     }
+
+
+def _lang_id_oracle_sql() -> str:
+    from ddspark.pipeline.textops import LANG_MARKERS
+
+    hit_exprs = {}
+    for lang, words in sorted(LANG_MARKERS.items()):
+        parts = [
+            f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+            for w in words
+        ]
+        hit_exprs[lang] = " + ".join(parts)
+    hits_sel = ",\n       ".join(f"{e} AS h_{lang}" for lang, e in hit_exprs.items())
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH padded AS (
+  SELECT ' ' || lower(text) || ' ' AS p FROM documents
+),
+hits AS (
+  SELECT {hits_sel} FROM padded
+)
+SELECT {case} AS pred_lang, CAST(COUNT(*) AS DOUBLE) AS n_docs
+FROM hits GROUP BY 1
+""".strip()

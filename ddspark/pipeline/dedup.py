@@ -1,0 +1,300 @@
+"""Deduplication operators for a web-scale corpus.
+
+Five strategies, ordered by cost:
+
+* **exact**       — hash-groupBy on the normalized-content fingerprint
+                    (one shuffle of (hash, id) pairs; Catalyst partial agg).
+* **n-gram Jaccard** — exact set similarity via an inverted shingle index:
+                    explode shingles → self-join on shingle → pair counts.
+                    The join is shuffle-heavy but never materializes the
+                    full pair matrix — only pairs sharing ≥1 shingle.
+* **MinHash + LSH** — signatures from ``xxhash64`` (JVM) under k seeded
+                    affine permutations, banded into buckets; candidate
+                    pairs only within buckets (sub-quadratic at scale).
+* **SimHash**     — 64-bit bit-majority fingerprint of token hashes;
+                    near-dups have small Hamming distance.
+* **embedding cosine** — near-dup by vector similarity (see
+                    :mod:`ddspark.pipeline.ann` for the scaled variant).
+
+All shuffle keys are hashes/ints, never raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .textops import fingerprint
+
+__all__ = [
+    "exact_dedup",
+    "word_shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup_pairs",
+    "simhash",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+# 2^31-1: products of two residues fit in int64 (no overflow under ANSI mode)
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per distinct normalized content: keeper id + duplicate count."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams per document: ``(id, shingle)``."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    # NB: sequence(0, -1) descends in Spark — short docs need an empty array
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing a shingle.
+
+    ``|A∩B|`` comes from the inverted-index self-join; ``|A∪B| = |A|+|B|-∩``.
+    Output: ``id_a < id_b, jaccard`` (rounded) above the threshold.
+    """
+    sh = word_shingles(df, id_col, text_col, n).withColumn(
+        "sh", F.xxhash64("shingle")
+    ).select("id", "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: ``(id, sig ARRAY<BIGINT>[num_hashes])``.
+
+    Shingle → ``xxhash64`` (JVM) → k affine permutations
+    ``(a*h + b) mod p`` over a Mersenne prime, min per permutation — all in
+    one hash aggregate; signature length is fixed, independent of doc size.
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    sh = word_shingles(df, id_col, text_col, n).select(
+        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+    )
+    mins = [
+        F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    agg = sh.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signatures; docs sharing any band bucket are candidates."""
+    sig = signatures
+    band_cols = []
+    for b in range(bands):
+        sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(sl.cast("string")).alias("bucket")))
+    exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates + signature-estimated Jaccard filter.
+
+    Output: ``id_a, id_b, est_jaccard`` — near-dup pairs without any
+    all-pairs comparison.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sa = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
+    sb = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.lit(
+        float(num_hashes)
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document: sign of the per-bit majority over token
+    hashes — computed as 64 JVM aggregate expressions (no Python)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
+        ).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("id").agg(*bit_sums)
+    fp = F.lit(0).cast("long")
+    for i in range(64):
+        # bit 63 is the sign bit: add its two's-complement value
+        bit_val = (1 << i) if i < 63 else -(1 << 63)
+        fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation blocks on 16-bit chunks (pigeonhole: pairs within
+    Hamming ≤ 3·chunks-1 share a chunk; for 4 chunks any pair with ≤ 3
+    differing chunks collides on one) — sub-quadratic like the MinHash path.
+    """
+    fp = simhash(df, id_col, text_col)
+    chunks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("c"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity (exact; for the bucketed
+    scale path see :func:`ddspark.pipeline.ann.lsh_topk`)."""
+    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("u"),
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(dot, 6))
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Text analysis operators — all pure ``pyspark.sql.functions`` column
+expressions (JVM-side, whole-stage codegen; no Python in the hot path), so
+they run at scan speed over a 100 TB corpus and every one has an exact ANSI
+SQL twin for oracle checking.
+
+* token counting       — whitespace tokenization + a BPE-ish subword count
+* quality scoring      — length / punctuation / digit / whitespace ratios
+* language ID          — stopword-marker heuristic over a fixed marker table
+* document fingerprint — md5 of the normalized text (exact-dup key) and a
+                         crc32-based rolling bucket
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = [
+    "token_count",
+    "subword_count",
+    "punct_ratio",
+    "digit_ratio",
+    "stopword_ratio",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "with_text_stats",
+    "LANG_MARKERS",
+]
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokens; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish proxy: alphanumeric runs + standalone punctuation marks each
+    count as one subword (a cheap, deterministic token estimate)."""
+    runs = F.size(F.filter(F.split(text, r"[^0-9A-Za-z]+"), lambda x: x != ""))
+    punct = F.length(F.regexp_replace(text, r"[0-9A-Za-z\s]+", ""))
+    return runs + punct
+
+
+def punct_ratio(text: Column) -> Column:
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]+", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    d = F.length(F.regexp_replace(text, r"[^0-9]+", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(d.cast("double") / n)
+
+
+# compact per-language stopword markers (matched as whole words)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "de": ["der", "die", "und", "ist", "das"],
+    "fr": ["le", "la", "et", "est", "les"],
+    "es": ["el", "la", "y", "es", "los"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        # occurrences of " w " via length difference
+        hit = (
+            F.length(padded)
+            - F.length(F.replace(padded, F.lit(f" {w} "), F.lit("")))
+        ) / (len(w) + 2)
+        total = total + hit.cast("int")
+    return total
+
+
+def stopword_ratio(text: Column, lang_hint: str = "en") -> Column:
+    hits = _marker_hits(text, LANG_MARKERS[lang_hint])
+    toks = token_count(text)
+    return F.when(toks == 0, F.lit(0.0)).otherwise(hits.cast("double") / toks)
+
+
+def language_id(text: Column) -> Column:
+    """Argmax over marker-hit counts; deterministic tie-break by language
+    code order. 'und' (undetermined) when nothing matches."""
+    scores = [(lang, _marker_hits(text, ws)) for lang, ws in sorted(LANG_MARKERS.items())]
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    for lang, s in reversed(scores):
+        out = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic [0,1] quality heuristic: favors mid-length documents with
+    normal punctuation/digit balance.  The exact formula is arbitrary but
+    fixed — its job is to be reproducible and cheap."""
+    n = F.length(text)
+    len_score = F.least(n.cast("double") / 500.0, F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 4.0, F.lit(1.0))
+    digit_pen = F.least(digit_ratio(text) * 4.0, F.lit(1.0))
+    blank_pen = F.when(token_count(text) == 0, F.lit(1.0)).otherwise(F.lit(0.0))
+    score = len_score * (1.0 - 0.5 * punct_pen) * (1.0 - 0.5 * digit_pen) * (
+        1.0 - blank_pen
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (
+        df.withColumn("n_chars_exact", F.length(t))
+        .withColumn("token_count", token_count(t))
+        .withColumn("subword_count", subword_count(t))
+        .withColumn("punct_ratio", F.round(punct_ratio(t), 6))
+        .withColumn("digit_ratio", F.round(digit_ratio(t), 6))
+        .withColumn("quality", quality_score(t))
+        .withColumn("lang_id", language_id(t))
+        .withColumn("fingerprint", fingerprint(t))
+    )

@@ -1,0 +1,224 @@
+"""Pipeline operator tests over the driver-provided documents/embeddings
+tables plus synthetic near-duplicate fixtures."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.pipeline import ann, dedup, multimodal, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark):
+    """Documents with planted exact and near duplicates."""
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    rows = [
+        (0, base),
+        (1, base),  # exact dup of 0
+        (2, base.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different content about spark sql aggregation " * 6),
+        (4, "the quick brown fox jumps over the lazy dog again and again " * 5 + "tail"),
+        (5, ""),  # empty
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+# ----------------------------------------------------------------- textops
+
+
+def test_text_stats_basics(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["Hello, world! 42", "", "  a  b  "]})
+    )
+    res = textops.with_text_stats(df).toPandas().set_index("doc_id")
+    assert res.loc[0, "token_count"] == 3
+    assert res.loc[1, "token_count"] == 0
+    assert res.loc[2, "token_count"] == 2
+    assert res.loc[0, "punct_ratio"] > 0
+    assert res.loc[0, "digit_ratio"] == pytest.approx(2 / 16)
+    assert res.loc[1, "quality"] == 0.0
+
+
+def test_language_id_heuristic(spark):
+    """Note: the driver's `documents.lang` labels are synthetic (all texts
+    share one English vocabulary), so the check uses genuinely multilingual
+    fixtures."""
+    rows = [
+        ("en", "the cat and the dog is a friend of the house"),
+        ("de", "der hund und die katze ist das tier und der freund"),
+        ("fr", "le chat et la maison est les amis et le chien"),
+        ("es", "el perro y la casa es los amigos y el gato"),
+        ("zh", "这 是 一个 关于 的 故事 它 是 在 家 和 朋友 的"),
+        ("und", "xyzzy plugh quux"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["lang", "text"]))
+    res = df.select("lang", textops.language_id(F.col("text")).alias("pred")).toPandas()
+    assert (res["lang"] == res["pred"]).all(), res.to_dict("records")
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["Hello  World", "hello world", "hello  world ", "other"]})
+    )
+    fps = df.select(textops.fingerprint(F.col("t")).alias("fp")).toPandas()["fp"]
+    assert fps[0] == fps[1] == fps[2] != fps[3]
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup(dup_docs):
+    res = dedup.exact_dedup(dup_docs).toPandas()
+    dup_groups = res[res["dup_count"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keep_id"] == 0
+    assert dup_groups.iloc[0]["dup_count"] == 2
+
+
+def test_jaccard_pairs_finds_near_dups(dup_docs):
+    pairs = dedup.jaccard_pairs(dup_docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got  # exact dup -> jaccard 1.0
+    assert (0, 4) in got  # prefix dup
+    assert (0, 2) in got or (1, 2) in got  # one-word change
+    assert not any(3 in p for p in got)
+    j01 = pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "jaccard"]
+    assert j01 == 1.0
+
+
+def test_jaccard_matches_python_oracle(dup_docs):
+    pairs = dedup.jaccard_pairs(dup_docs, threshold=0.01).toPandas()
+    pdf = dup_docs.toPandas()
+
+    def shingles(t, n=3):
+        toks = " ".join(t.lower().split()).split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    for rec in pairs.to_dict("records"):
+        a, b = shingles(texts[rec["id_a"]]), shingles(texts[rec["id_b"]])
+        want = len(a & b) / len(a | b)
+        assert rec["jaccard"] == pytest.approx(want, abs=1e-6)
+
+
+def test_minhash_lsh_pairs(dup_docs):
+    pairs = dedup.minhash_dedup_pairs(dup_docs, threshold=0.5).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert (0, 4) in got
+    assert not any(3 in p or 5 in p for p in got)
+    est = pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "est_jaccard"]
+    assert est == 1.0
+
+
+def test_minhash_estimates_track_exact_on_corpus(docs):
+    """On real docs, LSH candidates' estimated jaccard should correlate with
+    the exact value."""
+    sample = docs.limit(120)
+    exact = dedup.jaccard_pairs(sample, threshold=0.0, n=2).toPandas()
+    est = dedup.minhash_dedup_pairs(
+        sample, threshold=0.0, n=2, num_hashes=128, bands=32
+    ).toPandas()
+    merged = exact.merge(est, on=["id_a", "id_b"])
+    if len(merged) >= 5:
+        err = (merged["jaccard"] - merged["est_jaccard"]).abs()
+        assert err.mean() < 0.2
+
+
+def test_simhash_near_dups(dup_docs):
+    pairs = dedup.simhash_pairs(dup_docs, max_hamming=10).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    ham01 = pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "hamming"]
+    assert ham01 == 0
+    assert not any(3 in p for p in got)
+
+
+def test_embedding_neardup(spark):
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(16)
+    rows = [
+        (0, base.tolist()),
+        (1, (base + 0.01 * rng.standard_normal(16)).tolist()),  # near dup
+        (2, rng.standard_normal(16).tolist()),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.95).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {(0, 1)}
+
+
+# -------------------------------------------------------------------- ann
+
+
+def test_cosine_topk_matches_numpy(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    res = ann.cosine_topk(emb, queries, k=5).toPandas()
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    for qid in [0, 1, 2]:
+        qv = mat[ids == qid][0]
+        sims = mat @ qv
+        order = np.lexsort((ids, -np.round(sims, 6)))
+        want = [int(ids[i]) for i in order if ids[i] != qid][:5]
+        got = res[res["qid"] == qid].sort_values("rank")["nid"].tolist()
+        assert got == want, qid
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+    # weak neighbors here (top-5 cosine ~0.32) need short signatures and
+    # many tables; near-dup workloads (cos > 0.9) prune much harder
+    approx = ann.lsh_topk(emb, queries, k=5, n_planes=4, n_tables=16).toPandas()
+    recall = 0.0
+    for qid in range(10):
+        want = set(exact[exact["qid"] == qid]["nid"])
+        got = set(approx[approx["qid"] == qid]["nid"])
+        recall += len(want & got) / len(want)
+    assert recall / 10 >= 0.5, recall / 10
+
+
+def test_ivf_topk_runs_and_ranks(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    res = ann.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).toPandas()
+    assert set(res["qid"]) == {0, 1, 2}
+    for qid in [0, 1, 2]:
+        g = res[res["qid"] == qid].sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert g["cosine"].is_monotonic_decreasing
+
+
+# -------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(docs):
+    blobbed = multimodal.with_blob(docs.limit(50))
+    feats = multimodal.extract_features(blobbed).toPandas()
+    assert len(feats) == 50
+    assert (feats["n_bytes"] >= 0).all()
+    assert ((feats["entropy"] >= 0) & (feats["entropy"] <= 8)).all()
+    assert all(len(h) == 16 for h in feats["hist16"])
+    src = blobbed.select("doc_id", F.octet_length("text").alias("n")).toPandas()
+    merged = feats.merge(src, on="doc_id")
+    assert (merged["n_bytes"] == merged["n"]).all()
+
+
+def test_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
