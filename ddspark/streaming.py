@@ -1,0 +1,167 @@
+"""Structured Streaming sketch aggregation.
+
+Two shapes, matching how DDSketch is used on live data:
+
+1. **Continuous per-key sketches** — :func:`sketch_stream_state`:
+   ``applyInPandasWithState`` keeps one flat sketch state per group
+   (the reference's merge semantics applied incrementally per micro-batch)
+   and emits updated quantiles every trigger.  State is the same flat
+   column layout the batch engine uses, so it is bounded (bins array ≈ KBs)
+   and watermark-free keys never grow it.
+
+2. **Windowed quantiles** — :func:`windowed_sketch_cells` +
+   :func:`finalize_cells_batch`: the cells trick from the batch engine
+   applied to streams.  ``groupBy(window(ts), keys, sgn, k).agg(sum(w))``
+   is a *native* Spark streaming stateful aggregation — watermarks, late
+   data, and state eviction are Spark's own, with nothing custom in the
+   loop — and the tiny per-window cell sets are finalized to quantiles in
+   ``foreachBatch`` (or any downstream batch hop).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .agg import STATE_FIELDS, STATE_COLS, _by_fields, quantile_label
+from .sketch import Sketch, SketchConfig
+
+__all__ = [
+    "sketch_stream_state",
+    "windowed_sketch_cells",
+    "finalize_cells_batch",
+]
+
+_STATE_SCHEMA = StructType(STATE_FIELDS)
+
+
+def sketch_stream_state(
+    sdf: DataFrame,
+    value_col: str,
+    by: list[str],
+    cfg: SketchConfig | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Per-key running sketch over a stream; emits one updated row per key
+    per micro-batch: ``by... | count sum min max | p...``."""
+    cfg = cfg or SketchConfig()
+    q_cols = [quantile_label(q) for q in qs]
+    out_schema = StructType(
+        _by_fields(sdf, by)
+        + [
+            StructField("count", DoubleType()),
+            StructField("sum", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+        + [StructField(c, DoubleType()) for c in q_cols]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            row = dict(zip(STATE_COLS, state.get))
+            sk = Sketch.from_state(cfg, row)
+        else:
+            sk = Sketch.empty(cfg)
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna().to_numpy(np.float64)
+            if len(vals):
+                sk = sk.merge(Sketch.from_values(vals, cfg))
+        st = sk.to_state()
+        state.update(tuple(
+            st[c] if c not in ("pos_bins", "neg_bins") else st[c].tolist()
+            for c in STATE_COLS
+        ))
+        rec = dict(zip(by, key))
+        rec.update(count=sk.count, sum=sk.sum, min=sk.min, max=sk.max)
+        for q, c in zip(qs, q_cols):
+            rec[c] = sk.quantile(q)
+        yield pd.DataFrame([rec], columns=[f.name for f in out_schema.fields])
+
+    return (
+        sdf.select(*by, value_col)
+        .groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_sketch_cells(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    cfg: SketchConfig | None = None,
+) -> DataFrame:
+    """Streaming bucket-cell aggregation per (event-time window, keys).
+
+    Pure built-in streaming operators: watermark → window groupBy → sum.
+    Late data past the watermark is dropped by Spark's own state manager.
+    Output (append mode, on window close): one row per live bucket.
+    """
+    cfg = cfg or SketchConfig()
+    if cfg.mapping != "logarithmic":
+        raise ValueError("cells path requires the logarithmic mapping")
+    mapping = cfg.key_mapping
+    m = mapping._multiplier
+    mp = mapping.min_possible
+    v = F.col(value_col)
+    sgn = (
+        F.when(v > F.lit(mp), F.lit(1))
+        .when(v < F.lit(-mp), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    key = (
+        F.when(sgn == 1, F.ceil(F.log2(v) * F.lit(m)))
+        .when(sgn == -1, F.ceil(F.log2(-v) * F.lit(m)))
+        .otherwise(F.lit(0))
+    )
+    keyed = (
+        sdf.withWatermark(ts_col, watermark)
+        .where(v.isNotNull())
+        .select(
+            F.col(ts_col),
+            *by,
+            sgn.alias("_sgn"),
+            key.alias("_k"),
+            v.alias("_v"),
+        )
+    )
+    return keyed.groupBy(
+        F.window(ts_col, window_duration).alias("win"), *by, "_sgn", "_k"
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.sum("_v").alias("_s"),
+        F.min("_v").alias("_mn"),
+        F.max("_v").alias("_mx"),
+        F.count(F.lit(1)).alias("_rc"),
+    )
+
+
+def finalize_cells_batch(
+    cells_batch: DataFrame,
+    qs: list[float],
+    by: list[str],
+    cfg: SketchConfig | None = None,
+) -> DataFrame:
+    """Batch finalizer for the windowed cells (use inside ``foreachBatch``):
+    assembles per-(window, keys) quantiles from the emitted cells."""
+    from .agg import finalize_cells
+
+    cfg = cfg or SketchConfig()
+    return finalize_cells(cells_batch, list(qs), ["win"] + list(by), cfg)

@@ -1,0 +1,116 @@
+"""Structured Streaming sketch tests: stateful per-key sketches and
+watermarked windowed cells, fed from file streams with availableNow
+triggers so results are deterministic."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.agg import quantile_label
+from ddspark.datasets import exact_quantile
+from ddspark.sketch import Sketch, SketchConfig
+from ddspark.streaming import (
+    finalize_cells_batch,
+    sketch_stream_state,
+    windowed_sketch_cells,
+)
+
+CFG = SketchConfig(0.02)
+
+
+@pytest.fixture(scope="module")
+def stream_rows():
+    rng = np.random.default_rng(31)
+    n = 5000
+    return pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2026-01-01 00:00:00")
+            + pd.to_timedelta(rng.integers(0, 600, n), unit="s"),
+            "g": rng.choice(["a", "b"], n, p=[0.7, 0.3]),
+            "v": np.round(rng.lognormal(3.0, 1.0, n), 3),
+        }
+    )
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "src")
+    # 3 files -> up to 3 micro-batches of incremental state updates
+    for i, part in enumerate(np.array_split(np.arange(len(stream_rows)), 3)):
+        spark.createDataFrame(stream_rows.iloc[part]).write.parquet(
+            f"{src}/f{i}.parquet"
+        )
+    sdf = spark.readStream.schema("ts timestamp, g string, v double").parquet(
+        src + "/*"
+    )
+    out = sketch_stream_state(sdf, "v", ["g"], CFG, qs=[0.5, 0.95])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sketch_state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(
+        "SELECT * FROM sketch_state_test"
+    ).toPandas()
+    # last update per key reflects the full stream
+    final = res.groupby("g").apply(lambda d: d[d["count"] == d["count"].max()].iloc[0])
+    for g in ["a", "b"]:
+        vals = stream_rows[stream_rows["g"] == g]["v"].to_numpy(np.float64)
+        local = Sketch.from_values(vals, CFG)
+        assert final.loc[g, "count"] == len(vals)
+        assert final.loc[g, "min"] == vals.min()
+        assert final.loc[g, "max"] == vals.max()
+        for q_, col in [(0.5, quantile_label(0.5)), (0.95, quantile_label(0.95))]:
+            assert final.loc[g, col] == pytest.approx(local.quantile(q_), rel=1e-12)
+            exact = exact_quantile(vals, q_)
+            assert abs(final.loc[g, col] - exact) <= 0.02 * abs(exact) + 1e-15
+
+
+def test_windowed_cells_stream(spark, tmp_path, stream_rows):
+    src = str(tmp_path / "src2")
+    spark.createDataFrame(stream_rows).write.parquet(src + "/all.parquet")
+    # sentinel far in the future: pushes the watermark so every real
+    # window closes and emits (append mode only emits finalized windows)
+    sentinel = pd.DataFrame(
+        {"ts": [pd.Timestamp("2026-01-01 01:00:00")], "g": ["zz"], "v": [1.0]}
+    )
+    spark.createDataFrame(sentinel).write.parquet(src + "/sentinel.parquet")
+    sdf = spark.readStream.schema("ts timestamp, g string, v double").parquet(
+        src + "/*"
+    )
+    cells = windowed_sketch_cells(
+        sdf, "ts", "v", ["g"], window_duration="5 minutes", watermark="1 minute",
+        cfg=CFG,
+    )
+    collected = []
+
+    def sink(batch_df, batch_id):
+        fin = finalize_cells_batch(batch_df, [0.5, 0.95], ["g"], CFG)
+        collected.append(fin.toPandas())
+
+    q = (
+        cells.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    res = res[res["g"] != "zz"]
+    # windows: [00:00,05:00) and [05:00,10:00) per group
+    assert res["count"].sum() == len(stream_rows)
+    pdf = stream_rows.copy()
+    pdf["win"] = pdf["ts"].dt.floor("5min")
+    for rec in res.to_dict("records"):
+        start = pd.Timestamp(rec["win"]["start"] if isinstance(rec["win"], dict) else rec["win"][0])
+        vals = pdf[(pdf["g"] == rec["g"]) & (pdf["win"] == start)]["v"].to_numpy(np.float64)
+        assert rec["count"] == len(vals)
+        exact = exact_quantile(vals, 0.95)
+        assert abs(rec[quantile_label(0.95)] - exact) <= 0.02 * abs(exact) + 1e-15
