@@ -241,6 +241,50 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries_df, k=5, n_planes=4, n_tables=16)
 
 
+# --------------------------------------------------------------------------
+# sibling sketches (north-rule set)
+
+
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.sketches.hll import hll_agg
+
+    ev = _read(spark, sf_dir, "events")
+    return hll_agg(
+        ev.withColumn("u", F.col("user_id").cast("string")), "u", ["event_type"], p=12
+    ).select("event_type", F.round("hll_estimate", 2).alias("hll_users"))
+
+
+def _q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+
+
+def _q_tdigest_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.sketches.tdigest import tdigest_agg
+
+    docs = _read(spark, sf_dir, "documents")
+    return tdigest_agg(
+        docs.withColumn("v", F.col("n_chars").cast("double")), "v", ["lang"],
+        qs=[0.5, 0.99],
+    )
+
+
+def _q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.sketches.countmin import cm_cells
+
+    ev = _read(spark, sf_dir, "events")
+    cells = cm_cells(
+        ev.withColumn("u", F.col("user_id").cast("string")), "u", depth=5, width=1024
+    )
+    # observable summary of the sketch state (deterministic)
+    return cells.groupBy("_i").agg(
+        F.count(F.lit(1)).alias("live_cells"),
+        F.sum("_cnt").alias("total_weight"),
+    ).withColumnRenamed("_i", "row_i")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
+        "hll_distinct_users_by_type": wrap(_q_hll_distinct),
+        "exact_distinct_users_by_type": wrap(_q_exact_distinct),
+        "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
+        "countmin_state_by_row": wrap(_q_countmin_heavy),
     }
 
 
@@ -404,6 +452,10 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_byte_plumbing": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "exact_distinct_users_by_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type
         """,
     }
 

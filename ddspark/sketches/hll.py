@@ -1,0 +1,137 @@
+"""HyperLogLog distinct counting as a mergeable Spark aggregation.
+
+Cells-native design (no raw row crosses the Python boundary):
+
+* JVM: ``h = xxhash64(col)``; bucket = top ``p`` bits; the remaining bits,
+  sign-flipped so signed MIN equals unsigned MIN, reduce per
+  ``(group, bucket)`` with Spark's own hash aggregate — because the
+  register value (leading-zero rank) is anti-monotone in the unsigned
+  remainder, ``min`` of the flipped remainder IS the per-bucket register
+  max.  The shuffle carries at most ``groups x 2^p`` cells.
+* Python: one tiny stage turns each group's cells into registers and the
+  bias-corrected HLL estimate (Flajolet et al. 2007 constants, linear
+  counting below 2.5m).
+
+Merging partial register arrays (e.g. across checkpoints) is element-wise
+``max`` — :func:`merge_registers`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["hll_cells", "hll_agg", "estimate_from_registers", "merge_registers"]
+
+_LONG_MIN = -(1 << 63)
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_cells(
+    df: DataFrame, col: str, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """Per-(group, bucket) minimal flipped remainder — the mergeable state."""
+    by = list(by or [])
+    h = F.xxhash64(F.col(col))
+    bucket = F.shiftrightunsigned(h, 64 - p)
+    rest = F.shiftleft(h, p)  # low bits shifted up; 0 when all-zero
+    flipped = rest.bitwiseXOR(F.lit(_LONG_MIN))  # signed order == unsigned order
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*by, bucket.alias("_b"), flipped.alias("_r"))
+        .groupBy(*by, "_b")
+        .agg(F.min("_r").alias("_rmin"))
+    )
+
+
+def _rank_of_flipped(rmin: np.ndarray, p: int) -> np.ndarray:
+    """leading_zeros(rest) + 1 from the sign-flipped minimal remainder."""
+    rest = (rmin.astype(np.int64).view(np.uint64)) ^ np.uint64(1 << 63)
+    ranks = np.zeros(len(rest), dtype=np.int64)
+    nz = rest != 0
+    # clz via float64 log2 is unsafe near 2^k; use bit_length per element
+    bl = np.zeros(len(rest), dtype=np.int64)
+    r = rest[nz]
+    # vectorized bit_length: position of highest set bit
+    out = np.zeros(r.shape, dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = r >= (np.uint64(1) << np.uint64(shift))
+        out[mask] += shift
+        r = np.where(mask, r >> np.uint64(shift), r)
+    bl[nz] = out + 1
+    ranks[nz] = 64 - bl[nz] + 1
+    ranks[~nz] = 64 - p + 1
+    return np.minimum(ranks, 64 - p + 1)
+
+
+def estimate_from_registers(registers: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with linear-counting small-range fix."""
+    m = len(registers)
+    raw = _alpha(m) * m * m / np.sum(np.power(2.0, -registers.astype(np.float64)))
+    zeros = int((registers == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(raw)
+
+
+def merge_registers(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(a) != len(b):
+        raise ValueError("register widths differ")
+    return np.maximum(a, b)
+
+
+def hll_agg(
+    df: DataFrame, col: str, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """Distinct-count estimate per group:
+    ``by... | hll_estimate DOUBLE | registers ARRAY<INT>``."""
+    by = list(by or [])
+    cells = hll_cells(df, col, by, p)
+    by_fields = [
+        StructField(f.name, f.dataType, True)
+        for f in cells.schema.fields
+        if f.name in by
+    ]
+    schema = StructType(
+        by_fields
+        + [
+            StructField("hll_estimate", DoubleType()),
+            StructField("registers", ArrayType(IntegerType())),
+        ]
+    )
+
+    def assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(1 << p, dtype=np.int64)
+        b = pdf["_b"].to_numpy(np.int64)
+        ranks = _rank_of_flipped(pdf["_rmin"].to_numpy(np.int64), p)
+        regs[b] = ranks
+        rec = {c: pdf[c].iloc[0] for c in by}
+        rec["hll_estimate"] = estimate_from_registers(regs)
+        rec["registers"] = regs.astype(np.int32).tolist()
+        return pd.DataFrame([rec], columns=[f.name for f in schema.fields])
+
+    if by:
+        return cells.groupBy(*by).applyInPandas(assemble, schema)
+    return (
+        cells.withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: assemble(pdf.drop(columns=["_g"])), schema)
+    )

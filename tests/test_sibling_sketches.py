@@ -1,0 +1,183 @@
+"""Sibling sketch tests: HLL, Bloom, Count-Min, t-digest — accuracy vs exact
+oracles and merge semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.sketches import bloom, countmin, hll
+from ddspark.sketches.tdigest import TDigest, tdigest_agg
+from ddspark.datasets import exact_quantile
+
+
+@pytest.fixture(scope="module")
+def items_df(spark):
+    rng = np.random.default_rng(17)
+    n = 60_000
+    g = rng.choice(["x", "y"], n, p=[0.6, 0.4])
+    # zipf-ish item popularity over ~8k distinct items
+    items = (rng.pareto(1.2, n) * 100).astype(np.int64) % 20_000
+    pdf = pd.DataFrame({"g": g, "item": [f"it{v}" for v in items]})
+    return spark.createDataFrame(pdf).repartition(8), pdf
+
+
+# -------------------------------------------------------------------- HLL
+
+
+def test_hll_accuracy(spark, items_df):
+    df, pdf = items_df
+    p = 12
+    res = hll.hll_agg(df, "item", ["g"], p=p).toPandas().set_index("g")
+    rel_err_bound = 3 * 1.04 / np.sqrt(1 << p)
+    for g in ["x", "y"]:
+        exact = pdf[pdf["g"] == g]["item"].nunique()
+        est = res.loc[g, "hll_estimate"]
+        assert abs(est - exact) / exact < rel_err_bound, (g, est, exact)
+
+
+def test_hll_global_and_merge(spark, items_df):
+    df, pdf = items_df
+    res = hll.hll_agg(df, "item", None, p=12).toPandas()
+    exact = pdf["item"].nunique()
+    est = res.iloc[0]["hll_estimate"]
+    assert abs(est - exact) / exact < 3 * 1.04 / np.sqrt(4096)
+    # register merge across disjoint halves == whole
+    halves = [
+        hll.hll_agg(df.where(F.col("g") == g), "item", None, p=12).toPandas()
+        for g in ["x", "y"]
+    ]
+    merged = hll.merge_registers(
+        np.array(halves[0].iloc[0]["registers"]),
+        np.array(halves[1].iloc[0]["registers"]),
+    )
+    whole = np.array(res.iloc[0]["registers"])
+    np.testing.assert_array_equal(merged, whole)
+    assert hll.estimate_from_registers(merged) == est
+
+
+def test_hll_partition_invariance(spark, items_df):
+    df, _ = items_df
+    a = hll.hll_agg(df.repartition(3), "item", ["g"], p=10).toPandas().set_index("g")
+    b = hll.hll_agg(df.coalesce(1), "item", ["g"], p=10).toPandas().set_index("g")
+    for g in ["x", "y"]:
+        np.testing.assert_array_equal(
+            np.array(a.loc[g, "registers"]), np.array(b.loc[g, "registers"])
+        )
+
+
+# ------------------------------------------------------------------ Bloom
+
+
+def test_bloom_membership(spark, items_df):
+    df, pdf = items_df
+    m, k = 1 << 17, 5
+    res = bloom.bloom_agg(df, "item", None, m=m, k=k).toPandas().iloc[0]
+    present = pdf["item"].drop_duplicates().sample(50, random_state=0).tolist()
+    absent = [f"absent{i}" for i in range(200)]
+    got_present = bloom.contains(spark, res["bitmap"], m, k, present)
+    assert all(got_present)  # no false negatives, ever
+    got_absent = bloom.contains(spark, res["bitmap"], m, k, absent)
+    fpr = sum(got_absent) / len(got_absent)
+    expected_fpr = bloom.false_positive_rate(res["n_bits_set"], m, k)
+    assert fpr <= max(5 * expected_fpr, 0.05), (fpr, expected_fpr)
+
+
+def test_bloom_merge_is_or(spark, items_df):
+    df, _ = items_df
+    m, k = 1 << 14, 4
+    whole = bloom.bloom_agg(df, "item", None, m=m, k=k).toPandas().iloc[0]["bitmap"]
+    parts = [
+        bloom.bloom_agg(df.where(F.col("g") == g), "item", None, m=m, k=k)
+        .toPandas()
+        .iloc[0]["bitmap"]
+        for g in ["x", "y"]
+    ]
+    assert bloom.merge_bitmaps(parts[0], parts[1]) == whole
+
+
+# --------------------------------------------------------------- Count-Min
+
+
+def test_countmin_point_queries(spark, items_df):
+    df, pdf = items_df
+    eps, delta = 0.005, 0.01
+    depth, width = countmin.params_for(eps, delta)
+    res = countmin.cm_agg(df, "item", None, depth=depth, width=width).toPandas().iloc[0]
+    counts = pdf["item"].value_counts()
+    heavy = counts.head(20)
+    ests = countmin.cm_query(spark, res["matrix"], heavy.index.tolist(), depth, width)
+    n = len(pdf)
+    for (item, true_c), est in zip(heavy.items(), ests):
+        assert est >= true_c  # never underestimates
+        assert est <= true_c + eps * n * 3
+
+
+def test_countmin_merge_additive(spark, items_df):
+    df, _ = items_df
+    whole = countmin.cm_agg(df, "item", None, depth=4, width=512).toPandas().iloc[0]
+    parts = [
+        countmin.cm_agg(df.where(F.col("g") == g), "item", None, depth=4, width=512)
+        .toPandas()
+        .iloc[0]["matrix"]
+        for g in ["x", "y"]
+    ]
+    merged = countmin.merge_matrices(parts[0], parts[1])
+    np.testing.assert_array_equal(merged, countmin._to_matrix(whole["matrix"]))
+
+
+# ---------------------------------------------------------------- t-digest
+
+
+QS = [0.01, 0.1, 0.5, 0.9, 0.99]
+
+
+def test_tdigest_local_accuracy():
+    rng = np.random.default_rng(3)
+    values = rng.lognormal(4.0, 2.0, 50_000)
+    d = TDigest.from_values(values)
+    assert len(d.means) < 200  # compressed
+    n = len(values)
+    s = np.sort(values)
+    for q in QS:
+        est = d.quantile(q)
+        # rank error: the estimate's rank must be within ~1% of target
+        rank = np.searchsorted(s, est) / n
+        assert abs(rank - q) < 0.012, (q, rank)
+
+
+def test_tdigest_merge_preserves_accuracy():
+    rng = np.random.default_rng(4)
+    values = rng.normal(100.0, 15.0, 30_000)
+    parts = np.array_split(values, 13)
+    merged = TDigest.merge_all([TDigest.from_values(p) for p in parts])
+    s = np.sort(values)
+    for q in QS:
+        rank = np.searchsorted(s, merged.quantile(q)) / len(values)
+        assert abs(rank - q) < 0.02, q
+    assert merged.count == len(values)
+    assert merged.min == values.min() and merged.max == values.max()
+
+
+def test_tdigest_spark_agg(spark, items_df):
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], 20_000), "v": rng.lognormal(3, 1.5, 20_000)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    res = tdigest_agg(df, "v", ["g"], qs=[0.5, 0.99]).toPandas().set_index("g")
+    for g in ["a", "b"]:
+        vals = pdf[pdf["g"] == g]["v"].to_numpy()
+        s = np.sort(vals)
+        assert res.loc[g, "count"] == len(vals)
+        for q, col in [(0.5, "td_p50"), (0.99, "td_p99")]:
+            rank = np.searchsorted(s, res.loc[g, col]) / len(vals)
+            assert abs(rank - q) < 0.02, (g, q, rank)
+
+
+def test_tdigest_empty_and_single():
+    assert TDigest.from_values(np.array([])).quantile(0.5) is None
+    d = TDigest.from_values(np.array([7.0]))
+    assert d.quantile(0.0) == 7.0 and d.quantile(1.0) == 7.0
