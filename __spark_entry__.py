@@ -271,6 +271,16 @@ def _q_tdigest_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kll_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.sketches.kll import kll_agg
+
+    docs = _read(spark, sf_dir, "documents")
+    return kll_agg(
+        docs.withColumn("v", F.col("n_chars").cast("double")), "v", ["lang"],
+        qs=[0.5, 0.99],
+    )
+
+
 def _q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.sketches.countmin import cm_cells
 
@@ -314,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_users_by_type": wrap(_q_hll_distinct),
         "exact_distinct_users_by_type": wrap(_q_exact_distinct),
         "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
+        "kll_chars_by_lang": wrap(_q_kll_chars),
         "countmin_state_by_row": wrap(_q_countmin_heavy),
     }
 

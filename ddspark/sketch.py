@@ -210,6 +210,15 @@ class Sketch:
     def quantiles(self, qs: list[float]) -> list[float | None]:
         return [self.quantile(q) for q in qs]
 
+    def __repr__(self) -> str:
+        pos, neg = self.nonzero_bins()
+        return (
+            f"Sketch(alpha={self.cfg.relative_accuracy}, mode={self.cfg.mode}, "
+            f"count={self.count}, zero_count={self.zero_count}, sum={self.sum}, "
+            f"min={self.min}, max={self.max}, pos_bins={len(pos)}, "
+            f"neg_bins={len(neg)})"
+        )
+
     # ------------------------------------------------------------- state rows
 
     def to_state(self) -> dict:

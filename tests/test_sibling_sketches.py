@@ -181,3 +181,59 @@ def test_tdigest_empty_and_single():
     assert TDigest.from_values(np.array([])).quantile(0.5) is None
     d = TDigest.from_values(np.array([7.0]))
     assert d.quantile(0.0) == 7.0 and d.quantile(1.0) == 7.0
+
+
+# -------------------------------------------------------------------- KLL
+
+
+from ddspark.sketches.kll import KLL, kll_agg  # noqa: E402
+
+
+def test_kll_local_rank_accuracy():
+    rng = np.random.default_rng(9)
+    values = rng.lognormal(2.0, 1.5, 100_000)
+    sk = KLL.from_values(values, k=200)
+    s = np.sort(values)
+    for q in [0.01, 0.1, 0.5, 0.9, 0.99]:
+        est = sk.quantile(q)
+        rank = np.searchsorted(s, est) / len(s)
+        assert abs(rank - q) < 0.025, (q, rank)
+    assert sk.n == len(values)
+    assert sk.quantile(0) == values.min() and sk.quantile(1) == values.max()
+    # compressed state: far fewer retained items than inputs
+    assert sum(len(c) for c in sk.compactors) < 3000
+
+
+def test_kll_merge_accuracy():
+    rng = np.random.default_rng(10)
+    values = rng.normal(0.0, 1.0, 60_000)
+    parts = np.array_split(values, 9)
+    merged = KLL.merge_all([KLL.from_values(p, k=200) for p in parts])
+    s = np.sort(values)
+    for q in [0.1, 0.5, 0.9]:
+        rank = np.searchsorted(s, merged.quantile(q)) / len(s)
+        assert abs(rank - q) < 0.03, (q, rank)
+    assert merged.n == len(values)
+
+
+def test_kll_state_roundtrip():
+    sk = KLL.from_values(np.arange(10_000, dtype=np.float64))
+    back = KLL.from_state(sk.to_state())
+    assert back.n == sk.n
+    for q in [0.25, 0.5, 0.75]:
+        assert back.quantile(q) == sk.quantile(q)
+
+
+def test_kll_spark_agg(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {"g": rng.choice(["a", "b"], 30_000), "v": rng.lognormal(3, 1, 30_000)}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    res = kll_agg(df, "v", ["g"], qs=[0.5, 0.95]).toPandas().set_index("g")
+    for g in ["a", "b"]:
+        vals = np.sort(pdf[pdf["g"] == g]["v"].to_numpy())
+        assert res.loc[g, "count"] == len(vals)
+        for q, col in [(0.5, "kll_p50"), (0.95, "kll_p95")]:
+            rank = np.searchsorted(vals, res.loc[g, col]) / len(vals)
+            assert abs(rank - q) < 0.03, (g, q, rank)
