@@ -245,6 +245,19 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sibling sketches (north-rule set)
 
 
+def _q_rollup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.agg import quantile_sketch_rollup
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    res = quantile_sketch_rollup(
+        docs.withColumn("v", F.col("n_chars").cast("double")),
+        "v", ["lang"], qs=QS, cfg=SketchConfig(ALPHA),
+    )
+    return _round_quantiles(
+        res.select("lang", "count", *[quantile_label(q) for q in QS])
+    )
+
+
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.sketches.hll import hll_agg
 
@@ -321,6 +334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
+        "ddsketch_rollup_chars": wrap(_q_rollup_chars),
         "hll_distinct_users_by_type": wrap(_q_hll_distinct),
         "exact_distinct_users_by_type": wrap(_q_exact_distinct),
         "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
@@ -468,6 +482,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
             FROM events GROUP BY event_type
         """,
+        "ddsketch_rollup_chars": (
+            "SELECT * FROM ("
+            + ansi_sql_quantile_sketch(
+                "documents", "n_chars", ["lang"], QS, ALPHA, round_digits=ROUND
+            )
+            + ") UNION ALL SELECT CAST(NULL AS VARCHAR) AS lang, * FROM ("
+            + ansi_sql_quantile_sketch(
+                "documents", "n_chars", None, QS, ALPHA, round_digits=ROUND
+            )
+            + ")"
+        ),
     }
 
 

@@ -371,6 +371,57 @@ def finalize_cells(
     )
 
 
+def _reaggregate_cells(cells: DataFrame, lvl_by: list[str]) -> DataFrame:
+    """Coarsen bucket cells to a smaller grouping level (cells are tiny, so
+    every additional rollup level costs one micro-aggregation, not a scan)."""
+    return cells.groupBy(*lvl_by, "_sgn", "_k").agg(
+        F.sum("_c").alias("_c"),
+        F.sum("_s").alias("_s"),
+        F.min("_mn").alias("_mn"),
+        F.max("_mx").alias("_mx"),
+        F.sum("_rc").alias("_rc"),
+    )
+
+
+def quantile_sketch_rollup(
+    df: DataFrame,
+    value_col: str,
+    by: list[str],
+    qs: list[float] = (0.5, 0.95, 0.99),
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+    grouping_sets: list[list[str]] | None = None,
+) -> DataFrame:
+    """ROLLUP/CUBE-style sketching: one scan builds the finest-grained cells,
+    every coarser level re-aggregates those cells (KBs) — the sketch monoid
+    makes super-aggregates free.
+
+    Default levels are the ROLLUP prefixes of ``by`` (including the grand
+    total); pass ``grouping_sets`` for CUBE or custom sets.  Aggregated-away
+    columns are NULL, as in SQL ROLLUP.
+    """
+    by = list(by)
+    cfg = cfg or SketchConfig()
+    if grouping_sets is None:
+        grouping_sets = [by[:i] for i in range(len(by), -1, -1)]
+    cells = build_cells(df, value_col, by, cfg, weight_col)
+    by_types = {f.name: f.dataType for f in df.schema.fields if f.name in by}
+    out = None
+    for lvl in grouping_sets:
+        lvl_cells = _reaggregate_cells(cells, lvl)
+        fin = finalize_cells(lvl_cells, list(qs), lvl, cfg)
+        if "_g" in fin.columns:
+            fin = fin.drop("_g")
+        for col in by:
+            if col not in lvl:
+                fin = fin.withColumn(col, F.lit(None).cast(by_types[col]))
+        fin = fin.select(
+            *by, *[c for c in fin.columns if c not in by]
+        )
+        out = fin if out is None else out.unionByName(fin)
+    return out
+
+
 def quantile_label(q: float) -> str:
     """0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9, 1.0 -> p100."""
     s = f"{q * 100:g}".replace(".", "_")

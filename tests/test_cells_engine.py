@@ -128,3 +128,48 @@ def test_cells_rejects_interpolated_mappings(spark, mixed_df):
     # auto falls back to kernel for cubic
     res = sketch_agg(df, "v", ["g"], SketchConfig(0.05, mapping="cubic"), engine="auto")
     assert res.count() == 3
+
+
+def test_rollup_levels_consistent(spark, mixed_df):
+    from ddspark.agg import quantile_sketch_rollup
+
+    df, pdf = mixed_df
+    cfg = SketchConfig(ALPHA)
+    res = quantile_sketch_rollup(df, "v", ["g"], qs=[0.5], cfg=cfg).toPandas()
+    # per-group rows + one grand-total row
+    assert len(res) == pdf["g"].nunique() + 1
+    total = res[res["g"].isna()].iloc[0]
+    assert total["count"] == len(pdf)
+    # the grand-total row equals a direct global sketch
+    direct = quantile_sketch(df, "v", None, [0.5], cfg).toPandas().iloc[0]
+    assert total[quantile_label(0.5)] == direct[quantile_label(0.5)]
+    assert total["min"] == direct["min"] and total["max"] == direct["max"]
+    # per-group rows equal direct grouped sketches
+    grouped = quantile_sketch(df, "v", ["g"], [0.5], cfg).toPandas().set_index("g")
+    for g in grouped.index:
+        row = res[res["g"] == g].iloc[0]
+        assert row[quantile_label(0.5)] == grouped.loc[g, quantile_label(0.5)]
+
+
+def test_cube_grouping_sets(spark):
+    from ddspark.agg import quantile_sketch_rollup
+
+    rng = np.random.default_rng(2)
+    pdf = pd.DataFrame(
+        {
+            "a": rng.choice(["x", "y"], 5000),
+            "b": rng.choice(["u", "v", "w"], 5000),
+            "v": np.round(rng.lognormal(3, 1, 5000)),
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(4)
+    sets = [["a", "b"], ["a"], ["b"], []]  # CUBE(a, b)
+    res = quantile_sketch_rollup(
+        df, "v", ["a", "b"], qs=[0.5], cfg=SketchConfig(0.02), grouping_sets=sets
+    ).toPandas()
+    assert len(res) == 6 + 2 + 3 + 1
+    assert res[res["a"].isna() & res["b"].isna()].iloc[0]["count"] == 5000
+    for a in ["x", "y"]:
+        want = (pdf["a"] == a).sum()
+        got = res[(res["a"] == a) & (res["b"].isna())].iloc[0]["count"]
+        assert got == want
