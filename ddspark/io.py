@@ -1,0 +1,66 @@
+"""Sources and sinks.
+
+The reference has neither (input is ``add()`` calls, output a Python object
+— SURVEY §2 category checklist); this engine's sources are table scans and
+its sinks are parquet tables of results / sketch state.
+
+The north-star deployment reads an Iceberg catalog table; this container has
+no Iceberg runtime jar, so :func:`read_corpus` prefers Iceberg when the
+catalog is available and falls back to parquet paths — the engine code is
+identical either way (both are V2 datasources with column pruning and
+predicate/partition pushdown).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["read_corpus", "write_state_table", "read_state_table", "write_results"]
+
+
+def read_corpus(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read the corpus table.
+
+    ``source`` is an Iceberg table name (``catalog.db.table``) or a parquet
+    path.  Select ``columns`` early so the scan prunes to them (at 100 TB the
+    difference between reading ``(lang, content)`` and reading every column
+    is the job).
+    """
+    if fmt is None:
+        fmt = "parquet" if "/" in source else "iceberg"
+    if fmt == "iceberg":
+        try:
+            df = spark.read.format("iceberg").load(source)
+        except Exception:
+            df = spark.table(source)
+    else:
+        df = spark.read.format(fmt).load(source)
+    return df.select(*columns) if columns else df
+
+
+def write_state_table(
+    df: DataFrame, path: str, partition_by: list[str] | None = None, mode: str = "overwrite"
+) -> None:
+    """Persist sketch-state rows (the flat ARRAY<DOUBLE> layout) as parquet.
+
+    State rows are KBs per group; a billion-group state table is still only
+    ~TBs and remains mergeable later (read back + ``merge_partials``)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_state_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_results(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Small result tables (quantiles per group): coalesce to avoid a
+    thousand 2-row files."""
+    df.coalesce(1).write.mode(mode).parquet(path)

@@ -104,3 +104,23 @@ def test_interrupted_attempt_is_ignored(spark, tmp_path):
         spark, src, "length(content)", by=["lang"], qs=[0.5], cfg=CFG, ckpt_dir=ckpt
     ).toPandas()
     assert res["count"].sum() == 500
+
+
+def test_io_state_roundtrip(spark, tmp_path):
+    from ddspark import io as dio
+    from ddspark.agg import finalize_quantiles, merge_partials, sketch_agg
+
+    corpus = generate_corpus(spark, 1000, parts=4)
+    src = str(tmp_path / "corpus")
+    corpus.write.parquet(src)
+    df = dio.read_corpus(spark, src, columns=["lang", "content"])
+    assert df.columns == ["lang", "content"]
+    state = sketch_agg(
+        df.selectExpr("lang", "CAST(length(content) AS DOUBLE) AS v"), "v", ["lang"], CFG
+    )
+    out = str(tmp_path / "state")
+    dio.write_state_table(state, out)
+    back = dio.read_state_table(spark, out)
+    # state read back is still mergeable and finalizable
+    fin = finalize_quantiles(back, [0.5], CFG, ["lang"]).toPandas()
+    assert fin["count"].sum() == 1000
