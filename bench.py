@@ -182,21 +182,28 @@ def main() -> None:
     result["value"] = round(sum(timings.values()), 4)
 
     if RUN_SCALING:
-        ensure_corpus(BENCH_ROWS)
-        lo = throughput_run(1, 4, BENCH_ROWS)
-        hi = throughput_run(4, 4, BENCH_ROWS)
-        result["throughput"] = {
-            "rows": BENCH_ROWS,
-            "corpus": CORPUS_PATH,
-            "n_executors_rows_per_sec": round(lo),
-            "4n_executors_rows_per_sec": round(hi),
-            "scaling_efficiency": round(hi / (4.0 * lo), 3),
-            "method": "local-cluster[1,4] vs local-cluster[4,4] (separate "
-            "executor JVMs), flagship per-lang quantile sketch, best of "
-            f"{BEST_OF}",
-        }
+        try:
+            result["throughput"] = _scaling_section()
+        except Exception as exc:  # noqa: BLE001 — headline numbers still count
+            result["throughput_error"] = f"{type(exc).__name__}: {exc}"
 
     print(json.dumps(result))
+
+
+def _scaling_section() -> dict:
+    ensure_corpus(BENCH_ROWS)
+    lo = throughput_run(1, 4, BENCH_ROWS)
+    hi = throughput_run(4, 4, BENCH_ROWS)
+    return {
+        "rows": BENCH_ROWS,
+        "corpus": CORPUS_PATH,
+        "n_executors_rows_per_sec": round(lo),
+        "4n_executors_rows_per_sec": round(hi),
+        "scaling_efficiency": round(hi / (4.0 * lo), 3),
+        "method": "local-cluster[1,4] vs local-cluster[4,4] (separate "
+        "executor JVMs), flagship per-lang quantile sketch, best of "
+        f"{BEST_OF}",
+    }
 
 
 if __name__ == "__main__":
