@@ -513,9 +513,10 @@ def _lang_id_oracle_sql() -> str:
     for lang in langs:
         case += f"WHEN h_{lang} = {best} THEN '{lang}' "
     case += "END"
-    return f"""
+    return rf"""
 WITH padded AS (
-  SELECT ' ' || lower(text) || ' ' AS p FROM documents
+  SELECT ' ' || regexp_replace(lower(text), '\s+', '  ', 'g') || ' ' AS p
+  FROM documents
 ),
 hits AS (
   SELECT {hits_sel} FROM padded

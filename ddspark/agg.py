@@ -243,7 +243,8 @@ def build_cells(
     off = cfg.offset
     v = F.col(value_col)
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    df = df.where(v.isNotNull())
+    # SQL aggregate semantics, same as the kernel engine: NULL and NaN skipped
+    df = df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
     if weight_col:
         df = df.where(w.isNotNull())
     sgn = (

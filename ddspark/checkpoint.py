@@ -121,7 +121,15 @@ def checkpointed_sketch_agg(
                 fh,
             )
 
-    good = [d for d in _attempt_dirs(ckpt_dir) if _success(d)]
+    # an attempt counts only when BOTH the parquet _SUCCESS and the metadata
+    # json exist — the same criterion _completed_files uses for resume dedup.
+    # (A crash between the two would otherwise double-count the attempt's
+    # files: resume reprocesses them while the merge still reads the orphan.)
+    good = [
+        d
+        for d in _attempt_dirs(ckpt_dir)
+        if _success(d) and os.path.exists(d + ".json")
+    ]
     if not good:
         raise ValueError(f"no completed attempts under {ckpt_dir}")
     partials = spark.read.parquet(*good).drop("_file")

@@ -45,7 +45,10 @@ def _number_line_forward(n: int, rng) -> np.ndarray:
 
 
 def _number_line_backward(n: int, rng) -> np.ndarray:
-    return np.arange(n // 2, -(n // 2), -1, dtype=np.float64)
+    # reference: range(size // 2, -size // 2, -1) — note floor division of
+    # the NEGATED size (tests/datasets.py:143): -5 // 2 == -3, so odd sizes
+    # still emit n values
+    return np.arange(n // 2, (-n) // 2, -1, dtype=np.float64)
 
 
 def _uniform_zoomin(n: int, rng) -> np.ndarray:

@@ -80,9 +80,17 @@ class KeyMapping(ABC):
         """gamma**x (or the matching approximate inverse) of a float64 array."""
 
     def key_vec(self, values: np.ndarray) -> np.ndarray:
-        """Bucket keys for an array of positive values -> int64 array."""
+        """Bucket keys for an array of positive values -> int64 array.
+
+        Non-finite inputs raise, mirroring the reference's ``int(ceil(inf))``
+        ``OverflowError`` (``mapping.py:83``) instead of silently casting to
+        INT64_MIN."""
         v = np.asarray(values, dtype=np.float64)
-        return (np.ceil(self._log_gamma_vec(v)) + self._offset).astype(np.int64)
+        lg = self._log_gamma_vec(v)
+        if not np.isfinite(lg).all():
+            bad = v[~np.isfinite(lg)][:3]
+            raise ValueError(f"non-finite values cannot be keyed: {bad.tolist()}")
+        return (np.ceil(lg) + self._offset).astype(np.int64)
 
     def value_vec(self, keys: np.ndarray) -> np.ndarray:
         """Representative value of each bucket key -> float64 array."""

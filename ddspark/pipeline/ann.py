@@ -143,12 +143,21 @@ def ivf_topk(
     """IVF: assign vectors to their nearest seeded centroid; queries score
     only vectors in their ``nprobe`` closest centroid lists."""
     c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
-    # deterministic centroids: hash-sampled corpus vectors (cheap k-means-0)
-    cents = (
-        c.withColumn("r", F.pmod(F.xxhash64(F.col("nid").cast("string"), F.lit(seed)), F.lit(10**9)))
-        .orderBy("r")
+    # deterministic centroids: hash-sampled corpus vectors (cheap k-means-0),
+    # collected once so both join sides see identical (cid -> vector) pairs
+    # (monotonically_increasing_id over an uncached plan is not stable)
+    sampled = (
+        c.withColumn(
+            "r", F.pmod(F.xxhash64(F.col("nid").cast("string"), F.lit(seed)), F.lit(10**9))
+        )
+        .orderBy("r", "nid")
         .limit(n_centroids)
-        .select(F.monotonically_increasing_id().alias("cid"), F.col("u").alias("cu"))
+        .select("u")
+        .collect()
+    )
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, row["u"]) for i, row in enumerate(sampled)], "cid long, cu array<double>"
     )
     cents = F.broadcast(cents)
 

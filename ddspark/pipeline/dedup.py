@@ -232,25 +232,26 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
-    Candidate generation blocks on 16-bit chunks (pigeonhole: pairs within
-    Hamming ≤ 3·chunks-1 share a chunk; for 4 chunks any pair with ≤ 3
-    differing chunks collides on one) — sub-quadratic like the MinHash path.
+    Candidate generation blocks on ``max_hamming + 1`` bit chunks: by
+    pigeonhole, any pair within Hamming ``max_hamming`` has at least one
+    identical chunk, so recall is complete while staying sub-quadratic.
     """
+    n_chunks = min(max(max_hamming + 1, 2), 16)
+    base_w, extra = divmod(64, n_chunks)
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     fp = simhash(df, id_col, text_col)
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftrightunsigned("simhash", offsets[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+            .alias("v"),
+        )
+        for c in range(n_chunks)
+    ]
     chunks = fp.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("c"),
-                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ch"),
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
     ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
     a = chunks.alias("a")
     b = chunks.alias("b")
@@ -280,21 +281,14 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine similarity (exact; for the bucketed
     scale path see :func:`ddspark.pipeline.ann.lsh_topk`)."""
-    norm = F.sqrt(F.aggregate(vec_col, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x))
-    v = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(vec_col, lambda x: x.cast("double") / norm).alias("u"),
-    )
+    from .ann import _dot, normalize_vecs
+
+    v = normalize_vecs(df, id_col, vec_col)
     a = v.alias("a")
     b = v.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.u"), F.col("b.u"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
-        .withColumn("cosine", F.round(dot, 6))
+        .withColumn("cosine", F.round(_dot(F.col("a.u"), F.col("b.u")), 6))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
     )

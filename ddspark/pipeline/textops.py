@@ -65,7 +65,13 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 
 def _marker_hits(text: Column, words: list[str]) -> Column:
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    # double the whitespace so ' w ' occurrences never overlap on a shared
+    # space ('the the' must count 2, not 1, under non-overlapping replace)
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(text), r"\s+", "  "),
+        F.lit(" "),
+    )
     total = F.lit(0)
     for w in words:
         # occurrences of " w " via length difference

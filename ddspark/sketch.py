@@ -139,13 +139,19 @@ class Sketch:
         )
         count = float(v.size) if w is None else float(w.sum())
         total = float(v.sum()) if w is None else float((v * w).sum())
+        # NaN routes to zero_count (like the reference's sign comparisons,
+        # ddsketch.py:144-149) and leaves min/max untouched (ddsketch.py:154-157)
+        finite_any = bool(np.isfinite(v).any()) or bool((~np.isnan(v)).any())
+        with np.errstate(invalid="ignore"):
+            mn = float(np.nanmin(v)) if finite_any else float("+inf")
+            mx = float(np.nanmax(v)) if finite_any else float("-inf")
         return cls(
             cfg=cfg,
             zero_count=zero_count,
             count=count,
             sum=total,
-            min=float(v.min()),
-            max=float(v.max()),
+            min=mn,
+            max=mx,
             pos=pos,
             neg=neg,
         )

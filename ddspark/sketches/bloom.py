@@ -95,10 +95,22 @@ def bloom_agg(
     )
 
 
+def _probe_schema(values: list) -> str:
+    """Probe values must hash with the same Spark type as the indexed
+    column — xxhash64('42') != xxhash64(42L)."""
+    if all(isinstance(v, bool) for v in values):
+        return "v boolean"
+    if all(isinstance(v, int) for v in values):
+        return "v bigint"
+    if all(isinstance(v, float) for v in values):
+        return "v double"
+    return "v string"
+
+
 def _xxhash64_py(spark, values: list, seed: int) -> np.ndarray:
     """Match Spark's xxhash64 for driver-side membership tests by asking the
     JVM itself (tiny lists only)."""
-    df = spark.createDataFrame([(v,) for v in values], "v string")
+    df = spark.createDataFrame([(v,) for v in values], _probe_schema(values))
     return np.array(
         [
             r[0]

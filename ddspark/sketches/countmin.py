@@ -121,9 +121,14 @@ def _to_matrix(matrix) -> np.ndarray:
 
 
 def cm_query(spark, matrix, items: list, depth: int, width: int) -> list[float]:
-    """Point-frequency estimates (min over rows); never underestimates."""
+    """Point-frequency estimates (min over rows); never underestimates.
+
+    Items must carry the same type the sketch was built on —
+    ``xxhash64('42')`` and ``xxhash64(42L)`` hit different cells."""
+    from .bloom import _probe_schema
+
     mat = _to_matrix(matrix)
-    df = spark.createDataFrame([(str(v),) for v in items], "v string")
+    df = spark.createDataFrame([(v,) for v in items], _probe_schema(items))
     h1 = np.array(
         [r[0] for r in df.select(F.pmod(F.xxhash64("v"), F.lit(width))).collect()],
         dtype=np.int64,

@@ -133,7 +133,7 @@ def windowed_sketch_cells(
     )
     keyed = (
         sdf.withWatermark(ts_col, watermark)
-        .where(v.isNotNull())
+        .where(v.isNotNull() & ~F.isnan(v.cast("double")))
         .select(
             F.col(ts_col),
             *by,

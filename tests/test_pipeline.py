@@ -222,3 +222,55 @@ def test_multimodal_plumbing(docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_marker_hits_counts_adjacent_stopwords(spark):
+    from ddspark.pipeline.textops import LANG_MARKERS, _marker_hits
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["the the the", "el el", ""]}))
+    res = df.select(_marker_hits(F.col("t"), LANG_MARKERS["en"]).alias("h")).toPandas()
+    assert res["h"].tolist()[0] == 3
+    res_es = df.select(_marker_hits(F.col("t"), LANG_MARKERS["es"]).alias("h")).toPandas()
+    assert res_es["h"].tolist()[1] == 2
+
+
+def test_simhash_pigeonhole_recall(spark):
+    """Pairs within max_hamming must always be candidates (pigeonhole over
+    max_hamming+1 chunks)."""
+    import itertools
+
+    from ddspark.pipeline import dedup
+
+    # craft docs whose simhashes differ in bits spread across chunks: use
+    # real text but verify via the hamming column itself: every pair the
+    # exact all-pairs xor finds within the bound must appear.
+    rng = np.random.default_rng(8)
+    words = [f"w{i}" for i in range(300)]
+    docs = []
+    base = list(rng.choice(words, 60))
+    for i in range(12):
+        d = list(base)
+        for _ in range(i):  # progressively perturb
+            d[rng.integers(len(d))] = str(rng.choice(words))
+        docs.append((i, " ".join(d)))
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    fps = dedup.simhash(df).toPandas().set_index("id")["simhash"]
+    max_h = 6
+    want = set()
+    for a, b in itertools.combinations(sorted(fps.index), 2):
+        ham = bin((int(fps[a]) ^ int(fps[b])) & ((1 << 64) - 1)).count("1")
+        if ham <= max_h:
+            want.add((a, b))
+    got_pdf = dedup.simhash_pairs(df, max_hamming=max_h).toPandas()
+    got = {(a, b) for a, b in zip(got_pdf["id_a"], got_pdf["id_b"])}
+    assert want <= got, want - got
+
+
+def test_embedding_neardup_reuses_ann_helpers(spark):
+    # regression for the duplicated normalize/dot logic
+    rng = np.random.default_rng(12)
+    base = rng.standard_normal(8)
+    rows = [(0, base.tolist()), (1, (base * 2.0).tolist())]  # same direction
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.99).toPandas()
+    assert len(pairs) == 1 and pairs.iloc[0]["cosine"] == 1.0
