@@ -131,6 +131,16 @@ def _q_quantity_by_status_sqlpath(spark: SparkSession, sf_dir: str) -> DataFrame
     return _round_quantiles(res)
 
 
+def _q_weighted_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sketch (integer weights -> exact float parity with the
+    oracle): quantity quantiles weighted by line number."""
+    li = _read(spark, sf_dir, "lineitem")
+    res = sql_quantile_sketch(
+        li, "l_quantity", ["l_returnflag"], QS, 0.05, weight_col="l_linenumber"
+    )
+    return _round_quantiles(res)
+
+
 def _q_orders_price_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join the orders dim pattern: quantiles of order totalprice
     per priority, weighted pipeline exercise on a second fact table."""
@@ -323,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_collapsing_price": wrap(_q_collapsing_price),
         "ddsketch_exact_stats_by_lang": wrap(_q_exact_stats_by_lang),
         "ddsketch_quantity_by_status_sqlpath": wrap(_q_quantity_by_status_sqlpath),
+        "ddsketch_weighted_quantity": wrap(_q_weighted_quantity),
         "ddsketch_orders_price_by_priority": wrap(_q_orders_price_by_priority),
         "dedup_exact_fingerprint": wrap(_q_dedup_exact),
         "text_stats_by_lang": wrap(_q_text_stats_by_lang),
@@ -380,6 +391,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ddsketch_quantity_by_status_sqlpath": ansi_sql_quantile_sketch(
             "lineitem", "l_quantity", ["l_linestatus"], QS, 0.05, round_digits=ROUND
+        ),
+        "ddsketch_weighted_quantity": ansi_sql_quantile_sketch(
+            "lineitem",
+            "l_quantity",
+            ["l_returnflag"],
+            QS,
+            0.05,
+            round_digits=ROUND,
+            weight_expr="CAST(l_linenumber AS DOUBLE)",
         ),
         "ddsketch_orders_price_by_priority": ansi_sql_quantile_sketch(
             "orders", "o_totalprice", ["o_orderpriority"], QS, ALPHA, round_digits=ROUND

@@ -48,21 +48,26 @@ def sql_quantile_sketch(
     alpha: float = 0.01,
     mode: str | None = None,
     bin_limit: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Pure-SQL grouped DDSketch quantiles over positive values.
 
     Returns one row per group: ``by... | count | p50 | p95 | ...`` with each
     estimate within ``alpha`` relative error of the exact rank value.
+    Weighted adds (fractional weights included) via ``weight_col``.
     """
     by = list(by or [])
     mapping = LogarithmicMapping(alpha)
     m = mapping._multiplier
     gamma = mapping.gamma
 
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     keyed = df.where(F.col(value_col) > 0).select(
-        *by, F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k")
+        *by,
+        F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k"),
+        w.alias("w"),
     )
-    counts = keyed.groupBy(*by, "k").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    counts = keyed.groupBy(*by, "k").agg(F.sum("w").alias("c"))
 
     if mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and bin_limit:
         wg = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
@@ -110,6 +115,7 @@ def ansi_sql_quantile_sketch(
     bin_limit: int | None = None,
     where: str | None = None,
     round_digits: int | None = 6,
+    weight_expr: str = "1.0",
 ) -> str:
     """The same DDSketch computation as portable ANSI SQL (DuckDB-ready).
 
@@ -152,12 +158,13 @@ def ansi_sql_quantile_sketch(
 
     return f"""
 WITH keyed AS (
-  SELECT {by_sel}CAST(CEIL(LOG2({value_expr}) * {m}) AS BIGINT) AS k
+  SELECT {by_sel}CAST(CEIL(LOG2({value_expr}) * {m}) AS BIGINT) AS k,
+         CAST(({weight_expr}) AS DOUBLE) AS w
   FROM {table}
   WHERE {filt}
 ),
 counts0 AS (
-  SELECT {by_sel}k, CAST(COUNT(*) AS DOUBLE) AS c
+  SELECT {by_sel}k, SUM(w) AS c
   FROM keyed GROUP BY {by_sel.rstrip(', ') + ', ' if by else ''}k
 ),
 counts AS (
