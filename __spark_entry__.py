@@ -33,12 +33,20 @@ QS = [0.5, 0.95, 0.99]
 ROUND = 6
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
 def _ensure_pyfiles(spark: SparkSession) -> None:
-    """Ship ddspark to executor Python workers regardless of driver cwd."""
+    """Ship ddspark to executor Python workers regardless of driver cwd
+    (once per Spark application)."""
     try:
+        app_id = spark.sparkContext.applicationId
+        if app_id in _PYFILES_SHIPPED:
+            return
         from ddspark.session import package_pyfiles
 
         spark.sparkContext.addPyFile(package_pyfiles())
+        _PYFILES_SHIPPED.add(app_id)
     except Exception:
         pass
 

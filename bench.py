@@ -12,7 +12,7 @@ Two parts, one JSON line on stdout:
    sandbox stand-in for N vs 4N executors.  Reports rows/sec at both sizes
    and efficiency = T(4N) / (4 * T(N)).
 
-Tunables: DDSPARK_BENCH_ROWS (default 640M), DDSPARK_BENCH_SCALING=0 to
+Tunables: DDSPARK_BENCH_ROWS (default 960M), DDSPARK_BENCH_SCALING=0 to
 skip part 2, DDSPARK_BENCH_RUNS (best-of, default 2).
 """
 
@@ -55,9 +55,20 @@ LANG_CASES = (
 
 def ensure_corpus(n: int) -> str:
     """Deterministic Zipf-skewed (lang, content_length) corpus parquet —
-    same bytes regardless of who generates it (pure hash expressions)."""
+    same bytes regardless of who generates it (pure hash expressions).
+    A sidecar rows marker prevents reusing a corpus generated for a
+    different row count under an env-pinned path."""
+    marker = CORPUS_PATH.rstrip("/") + ".rows"
     if os.path.exists(os.path.join(CORPUS_PATH, "_SUCCESS")):
-        return CORPUS_PATH
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) == n:
+                    return CORPUS_PATH
+            raise ValueError(
+                f"{CORPUS_PATH} was generated for a different row count; "
+                "delete it or change DDSPARK_BENCH_CORPUS"
+            )
+        return CORPUS_PATH  # pre-existing corpus without marker: trust it
     spark = get_spark(app_name="ddspark-bench-gen", cores=CPUS)
     try:
         (
@@ -78,6 +89,8 @@ def ensure_corpus(n: int) -> str:
             .write.mode("overwrite")
             .parquet(CORPUS_PATH)
         )
+        with open(marker, "w") as fh:
+            fh.write(str(n))
     finally:
         spark.stop()
     return CORPUS_PATH

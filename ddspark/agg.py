@@ -215,6 +215,58 @@ def merge_partials(
     )
 
 
+def keyed_projection(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """The shared JVM-side projection of the cells engine:
+    ``extra... by... _v _w _sgn _k`` with NULL/NaN rows dropped.
+
+    Single source of truth for the sign-routing and bucket-key Catalyst
+    expressions (offset included) — batch and streaming both build on it.
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    if cfg.mapping != "logarithmic":
+        raise ValueError("cells engine requires the logarithmic mapping")
+    mapping = cfg.key_mapping
+    m = mapping._multiplier
+    mp = mapping.min_possible
+    off = cfg.offset
+    v = F.col(value_col)
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    df = df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
+    if weight_col:
+        df = df.where(w.isNotNull())
+    sgn = (
+        F.when(v > F.lit(mp), F.lit(1))
+        .when(v < F.lit(-mp), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+
+    def key_expr(x):
+        k = F.ceil(F.log2(x) * F.lit(m))
+        if off:
+            k = (k.cast("double") + F.lit(off)).cast("long")
+        return k
+
+    return df.select(
+        *(extra_cols or []),
+        *by,
+        v.alias("_v"),
+        w.cast("double").alias("_w"),
+        sgn.alias("_sgn"),
+        F.when(sgn == 1, key_expr(v))
+        .when(sgn == -1, key_expr(-v))
+        .otherwise(F.lit(0))
+        .alias("_k"),
+    )
+
+
 def build_cells(
     df: DataFrame,
     value_col: str,
@@ -235,40 +287,7 @@ def build_cells(
     """
     by = list(by or [])
     cfg = cfg or SketchConfig()
-    if cfg.mapping != "logarithmic":
-        raise ValueError("cells engine requires the logarithmic mapping")
-    mapping = cfg.key_mapping
-    m = mapping._multiplier
-    mp = mapping.min_possible
-    off = cfg.offset
-    v = F.col(value_col)
-    w = F.col(weight_col) if weight_col else F.lit(1.0)
-    # SQL aggregate semantics, same as the kernel engine: NULL and NaN skipped
-    df = df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
-    if weight_col:
-        df = df.where(w.isNotNull())
-    sgn = (
-        F.when(v > F.lit(mp), F.lit(1))
-        .when(v < F.lit(-mp), F.lit(-1))
-        .otherwise(F.lit(0))
-    )
-
-    def key_expr(x):
-        k = F.ceil(F.log2(x) * F.lit(m))
-        if off:
-            k = (k.cast("double") + F.lit(off)).cast("long")
-        return k
-
-    keyed = df.select(
-        *by,
-        v.alias("_v"),
-        w.cast("double").alias("_w"),
-        sgn.alias("_sgn"),
-        F.when(sgn == 1, key_expr(v))
-        .when(sgn == -1, key_expr(-v))
-        .otherwise(F.lit(0))
-        .alias("_k"),
-    )
+    keyed = keyed_projection(df, value_col, by, cfg, weight_col)
     return keyed.groupBy(*by, "_sgn", "_k").agg(
         F.sum("_w").alias("_c"),
         F.sum(F.col("_v") * F.col("_w")).alias("_s"),

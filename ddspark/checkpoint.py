@@ -86,6 +86,17 @@ def checkpointed_sketch_agg(
         raise ValueError("ckpt_dir is required")
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    # refuse to mix parameters within one checkpoint dir: partials built
+    # from a different value_expr/by/weight would merge silently otherwise
+    params = {"value_expr": value_expr, "by": by, "weight_col": weight_col}
+    for info in attempts_info(ckpt_dir):
+        recorded = {k: info.get(k) for k in params}
+        if recorded != params:
+            raise ValueError(
+                f"checkpoint {ckpt_dir} was built with {recorded}, "
+                f"refusing to resume with {params}"
+            )
+
     src = spark.read.parquet(input_path)
     all_files = sorted(src.inputFiles())
     done = _completed_files(ckpt_dir)
@@ -94,7 +105,12 @@ def checkpointed_sketch_agg(
         todo = todo[:max_files]
 
     if todo:
-        attempt = f"attempt_{len(_attempt_dirs(ckpt_dir)):05d}"
+        # next index = max existing + 1: a deleted/crashed attempt must not
+        # cause an existing completed attempt dir to be overwritten
+        existing = [
+            int(os.path.basename(d).split("_", 1)[1]) for d in _attempt_dirs(ckpt_dir)
+        ]
+        attempt = f"attempt_{(max(existing) + 1 if existing else 0):05d}"
         out_dir = os.path.join(ckpt_dir, attempt)
         t0 = time.perf_counter()
         batch = (
@@ -117,6 +133,7 @@ def checkpointed_sketch_agg(
                     "seconds": round(time.perf_counter() - t0, 3),
                     "value_expr": value_expr,
                     "by": by,
+                    "weight_col": weight_col,
                 },
                 fh,
             )

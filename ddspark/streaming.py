@@ -68,6 +68,13 @@ def sketch_stream_state(
     def update(key, pdfs, state: GroupState):
         if state.exists:
             row = dict(zip(STATE_COLS, state.get))
+            if row["gamma"] != cfg.gamma:
+                # same guard the batch merge applies (agg._merge_fn): a
+                # restart with a changed alpha must not reinterpret old bins
+                raise ValueError(
+                    "checkpointed sketch state has gamma "
+                    f"{row['gamma']!r}, current config {cfg.gamma!r}"
+                )
             sk = Sketch.from_state(cfg, row)
         else:
             sk = Sketch.empty(cfg)
@@ -115,38 +122,20 @@ def windowed_sketch_cells(
     Output (append mode, on window close): one row per live bucket.
     """
     cfg = cfg or SketchConfig()
-    if cfg.mapping != "logarithmic":
-        raise ValueError("cells path requires the logarithmic mapping")
-    mapping = cfg.key_mapping
-    m = mapping._multiplier
-    mp = mapping.min_possible
-    v = F.col(value_col)
-    sgn = (
-        F.when(v > F.lit(mp), F.lit(1))
-        .when(v < F.lit(-mp), F.lit(-1))
-        .otherwise(F.lit(0))
-    )
-    key = (
-        F.when(sgn == 1, F.ceil(F.log2(v) * F.lit(m)))
-        .when(sgn == -1, F.ceil(F.log2(-v) * F.lit(m)))
-        .otherwise(F.lit(0))
-    )
-    keyed = (
-        sdf.withWatermark(ts_col, watermark)
-        .where(v.isNotNull() & ~F.isnan(v.cast("double")))
-        .select(
-            F.col(ts_col),
-            *by,
-            sgn.alias("_sgn"),
-            key.alias("_k"),
-            v.alias("_v"),
-        )
+    from .agg import keyed_projection
+
+    keyed = keyed_projection(
+        sdf.withWatermark(ts_col, watermark),
+        value_col,
+        by,
+        cfg,
+        extra_cols=[ts_col],
     )
     return keyed.groupBy(
         F.window(ts_col, window_duration).alias("win"), *by, "_sgn", "_k"
     ).agg(
-        F.count(F.lit(1)).cast("double").alias("_c"),
-        F.sum("_v").alias("_s"),
+        F.sum("_w").alias("_c"),
+        F.sum(F.col("_v") * F.col("_w")).alias("_s"),
         F.min("_v").alias("_mn"),
         F.max("_v").alias("_mx"),
         F.count(F.lit(1)).alias("_rc"),

@@ -124,3 +124,37 @@ def test_io_state_roundtrip(spark, tmp_path):
     # state read back is still mergeable and finalizable
     fin = finalize_quantiles(back, [0.5], CFG, ["lang"]).toPandas()
     assert fin["count"].sum() == 1000
+
+
+def test_checkpoint_rejects_parameter_change(spark, tmp_path):
+    src = str(tmp_path / "srcp")
+    generate_corpus(spark, 300, parts=2).write.parquet(src)
+    ck = str(tmp_path / "ckp")
+    checkpointed_sketch_agg(spark, src, "length(content)", ["lang"], CFG, ck).collect()
+    with pytest.raises(ValueError, match="refusing to resume"):
+        checkpointed_sketch_agg(spark, src, "length(path)", ["lang"], CFG, ck).collect()
+
+
+def test_checkpoint_attempt_numbering_survives_gaps(spark, tmp_path):
+    import shutil
+
+    src = str(tmp_path / "srcg")
+    generate_corpus(spark, 400, parts=4).write.parquet(src)
+    ck = str(tmp_path / "ckg")
+    checkpointed_sketch_agg(
+        spark, src, "length(content)", ["lang"], CFG, ck, max_files=2
+    ).collect()
+    checkpointed_sketch_agg(
+        spark, src, "length(content)", ["lang"], CFG, ck
+    ).collect()
+    # delete attempt_00000 (simulating cleanup of an old attempt); a new
+    # run over fresh files must NOT reuse/overwrite attempt_00001
+    shutil.rmtree(os.path.join(ck, "attempt_00000"))
+    os.remove(os.path.join(ck, "attempt_00000.json"))
+    res = checkpointed_quantile_sketch(
+        spark, src, "length(content)", by=["lang"], qs=[0.5], cfg=CFG, ckpt_dir=ck
+    ).toPandas()
+    names = sorted(os.path.basename(d) for d in os.listdir(ck) if not d.endswith(".json"))
+    assert "attempt_00002" in names and "attempt_00001" in names
+    # attempt_00000's files were redone in the new attempt: full coverage
+    assert res["count"].sum() == 400
