@@ -49,6 +49,7 @@ __all__ = [
     "sketch_agg",
     "finalize_quantiles",
     "quantile_sketch",
+    "quantile_sketch_collect",
     "sketch_to_driver",
     "quantile_label",
 ]
@@ -440,6 +441,44 @@ def quantile_sketch_rollup(
         )
         out = fin if out is None else out.unionByName(fin)
     return out
+
+
+def quantile_sketch_collect(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+) -> pd.DataFrame:
+    """Driver-finalized flagship: one distributed job (scan + cell agg),
+    then local assembly of the collected cells.
+
+    The collected data is ``groups x live-buckets`` rows (KBs per group), so
+    for bounded group cardinality this shape has the fewest stages possible —
+    use :func:`quantile_sketch` when groups can number in the millions.
+    Returns a pandas DataFrame: ``by... | count sum min max avg | p...``.
+    """
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    cells = build_cells(df, value_col, by, cfg, weight_col).toPandas()
+    q_cols = [quantile_label(q) for q in qs]
+    out = []
+    groups = cells.groupby(by, sort=False, dropna=False) if by else [((), cells)]
+    for key, g in groups:
+        if not isinstance(key, tuple):
+            key = (key,)
+        sk = _sketch_from_cells(g, cfg)
+        rec = dict(zip(by, key))
+        rec.update(
+            count=sk.count, sum=sk.sum, min=sk.min, max=sk.max,
+            avg=sk.avg if sk.count else None,
+        )
+        for q, c in zip(qs, q_cols):
+            rec[c] = sk.quantile(q)
+        out.append(rec)
+    columns = by + ["count", "sum", "min", "max", "avg"] + q_cols
+    return pd.DataFrame(out, columns=columns)
 
 
 def quantile_label(q: float) -> str:

@@ -173,3 +173,21 @@ def test_cube_grouping_sets(spark):
         want = (pdf["a"] == a).sum()
         got = res[(res["a"] == a) & (res["b"].isna())].iloc[0]["count"]
         assert got == want
+
+
+def test_driver_finalize_equals_distributed(spark, mixed_df):
+    from ddspark.agg import quantile_sketch_collect
+
+    df, pdf = mixed_df
+    cfg = SketchConfig(ALPHA)
+    dist = quantile_sketch(df, "v", ["g"], QS, cfg).toPandas().set_index("g").sort_index()
+    drv = quantile_sketch_collect(df, "v", ["g"], QS, cfg).set_index("g").sort_index()
+    for q in QS:
+        col = quantile_label(q)
+        assert list(dist[col]) == list(drv[col])
+    assert list(dist["count"]) == list(drv["count"])
+    assert list(dist["min"]) == list(drv["min"])
+    # global path too
+    dist_g = quantile_sketch(df, "v", None, [0.5], cfg).toPandas().iloc[0]
+    drv_g = quantile_sketch_collect(df, "v", None, [0.5], cfg).iloc[0]
+    assert dist_g[quantile_label(0.5)] == drv_g[quantile_label(0.5)]
