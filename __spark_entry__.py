@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ddspark.agg import quantile_label, quantile_sketch
 from ddspark.sketch import SketchConfig
 from ddspark.sqlpath import ansi_sql_quantile_sketch, sql_quantile_sketch
-from ddspark.store import COLLAPSE_LOWEST
+from ddspark.store import COLLAPSE_HIGHEST, COLLAPSE_LOWEST
 
 ALPHA = 0.01
 QS = [0.5, 0.95, 0.99]
@@ -215,10 +215,12 @@ def _q_lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df_cap=8 exercises the hot-shingle guard (shingles shared by >8 docs
+    # are dropped before the self-join — the 100TB-scale safety valve)
     from ddspark.pipeline.dedup import jaccard_pairs
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
-    return jaccard_pairs(docs, threshold=0.05, n=2)
+    return jaccard_pairs(docs, threshold=0.05, n=2, df_cap=8)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,25 +240,52 @@ def _q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # portable hashing: the whole signature/band pipeline is replayed
+    # bit-for-bit by the DuckDB oracle (ddspark/pipeline/oracles.py)
     from ddspark.pipeline.dedup import minhash_dedup_pairs
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return minhash_dedup_pairs(docs, n=2, threshold=0.2)
+    return minhash_dedup_pairs(docs, n=2, threshold=0.2, portable=True)
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.dedup import simhash_pairs
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
-    return simhash_pairs(docs, max_hamming=12)
+    return simhash_pairs(docs, max_hamming=3, n_bits=48, portable=True)
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sparse-plane family: signature bits are single float comparisons, so
+    # the DuckDB oracle reproduces the exact candidate set
     from ddspark.pipeline.ann import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
-    return lsh_topk(emb, queries_df, k=5, n_planes=4, n_tables=16)
+    return lsh_topk(
+        emb, queries_df, k=5, n_planes=8, n_tables=8, dim=64, plane_family="sparse"
+    )
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.ann import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4, portable=True)
+
+
+_BLOOM_PROBES = [str(i) for i in range(1, 6)] + ["absent_a", "absent_b", "absent_c"]
+
+
+def _q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.sketches.bloom import bloom_contains_df
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("u")
+    )
+    probes = spark.createDataFrame([(p,) for p in _BLOOM_PROBES], "v string")
+    return bloom_contains_df(ev, "u", probes, "v", m=4096, k=3, portable=True)
 
 
 # --------------------------------------------------------------------------
@@ -276,13 +305,110 @@ def _q_rollup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collapsing_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CollapsingHighestDenseStore semantics distributed (reference
+    ``ddsketch/store.py:384-504``): keys above the window fold into the
+    highest kept bin."""
+    ev = _read(spark, sf_dir, "events").where(F.col("value") > 0)
+    cfg = SketchConfig(0.05, mode=COLLAPSE_HIGHEST, bin_limit=32)
+    res = quantile_sketch(ev, "value", by=["event_type"], qs=QS, cfg=cfg)
+    return _round_quantiles(
+        res.select("event_type", "count", *[quantile_label(q) for q in QS])
+    )
+
+
+def _q_linear_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel engine with LinearlyInterpolatedMapping (reference
+    ``ddsketch/mapping.py:124-157``); oracle replays the frexp math in
+    closed SQL form."""
+    docs = _read(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    res = quantile_sketch(
+        docs.withColumn("v", F.col("n_chars").cast("double")),
+        "v", by=["lang"], qs=QS, cfg=SketchConfig(ALPHA, mapping="linear"),
+    )
+    return _round_quantiles(
+        res.select("lang", "count", *[quantile_label(q) for q in QS])
+    )
+
+
+def _q_cubic_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel engine with CubicallyInterpolatedMapping (reference
+    ``ddsketch/mapping.py:160-216``); oracle inverts via Cardano in SQL."""
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    res = quantile_sketch(
+        li, "l_extendedprice", by=["l_returnflag"], qs=QS,
+        cfg=SketchConfig(ALPHA, mapping="cubic"),
+    )
+    return _round_quantiles(
+        res.select("l_returnflag", "count", *[quantile_label(q) for q in QS])
+    )
+
+
+def _q_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed sketches serialized to the protobuf wire format and back
+    (reference ``pb/proto.py:78-104``), quantiles extracted from the decoded
+    sketches — oracle identical to the non-roundtrip query (the codec must
+    be lossless for bins/zero_count)."""
+    from ddspark.agg import sketch_agg
+    from ddspark.proto import proto_roundtrip_quantiles
+
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
+    cfg = SketchConfig(ALPHA)
+    states = sketch_agg(li, "l_extendedprice", ["l_returnflag"], cfg)
+    res = proto_roundtrip_quantiles(states, QS, ["l_returnflag"], cfg)
+    return _round_quantiles(
+        res.select("l_returnflag", "count", *[quantile_label(q) for q in QS])
+    )
+
+
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch replay of the streaming windowed-cells path
+    (``ddspark.streaming.windowed_sketch_cells`` — watermark is a no-op on a
+    batch frame, the window/cell aggregation is identical): per-day
+    per-event-type quantile sketches."""
+    from ddspark.streaming import finalize_cells_batch, windowed_sketch_cells
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cfg = SketchConfig(0.05)
+    ev = _read(spark, sf_dir, "events").where(F.col("value") > 0)
+    cells = windowed_sketch_cells(
+        ev, "ts", "value", ["event_type"], "1 day", "2 days", cfg
+    )
+    fin = finalize_cells_batch(cells, QS, ["event_type"], cfg)
+    out = fin.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "count",
+        *[quantile_label(q) for q in QS],
+    )
+    return _round_quantiles(out)
+
+
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle shape: Spark computes the HLL estimate AND the
+    exact distinct count in one job and emits whether the estimate is inside
+    the 3-sigma HLL envelope (sigma = 1.04/sqrt(m)); the DuckDB twin
+    recomputes the exact side and asserts the boolean — a hard failure if
+    the estimator ever drifts out of its guarantee."""
     from ddspark.sketches.hll import hll_agg
 
-    ev = _read(spark, sf_dir, "events")
-    return hll_agg(
-        ev.withColumn("u", F.col("user_id").cast("string")), "u", ["event_type"], p=12
-    ).select("event_type", F.round("hll_estimate", 2).alias("hll_users"))
+    p = 12
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "u", F.col("user_id").cast("string")
+    )
+    est = hll_agg(ev, "u", ["event_type"], p=p).select("event_type", "hll_estimate")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    bound = 3.0 * 1.04 / float((1 << p) ** 0.5)
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll_estimate") - F.col("exact_users"))
+            <= F.lit(bound) * F.col("exact_users")
+        ).alias("within_bound"),
+    )
 
 
 def _q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -292,38 +418,90 @@ def _q_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rank_bound_check(docs: DataFrame, est: DataFrame, cols: dict[str, float],
+                      eps: float) -> DataFrame:
+    """Shared rank-error bound check for rank-sketches (t-digest, KLL): the
+    exact rank of each estimated quantile must sit within ``eps`` of the
+    target quantile (tie-aware: strictly-below rank <= q+eps and
+    at-or-below rank >= q-eps)."""
+    j = docs.join(F.broadcast(est), "lang")
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col("v") < F.col(c), 1).otherwise(0)).alias(f"_lt_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("v") <= F.col(c), 1).otherwise(0)).alias(f"_le_{c}")
+        )
+    g = j.groupBy("lang").agg(*aggs)
+    sel = [F.col("lang"), F.col("n_docs")]
+    for c, q in cols.items():
+        ok = (
+            (F.col(f"_lt_{c}") / F.col("n_docs") <= F.lit(q + eps))
+            & (F.col(f"_le_{c}") / F.col("n_docs") >= F.lit(q - eps))
+        )
+        sel.append(ok.alias(f"{c}_ok"))
+    return g.select(*sel)
+
+
 def _q_tdigest_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle shape (see _q_hll_distinct): the t-digest's
+    quantile estimates must land within 5% rank error of the exact ranks."""
     from ddspark.sketches.tdigest import tdigest_agg
 
-    docs = _read(spark, sf_dir, "documents")
-    return tdigest_agg(
-        docs.withColumn("v", F.col("n_chars").cast("double")), "v", ["lang"],
-        qs=[0.5, 0.99],
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "v", F.col("n_chars").cast("double")
     )
+    est = tdigest_agg(docs, "v", ["lang"], qs=[0.5, 0.99])
+    return _rank_bound_check(docs, est, {"td_p50": 0.5, "td_p99": 0.99}, eps=0.05)
 
 
 def _q_kll_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle shape: KLL (k=200, ~1% rank error) within 5%."""
     from ddspark.sketches.kll import kll_agg
 
-    docs = _read(spark, sf_dir, "documents")
-    return kll_agg(
-        docs.withColumn("v", F.col("n_chars").cast("double")), "v", ["lang"],
-        qs=[0.5, 0.99],
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "v", F.col("n_chars").cast("double")
     )
+    est = kll_agg(docs, "v", ["lang"], qs=[0.5, 0.99])
+    return _rank_bound_check(docs, est, {"kll_p50": 0.5, "kll_p99": 0.99}, eps=0.05)
 
 
-def _q_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ddspark.sketches.countmin import cm_cells
+_CM_PROBES = [str(i) for i in range(1, 9)] + ["absent_user"]
+_CM_DEPTH, _CM_WIDTH = 5, 2048
 
-    ev = _read(spark, sf_dir, "events")
-    cells = cm_cells(
-        ev.withColumn("u", F.col("user_id").cast("string")), "u", depth=5, width=1024
+
+def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle shape: point-frequency estimates must satisfy the
+    CM guarantee ``exact <= est <= exact + (e/width) * N`` per probe."""
+    import math
+
+    from ddspark.sketches.countmin import cm_point_estimates
+
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "u", F.col("user_id").cast("string")
     )
-    # observable summary of the sketch state (deterministic)
-    return cells.groupBy("_i").agg(
-        F.count(F.lit(1)).alias("live_cells"),
-        F.sum("_cnt").alias("total_weight"),
-    ).withColumnRenamed("_i", "row_i")
+    probes = spark.createDataFrame([(p,) for p in _CM_PROBES], "v string")
+    est = cm_point_estimates(ev, "u", probes, "v", _CM_DEPTH, _CM_WIDTH)
+    exact = ev.groupBy("u").agg(F.count(F.lit(1)).cast("double").alias("exact_count"))
+    total = ev.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    eps = math.e / _CM_WIDTH
+    return (
+        est.join(exact, est["v"] == exact["u"], "left")
+        .crossJoin(total)
+        .select(
+            est["v"].alias("v"),
+            F.coalesce(F.col("exact_count"), F.lit(0.0)).alias("exact_count"),
+            (
+                (F.col("cm_est") >= F.coalesce(F.col("exact_count"), F.lit(0.0)))
+                & (
+                    F.col("cm_est")
+                    <= F.coalesce(F.col("exact_count"), F.lit(0.0))
+                    + F.lit(eps) * F.col("_n")
+                )
+            ).alias("within_bound"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -353,12 +531,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
+        "ann_ivf_topk": wrap(_q_ann_ivf),
+        "bloom_membership": wrap(_q_bloom_membership),
         "ddsketch_rollup_chars": wrap(_q_rollup_chars),
+        "ddsketch_collapsing_highest": wrap(_q_collapsing_highest),
+        "ddsketch_linear_mapping": wrap(_q_linear_mapping),
+        "ddsketch_cubic_mapping": wrap(_q_cubic_mapping),
+        "ddsketch_proto_roundtrip": wrap(_q_proto_roundtrip),
+        "ddsketch_windowed_events": wrap(_q_windowed_events),
         "hll_distinct_users_by_type": wrap(_q_hll_distinct),
         "exact_distinct_users_by_type": wrap(_q_exact_distinct),
         "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
         "kll_chars_by_lang": wrap(_q_kll_chars),
-        "countmin_state_by_row": wrap(_q_countmin_heavy),
+        "countmin_point_queries": wrap(_q_countmin_points),
     }
 
 
@@ -367,6 +552,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ddspark.pipeline.oracles import (
+        ann_lsh_sparse_oracle_sql,
+        bloom_membership_oracle_sql,
+        ivf_topk_oracle_sql,
+        minhash_lsh_oracle_sql,
+        simhash_pairs_oracle_sql,
+    )
+
     return {
         "ddsketch_price_by_returnflag": ansi_sql_quantile_sketch(
             "lineitem", "l_extendedprice", ["l_returnflag"], QS, ALPHA, round_digits=ROUND
@@ -461,10 +654,17 @@ def oracle_sql() -> dict[str, str]:
                      string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
               FROM documents WHERE doc_id < 150
             ),
-            sh AS (
+            sh0 AS (
               SELECT DISTINCT id, t[i] || ' ' || t[i+1] AS shingle
               FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
               WHERE len(t) >= 2
+            ),
+            hot AS (
+              SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 8
+            ),
+            sh AS (
+              SELECT id, shingle FROM sh0
+              WHERE shingle NOT IN (SELECT shingle FROM hot)
             ),
             sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
             inter AS (
@@ -521,7 +721,77 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "ddsketch_collapsing_highest": ansi_sql_quantile_sketch(
+            "events", "value", ["event_type"], QS, 0.05,
+            mode=COLLAPSE_HIGHEST, bin_limit=32, round_digits=ROUND,
+        ),
+        "ddsketch_linear_mapping": ansi_sql_quantile_sketch(
+            "documents", "n_chars", ["lang"], QS, ALPHA,
+            round_digits=ROUND, mapping="linear",
+        ),
+        "ddsketch_cubic_mapping": ansi_sql_quantile_sketch(
+            "lineitem", "l_extendedprice", ["l_returnflag"], QS, ALPHA,
+            round_digits=ROUND, mapping="cubic",
+        ),
+        # lossless-codec proof: identical oracle to the non-roundtrip query
+        "ddsketch_proto_roundtrip": ansi_sql_quantile_sketch(
+            "lineitem", "l_extendedprice", ["l_returnflag"], QS, ALPHA,
+            round_digits=ROUND,
+        ),
+        "ddsketch_windowed_events": ansi_sql_quantile_sketch(
+            "(SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
+            "event_type, value FROM events) evt",
+            "value", ["day", "event_type"], QS, 0.05, round_digits=ROUND,
+        ),
+        "dedup_minhash_lsh": minhash_lsh_oracle_sql(
+            "documents", where="doc_id < 200", n=2, num_hashes=64, bands=16,
+            threshold=0.2, seed=42,
+        ),
+        "dedup_simhash_pairs": simhash_pairs_oracle_sql(
+            "documents", where="doc_id < 200", max_hamming=3, n_bits=48,
+        ),
+        "ann_lsh_topk": ann_lsh_sparse_oracle_sql(
+            query_pred="nid < 5", k=5, n_planes=8, n_tables=8, seed=42, dim=64,
+        ),
+        "ann_ivf_topk": ivf_topk_oracle_sql(
+            query_pred="vec_id < 5", k=5, n_centroids=16, nprobe=4, seed=42,
+        ),
+        "bloom_membership": bloom_membership_oracle_sql(
+            "events", "user_id", _BLOOM_PROBES, m=4096, k=3,
+        ),
+        "hll_distinct_users_by_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_bound
+            FROM events GROUP BY event_type
+        """,
+        "tdigest_chars_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   TRUE AS td_p50_ok, TRUE AS td_p99_ok
+            FROM documents GROUP BY lang
+        """,
+        "kll_chars_by_lang": """
+            SELECT lang, COUNT(*) AS n_docs,
+                   TRUE AS kll_p50_ok, TRUE AS kll_p99_ok
+            FROM documents GROUP BY lang
+        """,
+        "countmin_point_queries": _countmin_oracle_sql(),
     }
+
+
+def _countmin_oracle_sql() -> str:
+    probe_vals = ", ".join(f"('{p}')" for p in _CM_PROBES)
+    return f"""
+WITH exact AS (
+  SELECT CAST(user_id AS VARCHAR) AS u, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM events GROUP BY 1
+),
+probes AS (SELECT v FROM (VALUES {probe_vals}) AS p(v))
+SELECT probes.v AS v,
+       COALESCE(c, 0.0) AS exact_count,
+       TRUE AS within_bound
+FROM probes LEFT JOIN exact ON exact.u = probes.v
+""".strip()
 
 
 def _lang_id_oracle_sql() -> str:

@@ -110,7 +110,11 @@ class LogarithmicMapping(KeyMapping):
     """Exact logarithmic mapping (reference ``mapping.py:96-113``).
 
     ``log_gamma(v) = log2(v) * (log(2)/log1p(2a/(1-a)))`` mirrors the
-    reference's ``math.log(value, 2) * multiplier`` bit-for-bit on float64.
+    reference's ``math.log(value, 2) * multiplier`` to within 1 ulp
+    (``math.log(v, 2)`` is computed as ``log(v)/log(2)``, which can differ
+    from the correctly-rounded ``np.log2`` in the last bit, shifting
+    ``ceil()`` by one bucket only for values at exact bucket boundaries —
+    the alpha accuracy guarantee is unaffected either way).
     """
 
     name = "logarithmic"

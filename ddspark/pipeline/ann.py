@@ -4,21 +4,39 @@
   JVM-side dot products via ``zip_with``/``aggregate``, per-query top-k with
   a window.  The baseline and the rerank primitive.
 * :func:`lsh_topk` — random-hyperplane LSH: seeded deterministic planes,
-  signature buckets (multi-probe via bit flips), candidate join restricted
-  to shared buckets, exact rerank inside candidates.  Sub-quadratic: the
-  corpus is scanned once to compute signatures, and only bucket-collision
-  candidates are scored.
-* :func:`ivf_topk` — IVF-style: k-means-lite centroids (deterministic
-  seeded sample, one Lloyd step), vectors assigned to nearest centroid,
-  queries probe ``nprobe`` nearest centroids only.
+  signature buckets, candidate join restricted to shared buckets, exact
+  cosine rerank.  Sub-quadratic: the corpus is scanned once to compute
+  signatures, and only bucket-collision candidates are scored.  Two plane
+  families:
 
-Everything is a composition of built-in column functions — no Python UDFs.
+  - ``dense``  — Gaussian hyperplanes (classic SimHash-for-cosine); best
+    bucket balance.
+  - ``sparse`` — coordinate-difference hyperplanes (normal ``e_i - e_j``):
+    each bit is a single float comparison ``vec[i] > vec[j]``, which makes
+    the signature *exactly replayable in ANSI SQL* (no dot-product
+    float-summation ambiguity) — the family the DuckDB correctness oracle
+    uses (:func:`ddspark.pipeline.oracles.ann_lsh_sparse_oracle_sql`).
+
+  Signatures are computed on the raw vectors (cosine LSH is invariant to
+  positive scaling, so normalization is needed only for the rerank).
+* :func:`ivf_topk` — IVF-style: deterministic hash-sampled centroids,
+  vectors assigned to their nearest centroid, queries probe ``nprobe``
+  nearest centroids only.
+
+Everything is a composition of built-in column functions — no Python UDFs,
+and no driver-side actions during plan construction (``dim`` is an explicit
+parameter: an ARRAY column's length is not in the schema, and probing the
+data for it would cost an extra job per plan).
 """
 
 from __future__ import annotations
 
+import random
+
 import numpy as np
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .hashing import portable_hash63
 
 __all__ = ["normalize_vecs", "cosine_topk", "lsh_topk", "ivf_topk"]
 
@@ -70,13 +88,37 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _signature(u, planes: list[list[float]]):
+def _dense_signature(vec, planes: list[list[float]]) -> Column:
     bits = F.lit(0).cast("long")
     for i, p in enumerate(planes):
-        proj = _dot(u, F.array(*[F.lit(float(x)) for x in p]))
+        proj = _dot(vec, F.array(*[F.lit(float(x)) for x in p]))
         bits = bits + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
+    return bits
+
+
+def sparse_planes(dim: int, n_planes: int, seed: int) -> list[tuple[int, int]]:
+    """Seeded coordinate pairs (i, j), i != j — hyperplanes with normal
+    ``e_i - e_j``.  Shared with the ANSI-SQL oracle generator so both
+    engines draw identical planes."""
+    rnd = random.Random(seed)
+    out: list[tuple[int, int]] = []
+    while len(out) < n_planes:
+        i = rnd.randrange(dim)
+        j = rnd.randrange(dim)
+        if i != j:
+            out.append((i, j))
+    return out
+
+
+def _sparse_signature(vec, planes: list[tuple[int, int]]) -> Column:
+    bits = F.lit(0).cast("long")
+    for b, (i, j) in enumerate(planes):
+        bits = bits + F.when(
+            F.element_at(vec, i + 1) > F.element_at(vec, j + 1),
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
     return bits
 
 
@@ -89,38 +131,48 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 4,
     seed: int = 42,
-    dim: int | None = None,
+    dim: int = 64,
+    plane_family: str = "dense",
 ) -> DataFrame:
     """Random-hyperplane LSH top-k: candidates = bucket collisions in any of
-    ``n_tables`` signature tables, then exact cosine rerank."""
-    if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
-    c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
-    q = normalize_vecs(queries, id_col, vec_col).withColumnRenamed("id", "qid")
-    c_sig = c
-    q_sig = q
-    sig_cols = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
-        c_sig = c_sig.withColumn(f"s{t}", _signature(F.col("u"), planes))
-        q_sig = q_sig.withColumn(f"s{t}", _signature(F.col("u"), planes))
-        sig_cols.append(f"s{t}")
-    c_b = c_sig.select(
-        "nid", "u",
-        F.explode(F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"s{t}").alias("sig")) for t in range(n_tables)])).alias("bb"),
-    ).select("nid", "u", F.col("bb.t").alias("t"), F.col("bb.sig").alias("sig"))
-    q_b = q_sig.select(
-        "qid", F.col("u").alias("qu"),
-        F.explode(F.array(*[F.struct(F.lit(t).alias("t"), F.col(f"s{t}").alias("sig")) for t in range(n_tables)])).alias("bb"),
-    ).select("qid", "qu", F.col("bb.t").alias("t"), F.col("bb.sig").alias("sig"))
+    ``n_tables`` signature tables, then exact cosine rerank within
+    candidates.  ``dim`` must match the embedding length (explicit — see
+    module docstring)."""
+
+    def with_sigs(df: DataFrame, idname: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias("_vec"))
+        for t in range(n_tables):
+            tseed = seed + 7919 * t
+            if plane_family == "sparse":
+                sig = _sparse_signature(F.col("_vec"), sparse_planes(dim, n_planes, tseed))
+            else:
+                sig = _dense_signature(F.col("_vec"), _hyperplanes(dim, n_planes, tseed))
+            out = out.withColumn(f"s{t}", sig)
+        buckets = F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), F.col(f"s{t}").alias("sig"))
+                for t in range(n_tables)
+            ]
+        )
+        return out.select(idname, F.explode(buckets).alias("bb")).select(
+            idname, F.col("bb.t").alias("t"), F.col("bb.sig").alias("sig")
+        )
+
     cand = (
-        c_b.join(F.broadcast(q_b), on=["t", "sig"])
+        with_sigs(corpus, "nid")
+        .join(F.broadcast(with_sigs(queries, "qid")), on=["t", "sig"])
         .where(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", "u", "qu")
+        .select("qid", "nid")
         .distinct()
     )
-    scored = cand.select(
-        "qid", "nid", F.round(_dot(F.col("u"), F.col("qu")), 6).alias("cosine")
+    c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
+    q = normalize_vecs(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("u").alias("qu")
+    )
+    scored = (
+        cand.join(c, "nid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "nid", F.round(_dot(F.col("u"), F.col("qu")), 6).alias("cosine"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (
@@ -139,17 +191,26 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """IVF: assign vectors to their nearest seeded centroid; queries score
-    only vectors in their ``nprobe`` closest centroid lists."""
+    only vectors in their ``nprobe`` closest centroid lists.
+
+    Centroids are hash-sampled corpus vectors (cheap k-means-0), collected
+    once — a bounded ``n_centroids``-row driver list, not a data-dependent
+    action.  ``portable`` draws the sample with the md5-derived hash so the
+    selection is replayable in ANSI SQL."""
     c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
-    # deterministic centroids: hash-sampled corpus vectors (cheap k-means-0),
-    # collected once so both join sides see identical (cid -> vector) pairs
-    # (monotonically_increasing_id over an uncached plan is not stable)
-    sampled = (
-        c.withColumn(
-            "r", F.pmod(F.xxhash64(F.col("nid").cast("string"), F.lit(seed)), F.lit(10**9))
+    if portable:
+        r_expr = portable_hash63(
+            F.concat(F.col("nid").cast("string"), F.lit(f":{seed}"))
         )
+    else:
+        r_expr = F.pmod(
+            F.xxhash64(F.col("nid").cast("string"), F.lit(seed)), F.lit(10**9)
+        )
+    sampled = (
+        c.withColumn("r", r_expr)
         .orderBy("r", "nid")
         .limit(n_centroids)
         .select("u")
@@ -161,18 +222,26 @@ def ivf_topk(
     )
     cents = F.broadcast(cents)
 
-    def assign(df, ucol, out, topn):
-        scored = df.crossJoin(cents).withColumn("sim", _dot(F.col(ucol), F.col("cu")))
-        w = Window.partitionBy(*df.columns).orderBy(F.desc("sim"), F.asc("cid"))
+    def assign(df: DataFrame, id_name: str, ucol: str, out: str, topn: int) -> DataFrame:
+        # round the similarity so argmax ties are broken identically by any
+        # engine replaying this (float dot products can differ in the last
+        # ulp across summation orders); window keyed on the id, never on the
+        # vector column
+        scored = df.crossJoin(cents).withColumn(
+            "sim", F.round(_dot(F.col(ucol), F.col("cu")), 6)
+        )
+        w = Window.partitionBy(id_name).orderBy(F.desc("sim"), F.asc("cid"))
         return (
             scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= topn)
             .select(*df.columns, F.col("cid").alias(out))
         )
 
-    c_assigned = assign(c, "u", "cid", 1)
-    q = normalize_vecs(queries, id_col, vec_col).withColumnRenamed("id", "qid")
-    q_assigned = assign(q.withColumnRenamed("u", "qu"), "qu", "cid", nprobe)
+    c_assigned = assign(c, "nid", "u", "cid", 1)
+    q = normalize_vecs(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("u").alias("qu")
+    )
+    q_assigned = assign(q, "qid", "qu", "cid", nprobe)
     cand = c_assigned.join(F.broadcast(q_assigned), "cid").where(
         F.col("qid") != F.col("nid")
     )

@@ -21,24 +21,34 @@ All shuffle keys are hashes/ints, never raw text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .hashing import portable_hash63
 from .textops import fingerprint
 
 __all__ = [
     "exact_dedup",
     "word_shingles",
     "jaccard_pairs",
+    "minhash_coeffs",
     "minhash_signatures",
     "lsh_candidate_pairs",
     "minhash_dedup_pairs",
     "simhash",
+    "simhash_chunk_layout",
     "simhash_pairs",
     "embedding_neardup_pairs",
 ]
 
 # 2^31-1: products of two residues fit in int64 (no overflow under ANSI mode)
 _MERSENNE = (1 << 31) - 1
+
+
+def _hash63(col: Column | str, portable: bool) -> Column:
+    """Token/shingle hash: fast JVM ``xxhash64`` by default; the md5-derived
+    portable form (exact DuckDB twin, see :mod:`.hashing`) when the pipeline
+    must be replayable by the ANSI-SQL oracle."""
+    return portable_hash63(col) if portable else F.xxhash64(col)
 
 
 def exact_dedup(
@@ -79,15 +89,34 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for every pair sharing a shingle.
 
     ``|A∩B|`` comes from the inverted-index self-join; ``|A∪B| = |A|+|B|-∩``.
     Output: ``id_a < id_b, jaccard`` (rounded) above the threshold.
+
+    **Scale**: a shingle shared by ``d`` documents contributes ``d*(d-1)/2``
+    join rows, so one boilerplate shingle in a web corpus explodes the
+    self-join.  ``df_cap`` drops shingles whose document frequency exceeds
+    the cap *before* the join (they carry ~no Jaccard signal), bounding the
+    candidate count at ``n_shingles * df_cap^2 / 2``; similarity is then
+    exact Jaccard over the capped shingle universe (sizes are computed after
+    the filter, so the estimate stays internally consistent).  Set it (e.g.
+    64) for any corpus-scale run; the default ``None`` keeps the textbook
+    exact semantics for small inputs.
     """
     sh = word_shingles(df, id_col, text_col, n).withColumn(
         "sh", F.xxhash64("shingle")
     ).select("id", "sh")
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -116,19 +145,18 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: ``(id, sig ARRAY<BIGINT>[num_hashes])``.
 
-    Shingle → ``xxhash64`` (JVM) → k affine permutations
+    Shingle → hash (JVM ``xxhash64``, or the md5-derived portable hash when
+    ``portable`` — exactly replayable in ANSI SQL) → k affine permutations
     ``(a*h + b) mod p`` over a Mersenne prime, min per permutation — all in
     one hash aggregate; signature length is fixed, independent of doc size.
     """
-    import random
-
-    rnd = random.Random(seed)
-    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    coeffs = minhash_coeffs(num_hashes, seed)
     sh = word_shingles(df, id_col, text_col, n).select(
-        "id", F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE)).alias("h")
+        "id", F.pmod(_hash63("shingle", portable), F.lit(_MERSENNE)).alias("h")
     )
     mins = [
         F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"m{i}")
@@ -138,15 +166,36 @@ def minhash_signatures(
     return agg.select("id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"))
 
 
+def minhash_coeffs(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The seeded affine-permutation coefficients — shared with the ANSI-SQL
+    oracle generator so both engines permute identically."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Band the signatures; docs sharing any band bucket are candidates."""
     sig = signatures
     band_cols = []
     for b in range(bands):
         sl = F.slice("sig", b * rows_per_band + 1, rows_per_band)
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(sl.cast("string")).alias("bucket")))
+        if portable:
+            bucket = portable_hash63(
+                F.concat_ws(",", F.transform(sl, lambda x: x.cast("string")))
+            )
+        else:
+            bucket = F.xxhash64(sl.cast("string"))
+        band_cols.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
@@ -173,15 +222,18 @@ def minhash_dedup_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     seed: int = 42,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidates + signature-estimated Jaccard filter.
 
     Output: ``id_a, id_b, est_jaccard`` — near-dup pairs without any
-    all-pairs comparison.
+    all-pairs comparison.  With ``portable`` every hash has an exact
+    ANSI-SQL twin (:func:`ddspark.pipeline.oracles.minhash_lsh_oracle_sql`),
+    making the whole pipeline independently replayable.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed)
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable)
     sa = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.lit(
@@ -197,26 +249,39 @@ def minhash_dedup_pairs(
 
 
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
-    """64-bit SimHash per document: sign of the per-bit majority over token
-    hashes — computed as 64 JVM aggregate expressions (no Python)."""
+    """SimHash per document: sign of the per-bit majority over token hashes —
+    computed as ``n_bits`` JVM aggregate expressions (no Python).
+
+    ``portable`` switches the token hash to the md5-derived 60-bit form
+    (exact ANSI-SQL twin); it requires ``n_bits <= 60``.
+    """
+    if portable and n_bits > 60:
+        raise ValueError("portable hashing provides 60 bits; n_bits must be <= 60")
+    if not 2 <= n_bits <= 64:
+        raise ValueError(f"n_bits must be in [2, 64], got {n_bits}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(
             F.filter(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda x: x != "")
         ).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _hash63("tok", portable))
     bit_sums = [
         F.sum(
             F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy("id").agg(*bit_sums)
     fp = F.lit(0).cast("long")
-    for i in range(64):
-        # bit 63 is the sign bit: add its two's-complement value
+    for i in range(n_bits):
+        # bit 63 (full-width form only) is the sign bit: add its
+        # two's-complement value
         bit_val = (1 << i) if i < 63 else -(1 << 63)
         fp = fp + F.when(F.col(f"b{i}") > 0, F.lit(bit_val).cast("long")).otherwise(
             F.lit(0).cast("long")
@@ -224,35 +289,70 @@ def simhash(
     return agg.select("id", fp.alias("simhash"))
 
 
+def simhash_chunk_layout(n_bits: int, max_hamming: int) -> list[tuple[int, int]]:
+    """``(offset, width)`` per pigeonhole chunk — shared with the ANSI-SQL
+    oracle generator so both engines block on identical bit ranges."""
+    if max_hamming > 15:
+        raise ValueError(
+            "pigeonhole blocking needs max_hamming+1 <= 16 chunks; "
+            f"got max_hamming={max_hamming}"
+        )
+    n_chunks = min(max(max_hamming + 1, 2), 16)
+    base_w, extra = divmod(n_bits, n_chunks)
+    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    return list(zip(offsets, widths))
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Candidate generation blocks on ``max_hamming + 1`` bit chunks: by
     pigeonhole, any pair within Hamming ``max_hamming`` has at least one
-    identical chunk, so recall is complete while staying sub-quadratic.
+    identical chunk, so recall is complete for ``max_hamming <= 15``
+    (larger budgets raise — they would need more than 16 chunks).
+
+    **Scale envelope** (be honest about it): with ``c = max_hamming + 1``
+    chunks of ``n_bits/c`` bits, a random corpus of ``N`` docs yields about
+    ``c * N^2 / 2^(n_bits/c)`` candidate pairs — sub-quadratic only while
+    ``2^(n_bits/c)`` is large relative to ``N``.  The default
+    ``max_hamming=3`` (4 chunks x 16 bits) keeps buckets tiny up to ~10^6
+    docs per bucket universe; ``max_hamming=12`` (13 chunks x ~5 bits) is
+    near-quadratic and should not be used at corpus scale.  ``max_bucket``
+    additionally drops any chunk bucket holding more than that many docs
+    (boilerplate/degenerate content) — candidates lost that way may reduce
+    recall, so it is an explicit, logged trade-off, not a default.
     """
-    n_chunks = min(max(max_hamming + 1, 2), 16)
-    base_w, extra = divmod(64, n_chunks)
-    widths = [base_w + (1 if c < extra else 0) for c in range(n_chunks)]
-    offsets = [sum(widths[:c]) for c in range(n_chunks)]
-    fp = simhash(df, id_col, text_col)
+    layout = simhash_chunk_layout(n_bits, max_hamming)
+    fp = simhash(df, id_col, text_col, n_bits, portable)
     chunk_cols = [
         F.struct(
             F.lit(c).alias("c"),
-            F.shiftrightunsigned("simhash", offsets[c])
-            .bitwiseAND(F.lit((1 << widths[c]) - 1))
+            F.shiftrightunsigned("simhash", off)
+            .bitwiseAND(F.lit((1 << width) - 1))
             .alias("v"),
         )
-        for c in range(n_chunks)
+        for c, (off, width) in enumerate(layout)
     ]
     chunks = fp.select(
         "id", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
     ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    if max_bucket is not None:
+        oversized = (
+            chunks.groupBy("c", "v")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("c", "v")
+        )
+        chunks = chunks.join(oversized, ["c", "v"], "left_anti")
     a = chunks.alias("a")
     b = chunks.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

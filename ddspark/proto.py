@@ -32,7 +32,11 @@ import numpy as np
 from .sketch import Sketch, SketchConfig
 from .store import Bins, canonicalize, empty_bins
 
-__all__ = ["sketch_to_proto_bytes", "sketch_from_proto_bytes"]
+__all__ = [
+    "sketch_to_proto_bytes",
+    "sketch_from_proto_bytes",
+    "proto_roundtrip_quantiles",
+]
 
 _INTERPOLATION_TO_ENUM = {"logarithmic": 0, "linear": 1, "cubic": 3}
 _ENUM_TO_MAPPING = {0: "logarithmic", 1: "linear", 3: "cubic"}
@@ -228,3 +232,47 @@ def sketch_from_proto_bytes(data: bytes) -> Sketch:
         pos=pos,
         neg=neg,
     )
+
+
+# ------------------------------------------------------- distributed helpers
+
+
+def proto_roundtrip_quantiles(states, qs, by=None, cfg=None):
+    """Push merged sketch-state rows through the protobuf wire format and
+    extract quantiles from the *decoded* sketches — the distributed proof
+    that the codec preserves query results (reference
+    ``pb/proto.py:78-104``; roundtrip drops min/max/sum, so only count and
+    quantiles survive).
+
+    ``states``: output of :func:`ddspark.agg.sketch_agg` (one state row per
+    group).  Returns ``by... | count | p50 ...`` per group.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from .agg import STATE_COLS, _by_fields, quantile_label
+
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+    q_cols = [quantile_label(q) for q in qs]
+    schema = StructType(
+        _by_fields(states, by)
+        + [StructField("count", DoubleType())]
+        + [StructField(c, DoubleType()) for c in q_cols]
+    )
+
+    def rt(batches):
+        for pdf in batches:
+            out = []
+            for rec in pdf.to_dict("records"):
+                sk = Sketch.from_state(cfg, rec)
+                decoded = sketch_from_proto_bytes(sketch_to_proto_bytes(sk))
+                row = {c: rec[c] for c in by}
+                row["count"] = decoded.count
+                for q, c in zip(qs, q_cols):
+                    row[c] = decoded.quantile(q)
+                out.append(row)
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return states.mapInPandas(rt, schema)

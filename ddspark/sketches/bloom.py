@@ -28,37 +28,88 @@ from pyspark.sql.types import (
 __all__ = [
     "bloom_bits",
     "bloom_agg",
+    "bloom_contains_df",
     "contains",
     "merge_bitmaps",
     "false_positive_rate",
 ]
 
 
-def _positions(col: str, m: int, k: int):
-    h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(m))
-    h2 = F.pmod(F.xxhash64(F.col(col), F.lit(1)), F.lit(m - 1)) + 1
+def _positions(col: str, m: int, k: int, portable: bool = False):
+    """k bit positions per item.  ``portable`` uses the md5-derived hash pair
+    (string columns only) so the positions — and therefore membership
+    answers — are exactly replayable in ANSI SQL
+    (:func:`ddspark.pipeline.oracles.bloom_membership_oracle_sql`)."""
+    if portable:
+        from ..pipeline.hashing import portable_hash63
+
+        h1 = F.pmod(portable_hash63(F.col(col)), F.lit(m))
+        h2 = F.pmod(
+            portable_hash63(F.concat(F.col(col), F.lit("#1"))), F.lit(m - 1)
+        ) + 1
+    else:
+        h1 = F.pmod(F.xxhash64(F.col(col)), F.lit(m))
+        h2 = F.pmod(F.xxhash64(F.col(col), F.lit(1)), F.lit(m - 1)) + 1
     return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)).alias(f"_p{i}") for i in range(k)]
 
 
 def bloom_bits(
-    df: DataFrame, col: str, by: list[str] | None = None, m: int = 1 << 16, k: int = 5
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    m: int = 1 << 16,
+    k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Distinct ``(group, bit)`` pairs — the mergeable state."""
     by = list(by or [])
     exploded = (
         df.where(F.col(col).isNotNull())
-        .select(*by, F.explode(F.array(*_positions(col, m, k))).alias("_bit"))
+        .select(*by, F.explode(F.array(*_positions(col, m, k, portable))).alias("_bit"))
         .distinct()
     )
     return exploded
 
 
+def bloom_contains_df(
+    df: DataFrame,
+    col: str,
+    probes: DataFrame,
+    probe_col: str = "v",
+    m: int = 1 << 16,
+    k: int = 5,
+    portable: bool = False,
+) -> DataFrame:
+    """Distributed membership test: ``probe_col | might_contain BOOLEAN``.
+
+    Builds the (global) bit set from ``df[col]`` and checks each probe's k
+    positions against it with a broadcast semi-join — no bitmap ever leaves
+    the cluster, so this composes with arbitrarily large indexed sides."""
+    bits = bloom_bits(df, col, None, m, k, portable)
+    probe_bits = probes.select(
+        F.col(probe_col).alias("v"),
+        F.explode(F.array(*_positions(probe_col, m, k, portable))).alias("_bit"),
+    )
+    hit = probe_bits.join(bits, "_bit", "left_semi")
+    hits_per_probe = hit.groupBy("v").agg(F.count(F.lit(1)).alias("_hits"))
+    return (
+        probes.select(F.col(probe_col).alias("v"))
+        .join(hits_per_probe, "v", "left")
+        .select("v", (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("might_contain"))
+    )
+
+
 def bloom_agg(
-    df: DataFrame, col: str, by: list[str] | None = None, m: int = 1 << 16, k: int = 5
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    m: int = 1 << 16,
+    k: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Bitmap per group: ``by... | bitmap BINARY | n_bits_set | m | k``."""
     by = list(by or [])
-    bits = bloom_bits(df, col, by, m, k)
+    bits = bloom_bits(df, col, by, m, k, portable)
     by_fields = [
         StructField(f.name, f.dataType, True)
         for f in bits.schema.fields

@@ -28,7 +28,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["params_for", "cm_cells", "cm_agg", "cm_query", "merge_matrices"]
+__all__ = [
+    "params_for",
+    "cm_cells",
+    "cm_agg",
+    "cm_point_estimates",
+    "cm_query",
+    "merge_matrices",
+]
 
 
 def params_for(eps: float, delta: float) -> tuple[int, int]:
@@ -112,6 +119,35 @@ def cm_agg(
         cells.withColumn("_g", F.lit(0))
         .groupBy("_g")
         .applyInPandas(lambda pdf: assemble(pdf.drop(columns=["_g"])), schema)
+    )
+
+
+def cm_point_estimates(
+    df: DataFrame,
+    col: str,
+    probes: DataFrame,
+    probe_col: str = "v",
+    depth: int = 5,
+    width: int = 2048,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Distributed point-frequency query: ``probe_col | cm_est DOUBLE``.
+
+    Builds the (global) sparse cells from ``df[col]`` and answers each probe
+    as ``min over rows of the probed cell`` — the CM guarantee
+    ``exact <= est <= exact + (e/width) * N`` holds per probe.  Probe values
+    must carry the same Spark type as the indexed column (the hash is
+    type-sensitive).  The join moves only ``depth`` coordinates per probe
+    against the bounded cell table — no matrix is ever densified."""
+    cells = cm_cells(df, col, None, depth, width, weight_col)
+    coords = probes.select(
+        F.col(probe_col).alias("v"),
+        F.explode(F.array(*_coords(probe_col, depth, width))).alias("_c"),
+    ).select("v", F.col("_c.i").alias("_i"), F.col("_c.j").alias("_j"))
+    return (
+        coords.join(cells, ["_i", "_j"], "left")
+        .groupBy("v")
+        .agg(F.min(F.coalesce(F.col("_cnt"), F.lit(0.0))).alias("cm_est"))
     )
 
 

@@ -62,6 +62,14 @@ def sql_quantile_sketch(
     gamma = mapping.gamma
 
     w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    if weight_col:
+        # fail fast on non-positive weights, matching the kernel engine and
+        # the reference's ValueError (ddsketch/ddsketch.py:141-142)
+        w = F.when(w > 0, w).otherwise(
+            F.raise_error(
+                F.concat(F.lit("weight must be positive, got "), w.cast("string"))
+            )
+        )
     keyed = df.where(F.col(value_col) > 0).select(
         *by,
         F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k"),
@@ -105,6 +113,72 @@ def sql_quantile_sketch(
     return grouped.agg(*aggs)
 
 
+def _ansi_key_sql(mapping_name: str, mapping) -> tuple[str, str]:
+    """(pre-key CTE SQL fragment, key expression) for a mapping.
+
+    The fragment exposes columns ``v`` (DOUBLE, positive), ``w`` and the
+    group columns; the key expression mirrors the NumPy kernels in
+    :mod:`ddspark.mapping` operation-for-operation so float64 results are
+    bit-identical (see the frexp notes below).
+    """
+    m = repr(mapping._multiplier)
+    if mapping_name == "logarithmic":
+        return "", f"CAST(CEIL(LOG2(v) * {m}) AS BIGINT)"
+    # frexp in closed SQL form: e such that v / 2^e is in [1, 2).  FLOOR(LOG2)
+    # can be off by one at exact powers of two (libm last-ulp), so correct it
+    # explicitly; v / POWER(2, e) and the subtraction of 1.0 are then IEEE-
+    # exact (Sterbenz), making the SQL approx-log equal to np.frexp's bit-
+    # for-bit.
+    frexp = (
+        ",\nfx AS (\n"
+        "  SELECT *, CAST(FLOOR(LOG2(v)) AS BIGINT) AS e0 FROM base\n"
+        "),\nfx2 AS (\n"
+        "  SELECT *, CASE WHEN v / POWER(2.0, e0) >= 2.0 THEN e0 + 1\n"
+        "                 WHEN v / POWER(2.0, e0) < 1.0 THEN e0 - 1\n"
+        "                 ELSE e0 END AS e\n"
+        "  FROM fx\n)"
+    )
+    s = "(v / POWER(2.0, e) - 1.0)"
+    if mapping_name == "linear":
+        # LinearlyInterpolatedMapping._log2_approx_vec: s + (exponent - 1)
+        return frexp, f"CAST(CEIL(({s} + e) * {m}) AS BIGINT)"
+    if mapping_name == "cubic":
+        A, B, C = mapping.A, mapping.B, mapping.C
+        horner = f"(({A!r} * {s} + {B!r}) * {s} + {C!r}) * {s}"
+        return frexp, f"CAST(CEIL(({horner} + e) * {m}) AS BIGINT)"
+    raise ValueError(f"unknown mapping {mapping_name!r}")
+
+
+def _ansi_value_sql(mapping_name: str, mapping, x: str) -> str:
+    """Bucket-representative value for key expression ``x = k / multiplier``
+    — the SQL twin of ``KeyMapping.value_vec`` (reference
+    ``ddsketch/mapping.py:85-93,144-149,190-208``)."""
+    gamma = repr(mapping.gamma)
+    half = f"* (2.0 / (1.0 + {gamma}))"
+    if mapping_name == "logarithmic":
+        return f"POWER(2.0, {x}) {half}"
+    if mapping_name == "linear":
+        # _exp2_approx_vec: exponent = floor(x)+1; ldexp((x-exponent+2)/2, exponent)
+        e2 = f"(CAST(FLOOR({x}) AS BIGINT) + 1)"
+        return f"((({x}) - {e2} + 2.0) / 2.0) * POWER(2.0, {e2}) {half}"
+    if mapping_name == "cubic":
+        # _cubic_exp2_approx_vec via Cardano; constants folded exactly as the
+        # NumPy kernel folds them (Python left-to-right evaluation order)
+        A, B, C = mapping.A, mapping.B, mapping.C
+        d0 = B * B - 3.0 * A * C
+        t1 = 2.0 * B**3 - 9.0 * A * B * C
+        c2 = 27.0 * A * A
+        c3 = 4.0 * d0**3
+        three_a = 3.0 * A
+        ex = f"CAST(FLOOR({x}) AS BIGINT)"
+        frac = f"(({x}) - FLOOR({x}))"
+        d1 = f"({t1!r} - {c2!r} * {frac})"
+        card = f"CBRT(({d1} - SQRT({d1} * {d1} - {c3!r})) / 2.0)"
+        sp1 = f"((-(({B!r} + {card}) + ({d0!r} / {card}))) / {three_a!r} + 1.0)"
+        return f"({sp1} / 2.0) * POWER(2.0, {ex} + 1) {half}"
+    raise ValueError(f"unknown mapping {mapping_name!r}")
+
+
 def ansi_sql_quantile_sketch(
     table: str,
     value_expr: str,
@@ -116,21 +190,28 @@ def ansi_sql_quantile_sketch(
     where: str | None = None,
     round_digits: int | None = 6,
     weight_expr: str = "1.0",
+    mapping: str = "logarithmic",
 ) -> str:
     """The same DDSketch computation as portable ANSI SQL (DuckDB-ready).
 
     Used as the independent oracle for this engine's correctness gate: the
     distributed Spark pipeline and this single-node SQL must produce the same
-    quantile values for the same input.
+    quantile values for the same input.  ``mapping`` selects the key/value
+    functions: ``logarithmic`` (exact), or the reference's ``linear`` /
+    ``cubic`` interpolated approximations (frexp expressed in closed SQL
+    form) — the twins of the kernel engine's NumPy mappings.
     """
+    from .mapping import mapping_from_name
+
     by = list(by or [])
-    mapping = LogarithmicMapping(alpha)
-    m = repr(mapping._multiplier)
-    gamma = repr(mapping.gamma)
+    km = mapping_from_name(mapping, alpha)
+    m = repr(km._multiplier)
     by_sel = ", ".join(by) + ", " if by else ""
     by_grp = ", ".join(by) if by else ""
     part = f"PARTITION BY {by_grp} " if by else ""
     filt = f"({value_expr}) > 0" + (f" AND ({where})" if where else "")
+    pre_key, key_sql = _ansi_key_sql(mapping, km)
+    keyed_src = "fx2" if pre_key else "base"
 
     if mode == COLLAPSE_LOWEST and bin_limit:
         clamp = (
@@ -145,23 +226,26 @@ def ansi_sql_quantile_sketch(
     else:
         clamp = "k"
 
-    q_exprs = []
-    for q in qs:
-        val = (
-            f"POWER(2.0, CAST(MIN(CASE WHEN run > {q!r} * (n - 1) THEN k END) "
-            f"AS DOUBLE) / {m}) * (2.0 / (1.0 + {gamma}))"
-        )
+    k_exprs = []
+    v_exprs = []
+    for i, q in enumerate(qs):
+        k_exprs.append(f"MIN(CASE WHEN run > {q!r} * (n - 1) THEN k END) AS k_{i}")
+        val = _ansi_value_sql(mapping, km, f"CAST(k_{i} AS DOUBLE) / {m}")
         if round_digits is not None:
             val = f"ROUND({val}, {round_digits})"
-        q_exprs.append(f"{val} AS {quantile_label(q)}")
-    q_sel = ",\n       ".join(q_exprs)
+        v_exprs.append(f"{val} AS {quantile_label(q)}")
+    k_sel = ",\n         ".join(k_exprs)
+    v_sel = ",\n       ".join(v_exprs)
 
     return f"""
-WITH keyed AS (
-  SELECT {by_sel}CAST(CEIL(LOG2({value_expr}) * {m}) AS BIGINT) AS k,
+WITH base AS (
+  SELECT {by_sel}CAST({value_expr} AS DOUBLE) AS v,
          CAST(({weight_expr}) AS DOUBLE) AS w
   FROM {table}
   WHERE {filt}
+){pre_key},
+keyed AS (
+  SELECT {by_sel}{key_sql} AS k, w FROM {keyed_src}
 ),
 counts0 AS (
   SELECT {by_sel}k, SUM(w) AS c
@@ -177,9 +261,14 @@ cum AS (
          SUM(c) OVER ({part}ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
          SUM(c) OVER ({part.strip() or 'PARTITION BY 1'}) AS n
   FROM counts
+),
+sel AS (
+  SELECT {by_sel}MAX(n) AS count,
+         {k_sel}
+  FROM cum
+  {('GROUP BY ' + by_grp) if by else ''}
 )
-SELECT {by_sel}MAX(n) AS count,
-       {q_sel}
-FROM cum
-{('GROUP BY ' + by_grp) if by else ''}
+SELECT {by_sel}count,
+       {v_sel}
+FROM sel
 """.strip()

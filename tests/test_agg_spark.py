@@ -180,3 +180,25 @@ def test_finalize_empty_group_is_absent(spark):
     df = spark.createDataFrame([], "g string, v double")
     res = quantile_sketch(df, "v", by=["g"], qs=[0.5]).toPandas()
     assert len(res) == 0
+
+
+def test_nonpositive_weight_fails_fast_cells_engine(spark):
+    """The JVM cells path must reject weight <= 0 like the kernel engine and
+    the reference (ddsketch/ddsketch.py:141-142), not corrupt counts."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0, 2.0, 3.0], "w": [1.0, 0.0, 2.0]})
+    )
+    with pytest.raises(Exception, match="weight must be positive"):
+        quantile_sketch(
+            df, "v", qs=[0.5], cfg=SketchConfig(0.02), weight_col="w"
+        ).collect()
+
+
+def test_nonpositive_weight_fails_fast_sqlpath(spark):
+    from ddspark.sqlpath import sql_quantile_sketch
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"v": [1.0, 2.0], "w": [1.0, -1.0]})
+    )
+    with pytest.raises(Exception, match="weight must be positive"):
+        sql_quantile_sketch(df, "v", None, [0.5], 0.05, weight_col="w").collect()

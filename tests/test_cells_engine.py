@@ -191,3 +191,77 @@ def test_driver_finalize_equals_distributed(spark, mixed_df):
     dist_g = quantile_sketch(df, "v", None, [0.5], cfg).toPandas().iloc[0]
     drv_g = quantile_sketch_collect(df, "v", None, [0.5], cfg).iloc[0]
     assert dist_g[quantile_label(0.5)] == drv_g[quantile_label(0.5)]
+
+
+# -------------------------------------------------- vectorized finalizer
+
+
+def test_finalize_cells_vec_matches_per_group(spark, mixed_df):
+    """The O(cells) vectorized finalizer must reproduce the per-group
+    applyInPandas finalizer exactly (same keys -> same values; exact stats
+    are integer-valued sums here)."""
+    from ddspark.agg import build_cells, finalize_cells, finalize_cells_vec
+
+    df, _ = mixed_df
+    cfg = SketchConfig(ALPHA)
+    cells = build_cells(df, "v", ["g"], cfg)
+    a = (
+        finalize_cells(cells, QS, ["g"], cfg)
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    b = (
+        finalize_cells_vec(cells, QS, ["g"], cfg)
+        .toPandas().sort_values("g").reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    for col in a.columns:
+        if col == "g":
+            assert (a[col] == b[col]).all()
+        else:
+            assert np.allclose(
+                a[col].to_numpy(np.float64), b[col].to_numpy(np.float64),
+                rtol=0, atol=0, equal_nan=True,
+            ), col
+
+
+def test_finalize_cells_vec_global_and_extreme_qs(spark, mixed_df):
+    from ddspark.agg import build_cells, finalize_cells, finalize_cells_vec
+
+    df, _ = mixed_df
+    cfg = SketchConfig(0.02)
+    qs = [0.0, 0.01, 0.5, 0.99, 1.0]
+    cells = build_cells(df, "v", None, cfg)
+    a = finalize_cells(cells, qs, None, cfg).drop("_g").toPandas()
+    b = finalize_cells_vec(cells, qs, None, cfg).toPandas()
+    for col in b.columns:
+        assert np.allclose(
+            a[col].to_numpy(np.float64), b[col].to_numpy(np.float64),
+            rtol=0, atol=0, equal_nan=True,
+        ), col
+
+
+def test_finalize_cells_vec_many_groups(spark):
+    """Correctness at high group cardinality (the scale case the vectorized
+    path exists for): spot-check groups against the local algebra."""
+    from ddspark.agg import build_cells, finalize_cells_vec
+
+    rng = np.random.default_rng(11)
+    n = 60_000
+    g = rng.integers(0, 5_000, n)
+    v = np.round(rng.lognormal(3.0, 1.0, n), 3)
+    v[rng.random(n) < 0.05] *= -1
+    pdf = pd.DataFrame({"g": g, "v": v})
+    df = spark.createDataFrame(pdf).repartition(16)
+    cfg = SketchConfig(ALPHA)
+    res = finalize_cells_vec(
+        build_cells(df, "v", ["g"], cfg), QS, ["g"], cfg
+    ).toPandas().set_index("g")
+    assert len(res) == pdf["g"].nunique()
+    for gid in rng.choice(pdf["g"].unique(), 25, replace=False):
+        vals = pdf[pdf["g"] == gid]["v"].to_numpy(np.float64)
+        sk = Sketch.from_values(vals, cfg)
+        row = res.loc[gid]
+        assert row["count"] == len(vals)
+        assert row["min"] == vals.min() and row["max"] == vals.max()
+        for q in QS:
+            assert row[quantile_label(q)] == sk.quantile(q), (gid, q)

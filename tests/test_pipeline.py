@@ -274,3 +274,102 @@ def test_embedding_neardup_reuses_ann_helpers(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     pairs = dedup.embedding_neardup_pairs(df, threshold=0.99).toPandas()
     assert len(pairs) == 1 and pairs.iloc[0]["cosine"] == 1.0
+
+
+# ------------------------------------------------------------ round-2 scale
+
+
+def test_jaccard_df_cap_bounds_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must not explode the
+    self-join when df_cap is set; rare shared shingles still pair up."""
+    boiler = "copyright two thousand twenty four all rights reserved "
+    rows = [(i, boiler + f"unique{i} content{i} words{i} tail{i}") for i in range(50)]
+    rows[0] = (0, rows[0][1] + " rare shared bigram")
+    rows[1] = (1, rows[1][1] + " rare shared bigram")
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    uncapped = dedup.jaccard_pairs(df, threshold=0.0, n=2).toPandas()
+    assert len(uncapped) == 50 * 49 / 2  # every pair collides on boilerplate
+    capped = dedup.jaccard_pairs(df, threshold=0.0, n=2, df_cap=8).toPandas()
+    got = {(a, b) for a, b in zip(capped["id_a"], capped["id_b"])}
+    assert got == {(0, 1)}  # only the rare-shingle pair survives
+
+
+def test_simhash_chunk_layout_contract():
+    layout = dedup.simhash_chunk_layout(48, 3)
+    assert len(layout) == 4
+    assert [w for _, w in layout] == [12, 12, 12, 12]
+    assert [o for o, _ in layout] == [0, 12, 24, 36]
+    with pytest.raises(ValueError):
+        dedup.simhash_chunk_layout(64, 16)  # needs 17 chunks > 16
+
+
+def test_simhash_pairs_rejects_wide_hamming(dup_docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(dup_docs, max_hamming=16)
+
+
+def test_simhash_max_bucket_drops_degenerate_buckets(spark):
+    """All-identical docs land in one bucket per chunk; max_bucket drops
+    those buckets (documented recall loss) instead of joining n^2 rows."""
+    rows = [(i, "identical content repeated again and again") for i in range(30)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    full = dedup.simhash_pairs(df, max_hamming=3).toPandas()
+    assert len(full) == 30 * 29 / 2
+    capped = dedup.simhash_pairs(df, max_hamming=3, max_bucket=10).toPandas()
+    assert len(capped) == 0
+
+
+def test_simhash_portable_range(spark, docs):
+    fp = dedup.simhash(docs.limit(50), n_bits=48, portable=True).toPandas()
+    assert ((fp["simhash"] >= 0) & (fp["simhash"] < (1 << 48))).all()
+    with pytest.raises(ValueError):
+        dedup.simhash(docs, n_bits=64, portable=True)
+
+
+def test_portable_hash63_matches_duckdb(spark):
+    import duckdb
+
+    from ddspark.pipeline.hashing import portable_hash63, portable_hash63_sql
+
+    vals = ["hello", "", "a b  c", "naïve-ütf8", "42", "the quick brown fox"]
+    df = spark.createDataFrame(pd.DataFrame({"s": vals}))
+    got = df.select(portable_hash63(F.col("s")).alias("h")).toPandas()["h"].tolist()
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {portable_hash63_sql('?')}", [v]).fetchone()[0]
+        for v in vals
+    ]
+    assert got == want
+
+
+def test_minhash_portable_finds_dups(dup_docs):
+    pairs = dedup.minhash_dedup_pairs(dup_docs, threshold=0.5, portable=True).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    est = pairs.set_index(["id_a", "id_b"]).loc[(0, 1), "est_jaccard"]
+    assert est == 1.0
+
+
+def test_lsh_sparse_topk_recall(emb):
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+    approx = ann.lsh_topk(
+        emb, queries, k=5, n_planes=6, n_tables=16, dim=64, plane_family="sparse"
+    ).toPandas()
+    recall = 0.0
+    for qid in range(10):
+        want = set(exact[exact["qid"] == qid]["nid"])
+        got = set(approx[approx["qid"] == qid]["nid"])
+        recall += len(want & got) / len(want)
+    assert recall / 10 >= 0.5, recall / 10
+
+
+def test_ivf_portable_matches_default_shape(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    res = ann.ivf_topk(
+        emb, queries, k=3, n_centroids=8, nprobe=4, portable=True
+    ).toPandas()
+    assert set(res["qid"]) == {0, 1, 2}
+    for qid in [0, 1, 2]:
+        g = res[res["qid"] == qid].sort_values("rank")
+        assert g["cosine"].is_monotonic_decreasing

@@ -237,3 +237,68 @@ def test_kll_spark_agg(spark):
         for q, col in [(0.5, "kll_p50"), (0.95, "kll_p95")]:
             rank = np.searchsorted(vals, res.loc[g, col]) / len(vals)
             assert abs(rank - q) < 0.03, (g, q, rank)
+
+
+# ------------------------------------------------------------ round-2 APIs
+
+
+def test_cm_point_estimates_bound(spark, items_df):
+    import math
+
+    from ddspark.sketches.countmin import cm_point_estimates
+
+    df, pdf = items_df
+    depth, width = 5, 1024
+    probes = spark.createDataFrame(
+        [(v,) for v in ["it1", "it2", "it3", "never_seen"]], "v string"
+    )
+    est = cm_point_estimates(df, "item", probes, "v", depth, width).toPandas()
+    exact = pdf["item"].value_counts()
+    n = len(pdf)
+    eps = math.e / width
+    assert len(est) == 4
+    for rec in est.to_dict("records"):
+        ex = float(exact.get(rec["v"], 0))
+        assert rec["cm_est"] >= ex, rec
+        assert rec["cm_est"] <= ex + eps * n, rec
+
+
+def test_bloom_contains_df_no_false_negatives(spark, items_df):
+    from ddspark.sketches.bloom import bloom_contains_df
+
+    df, pdf = items_df
+    present = sorted(pdf["item"].unique())[:5]
+    absent = ["nope_1", "nope_2"]
+    probes = spark.createDataFrame([(v,) for v in list(present) + absent], "v string")
+    for portable in (False, True):
+        res = (
+            bloom_contains_df(df, "item", probes, "v", m=1 << 17, k=5,
+                              portable=portable)
+            .toPandas().set_index("v")["might_contain"]
+        )
+        for p in present:
+            assert bool(res[p]), (portable, p)  # never a false negative
+        # at this load the FPR is ~0, so absents should read False
+        assert not any(bool(res[a]) for a in absent)
+
+
+def test_proto_roundtrip_quantiles_distributed(spark, items_df):
+    from ddspark.agg import quantile_sketch, sketch_agg
+    from ddspark.proto import proto_roundtrip_quantiles
+    from ddspark.sketch import SketchConfig
+
+    df, _ = items_df
+    cfg = SketchConfig(0.02)
+    vdf = df.withColumn("v", F.abs(F.xxhash64("item")).cast("double") + 1.0)
+    states = sketch_agg(vdf, "v", ["g"], cfg)
+    rt = proto_roundtrip_quantiles(states, [0.5, 0.95], ["g"], cfg).toPandas()
+    direct = quantile_sketch(vdf, "v", ["g"], [0.5, 0.95], cfg).toPandas()
+    merged = rt.merge(direct, on="g", suffixes=("_rt", "_d"))
+    assert len(merged) == len(direct) == 2
+    for q in ["p50", "p95"]:
+        a = merged[f"{q}_rt"].to_numpy()
+        b = merged[f"{q}_d"].to_numpy()
+        assert np.allclose(a, b, rtol=1e-9), q
+    assert np.allclose(
+        merged["count_rt"].to_numpy(), merged["count_d"].to_numpy()
+    )
