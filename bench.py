@@ -13,7 +13,14 @@ Two parts, one JSON line on stdout:
    and efficiency = T(4N) / (4 * T(N)).
 
 Tunables: DDSPARK_BENCH_ROWS (default 960M), DDSPARK_BENCH_SCALING=0 to
-skip part 2, DDSPARK_BENCH_RUNS (best-of, default 2).
+skip part 2, DDSPARK_BENCH_RUNS (best-of, default 2),
+DDSPARK_BENCH_STRESS=0 to skip part 3 (skew / wide-group stress).
+
+3. **Stress shapes** — evidence that group *skew* and group *count* are
+   handled, not just the friendly 9-group flagship: (a) 90% of rows in one
+   hot key (map-side combine must absorb it), (b) 10^6 distinct groups
+   (the vectorized finalizer path; also measured via the pure-JVM sqlpath
+   for comparison).  Reported as rows/sec alongside the headline numbers.
 """
 
 from __future__ import annotations
@@ -39,6 +46,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("DDSPARK_BENCH_ROWS", str(960_000_000)))
 RUN_SCALING = os.environ.get("DDSPARK_BENCH_SCALING", "1") != "0"
+RUN_STRESS = os.environ.get("DDSPARK_BENCH_STRESS", "1") != "0"
 BEST_OF = int(os.environ.get("DDSPARK_BENCH_RUNS", "2"))
 CORPUS_PATH = os.environ.get(
     "DDSPARK_BENCH_CORPUS", f"/tmp/ddspark_bench_corpus_{BENCH_ROWS}.parquet"
@@ -206,6 +214,12 @@ def main() -> None:
     result["queries"] = timings
     result["value"] = round(sum(timings.values()), 4)
 
+    if RUN_STRESS:
+        try:
+            result["stress"] = _stress_section()
+        except Exception as exc:  # noqa: BLE001 — headline numbers still count
+            result["stress_error"] = f"{type(exc).__name__}: {exc}"
+
     if RUN_SCALING:
         try:
             result["throughput"] = _scaling_section()
@@ -213,6 +227,65 @@ def main() -> None:
             result["throughput_error"] = f"{type(exc).__name__}: {exc}"
 
     print(json.dumps(result))
+
+
+def _stress_section() -> dict:
+    """Skew / wide-group aggregation throughput on a synthetic in-memory
+    source (pure codegen range -> hash exprs; no I/O in the loop, so this
+    isolates the aggregation path)."""
+    n = int(os.environ.get("DDSPARK_STRESS_ROWS", str(48_000_000)))
+    wide_groups = int(os.environ.get("DDSPARK_STRESS_GROUPS", str(1_000_000)))
+    spark = get_spark(
+        app_name="ddspark-stress", cores=CPUS, shuffle_partitions=2 * CPUS
+    )
+    try:
+        base = spark.range(0, n, 1, 4 * CPUS).withColumn(
+            "v", (F.pmod(F.xxhash64("id"), F.lit(100_000)) + 1).cast("double")
+        )
+        skew = base.withColumn(
+            "g",
+            F.when(
+                F.pmod(F.xxhash64("id", F.lit(2)), F.lit(10)) < 9, F.lit("hot")
+            ).otherwise(
+                F.concat(
+                    F.lit("cold"),
+                    F.pmod(F.xxhash64("id", F.lit(3)), F.lit(100)).cast("string"),
+                )
+            ),
+        )
+        wide = base.withColumn(
+            "g", F.pmod(F.xxhash64("id", F.lit(4)), F.lit(wide_groups))
+        )
+
+        def timed(mk) -> float:
+            mk().count()  # warm: JIT + python workers
+            best = float("inf")
+            for _ in range(BEST_OF):
+                t0 = time.perf_counter()
+                mk().count()
+                best = min(best, time.perf_counter() - t0)
+            return n / best
+
+        cfg = SketchConfig(0.01)
+        out = {
+            "rows": n,
+            "wide_groups": wide_groups,
+            "skew_hot90_rows_per_sec": round(
+                timed(lambda: quantile_sketch(skew, "v", ["g"], QS, cfg))
+            ),
+            "wide_rows_per_sec": round(
+                timed(lambda: quantile_sketch(wide, "v", ["g"], QS, cfg))
+            ),
+            "wide_sqlpath_rows_per_sec": round(
+                timed(lambda: sql_quantile_sketch(wide, "v", ["g"], QS, 0.01))
+            ),
+            "method": "local[{}], synthetic codegen source, best of {}".format(
+                CPUS, BEST_OF
+            ),
+        }
+        return out
+    finally:
+        spark.stop()
 
 
 def _scaling_section() -> dict:
