@@ -276,6 +276,13 @@ def _stress_section() -> dict:
             "wide_rows_per_sec": round(
                 timed(lambda: quantile_sketch(wide, "v", ["g"], QS, cfg))
             ),
+            "wide_nostats_rows_per_sec": round(
+                timed(
+                    lambda: quantile_sketch(
+                        wide, "v", ["g"], QS, cfg, exact_stats=False
+                    )
+                )
+            ),
             "wide_sqlpath_rows_per_sec": round(
                 timed(lambda: sql_quantile_sketch(wide, "v", ["g"], QS, 0.01))
             ),

@@ -284,6 +284,7 @@ def build_cells(
     by: list[str] | None = None,
     cfg: SketchConfig | None = None,
     weight_col: str | None = None,
+    stats: bool = True,
 ) -> DataFrame:
     """JVM-side partial aggregation: ``(by..., sgn, k) -> (c, s, mn, mx, rc)``.
 
@@ -295,17 +296,24 @@ def build_cells(
     no raw row ever crosses the Python boundary.  Only the logarithmic
     mapping has this pure-column form; interpolated mappings use the kernel
     engine.
+
+    ``stats=False`` drops the exact-stat accumulators (``_s``/``_mn``/
+    ``_mx``) from every cell — for quantiles-only workloads this narrows
+    the partial aggregation and the shuffle by ~half, which matters when
+    group cardinality makes the cell table rows-sized.
     """
     by = list(by or [])
     cfg = cfg or SketchConfig()
     keyed = keyed_projection(df, value_col, by, cfg, weight_col)
-    return keyed.groupBy(*by, "_sgn", "_k").agg(
-        F.sum("_w").alias("_c"),
-        F.sum(F.col("_v") * F.col("_w")).alias("_s"),
-        F.min("_v").alias("_mn"),
-        F.max("_v").alias("_mx"),
-        F.count(F.lit(1)).alias("_rc"),
-    )
+    aggs = [F.sum("_w").alias("_c")]
+    if stats:
+        aggs += [
+            F.sum(F.col("_v") * F.col("_w")).alias("_s"),
+            F.min("_v").alias("_mn"),
+            F.max("_v").alias("_mx"),
+        ]
+    aggs.append(F.count(F.lit(1)).alias("_rc"))
+    return keyed.groupBy(*by, "_sgn", "_k").agg(*aggs)
 
 
 def assemble_cells(
@@ -585,6 +593,7 @@ def finalize_cells_sql(
     gamma = mapping.gamma
     off = cfg.offset
 
+    has_stats = "_s" in cells.columns
     df = cells
     if cfg.mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and cfg.bin_limit:
         wg = Window.partitionBy(*(by + ["_sgn"])) if by else Window.partitionBy("_sgn")
@@ -596,18 +605,20 @@ def finalize_cells_sql(
             clamped = F.least(
                 F.col("_k"), F.min("_k").over(wg) + F.lit(cfg.bin_limit - 1)
             )
+        re_aggs = [F.sum("_c").alias("_c")]
+        if has_stats:
+            re_aggs += [
+                F.sum("_s").alias("_s"),
+                F.min("_mn").alias("_mn"),
+                F.max("_mx").alias("_mx"),
+            ]
+        re_aggs.append(F.sum("_rc").alias("_rc"))
         df = (
             df.withColumn(
                 "_k", F.when(F.col("_sgn") == 0, F.col("_k")).otherwise(clamped)
             )
             .groupBy(*by, "_sgn", "_k")
-            .agg(
-                F.sum("_c").alias("_c"),
-                F.sum("_s").alias("_s"),
-                F.min("_mn").alias("_mn"),
-                F.max("_mx").alias("_mx"),
-                F.sum("_rc").alias("_rc"),
-            )
+            .agg(*re_aggs)
         )
 
     part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
@@ -623,13 +634,14 @@ def finalize_cells_sql(
         * F.pow(F.lit(2.0), key_d / F.lit(m))
         * F.lit(2.0 / (1.0 + gamma))
     )
-    aggs = [
-        F.sum("_c").alias("count"),
-        F.sum("_s").alias("sum"),
-        F.min("_mn").alias("min"),
-        F.max("_mx").alias("max"),
-        (F.sum("_s") / F.sum("_c")).alias("avg"),
-    ]
+    aggs = [F.sum("_c").alias("count")]
+    if has_stats:
+        aggs += [
+            F.sum("_s").alias("sum"),
+            F.min("_mn").alias("min"),
+            F.max("_mx").alias("max"),
+            (F.sum("_s") / F.sum("_c")).alias("avg"),
+        ]
     for q in qs:
         rank = F.lit(float(q)) * (F.col("n") - 1)
         aggs.append(F.min(F.when(F.col("run") > rank, val)).alias(quantile_label(q)))
@@ -825,6 +837,7 @@ def quantile_sketch(
     fanin: int | None = None,
     keep_state: bool = False,
     engine: str = "auto",
+    exact_stats: bool = True,
 ) -> DataFrame:
     """Flagship API: grouped (or global) quantile sketch over a DataFrame.
 
@@ -832,6 +845,10 @@ def quantile_sketch(
     returns one row per group with exact count/sum/min/max/avg and the
     DDSketch quantile estimates, each within ``cfg.relative_accuracy`` of the
     exact rank value.
+
+    ``exact_stats=False`` (cells engine only) omits sum/min/max/avg and
+    halves the per-cell state — the lean shape for quantiles-only jobs at
+    very high group cardinality.
     """
     by = list(by or [])
     cfg = cfg or SketchConfig()
@@ -842,7 +859,7 @@ def quantile_sketch(
         # quantile finalizer all run inside Catalyst/Tungsten — zero Python
         # stages, so group cardinality only costs window+agg work, never
         # interpreter dispatch (at 10^6 groups this is ~10x the Arrow path)
-        cells = build_cells(df, value_col, by, cfg, weight_col)
+        cells = build_cells(df, value_col, by, cfg, weight_col, stats=exact_stats)
         return finalize_cells_sql(cells, list(qs), by, cfg)
     merged = sketch_agg(df, value_col, by, cfg, weight_col, fanin=fanin, engine=engine)
     out = finalize_quantiles(merged, list(qs), cfg, by, keep_state=keep_state)

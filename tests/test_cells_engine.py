@@ -326,3 +326,24 @@ def test_finalize_cells_sql_negative_heavy_quantiles(spark):
         got = res.iloc[0][quantile_label(q)]
         want = sk.quantile(q)
         assert got == pytest.approx(want, rel=1e-12), q
+
+
+def test_quantile_sketch_exact_stats_false(spark, mixed_df):
+    """Lean quantiles-only shape: same quantile values, no stat columns,
+    narrower cells."""
+    from ddspark.agg import build_cells
+
+    df, _ = mixed_df
+    cfg = SketchConfig(ALPHA)
+    full = quantile_sketch(df, "v", ["g"], QS, cfg).toPandas().set_index("g")
+    lean = (
+        quantile_sketch(df, "v", ["g"], QS, cfg, exact_stats=False)
+        .toPandas().set_index("g")
+    )
+    assert list(lean.columns) == ["count"] + [quantile_label(q) for q in QS]
+    for q in QS:
+        col = quantile_label(q)
+        assert (full[col].sort_index() == lean[col].sort_index()).all(), col
+    assert (full["count"].sort_index() == lean["count"].sort_index()).all()
+    cells = build_cells(df, "v", ["g"], cfg, stats=False)
+    assert set(cells.columns) == {"g", "_sgn", "_k", "_c", "_rc"}
