@@ -267,6 +267,13 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.dedup import embedding_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.ann import ivf_topk
 
@@ -532,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
         "ann_ivf_topk": wrap(_q_ann_ivf),
+        "dedup_embedding_neardup": wrap(_q_embedding_neardup),
         "bloom_membership": wrap(_q_bloom_membership),
         "ddsketch_rollup_chars": wrap(_q_rollup_chars),
         "ddsketch_collapsing_highest": wrap(_q_collapsing_highest),
@@ -759,6 +767,21 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": bloom_membership_oracle_sql(
             "events", "user_id", _BLOOM_PROBES, m=4096, k=3,
         ),
+        "dedup_embedding_neardup": """
+            WITH v AS (
+              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+              FROM embeddings
+            ),
+            u AS (
+              SELECT vec_id,
+                     list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS uv
+              FROM v
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
+            FROM u a JOIN u b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+        """,
         "hll_distinct_users_by_type": """
             SELECT event_type,
                    COUNT(DISTINCT user_id) AS exact_users,

@@ -187,8 +187,11 @@ def headline_queries(spark: SparkSession) -> dict[str, float]:
             li, "l_quantity", ["l_linestatus"], QS, 0.05
         ),
     }
-    # warm the session (JVM + python workers) before timing
+    # warm the session before timing: one JVM-only query (codegen/JIT) and
+    # one Arrow query (Python worker pool — every other query is now pure
+    # JVM, so without this the kernel query would pay worker cold-start)
     suite["price_by_returnflag"]().collect()
+    suite["kernel_engine_by_flag"]().collect()
     timings: dict[str, float] = {}
     for name, fn in suite.items():
         t0 = time.perf_counter()
