@@ -267,6 +267,17 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) substring-level fingerprint near-dups; portable
+    hashing makes the whole operator ANSI-SQL-replayable."""
+    from ddspark.pipeline.textops import winnow_neardup_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return winnow_neardup_pairs(
+        docs, k=8, w=4, min_shared=3, portable=True, df_cap=16
+    )
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.dedup import embedding_neardup_pairs
 
@@ -310,6 +321,40 @@ def _q_rollup_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_quantiles(
         res.select("lang", "count", *[quantile_label(q) for q in QS])
     )
+
+
+def _q_cube_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(lang, source): one scan builds the finest cells, every coarser
+    grouping set re-aggregates those cells (the sketch monoid makes
+    super-aggregates free)."""
+    from ddspark.agg import quantile_sketch_rollup
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    sets = [["lang", "source"], ["lang"], ["source"], []]
+    res = quantile_sketch_rollup(
+        docs.withColumn("v", F.col("n_chars").cast("double")),
+        "v", ["lang", "source"], qs=QS, cfg=SketchConfig(ALPHA),
+        grouping_sets=sets,
+    )
+    return _round_quantiles(
+        res.select("lang", "source", "count", *[quantile_label(q) for q in QS])
+    )
+
+
+def _cube_docs_oracle_sql() -> str:
+    qcols = ", ".join(["count"] + [quantile_label(q) for q in QS])
+    parts = []
+    for lvl in (["lang", "source"], ["lang"], ["source"], []):
+        inner = ansi_sql_quantile_sketch(
+            "documents", "n_chars", lvl or None, QS, ALPHA, round_digits=ROUND
+        )
+        sel = []
+        for col in ("lang", "source"):
+            sel.append(col if col in lvl else f"CAST(NULL AS VARCHAR) AS {col}")
+        parts.append(
+            f"SELECT {', '.join(sel)}, {qcols} FROM ({inner})"
+        )
+    return "\nUNION ALL\n".join(parts)
 
 
 def _q_collapsing_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -540,8 +585,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": wrap(_q_ann_lsh),
         "ann_ivf_topk": wrap(_q_ann_ivf),
         "dedup_embedding_neardup": wrap(_q_embedding_neardup),
+        "text_winnow_neardup": wrap(_q_winnow_neardup),
         "bloom_membership": wrap(_q_bloom_membership),
         "ddsketch_rollup_chars": wrap(_q_rollup_chars),
+        "ddsketch_cube_docs": wrap(_q_cube_docs),
         "ddsketch_collapsing_highest": wrap(_q_collapsing_highest),
         "ddsketch_linear_mapping": wrap(_q_linear_mapping),
         "ddsketch_cubic_mapping": wrap(_q_cubic_mapping),
@@ -566,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         ivf_topk_oracle_sql,
         minhash_lsh_oracle_sql,
         simhash_pairs_oracle_sql,
+        winnow_neardup_oracle_sql,
     )
 
     return {
@@ -729,6 +777,7 @@ def oracle_sql() -> dict[str, str]:
             )
             + ")"
         ),
+        "ddsketch_cube_docs": _cube_docs_oracle_sql(),
         "ddsketch_collapsing_highest": ansi_sql_quantile_sketch(
             "events", "value", ["event_type"], QS, 0.05,
             mode=COLLAPSE_HIGHEST, bin_limit=32, round_digits=ROUND,
@@ -754,6 +803,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(
             "documents", where="doc_id < 200", n=2, num_hashes=64, bands=16,
             threshold=0.2, seed=42,
+        ),
+        "text_winnow_neardup": winnow_neardup_oracle_sql(
+            "documents", where="doc_id < 150", k=8, w=4, min_shared=3, df_cap=16,
         ),
         "dedup_simhash_pairs": simhash_pairs_oracle_sql(
             "documents", where="doc_id < 200", max_hamming=3, n_bits=48,

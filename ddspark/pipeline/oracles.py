@@ -18,6 +18,7 @@ from .hashing import portable_hash63_sql as _h63
 __all__ = [
     "minhash_lsh_oracle_sql",
     "simhash_pairs_oracle_sql",
+    "winnow_neardup_oracle_sql",
     "ann_lsh_sparse_oracle_sql",
     "ivf_topk_oracle_sql",
     "bloom_membership_oracle_sql",
@@ -147,6 +148,53 @@ cand AS (
   JOIN chunks b ON a.c = b.c AND a.v = b.v AND a.id < b.id
 )
 SELECT id_a, id_b, hamming FROM cand WHERE hamming <= {max_hamming}
+""".strip()
+
+
+def winnow_neardup_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where: str | None = None,
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    df_cap: int | None = None,
+) -> str:
+    """Twin of ``textops.winnow_neardup_pairs(..., portable=True)``."""
+    filt = f"WHERE {where}" if where else ""
+    if df_cap is not None:
+        cap = (
+            f",\nhot AS (SELECT fp FROM fps0 GROUP BY fp HAVING COUNT(*) > {df_cap}),\n"
+            "fps AS (SELECT id, fp FROM fps0 WHERE fp NOT IN (SELECT fp FROM hot))"
+        )
+    else:
+        cap = ",\nfps AS (SELECT id, fp FROM fps0)"
+    return rf"""
+WITH t AS (
+  SELECT {id_col} AS id,
+         regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g') AS s
+  FROM {table} {filt}
+),
+g AS (
+  SELECT id, i AS p, len(s) - {k - 1} AS ng,
+         {_h63(f"substr(s, i, {k})")} AS h
+  FROM t, UNNEST(generate_series(1, len(s) - {k - 1})) AS u(i)
+  WHERE len(s) >= {k}
+),
+wm AS (
+  SELECT id, p, ng,
+         MIN(h) OVER (PARTITION BY id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS fp
+  FROM g
+),
+fps0 AS (
+  SELECT DISTINCT id, fp FROM wm WHERE p <= ng - {w - 1}
+){cap}
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {min_shared}
 """.strip()
 
 

@@ -8,11 +8,13 @@ SQL twin for oracle checking.
 * language ID          — stopword-marker heuristic over a fixed marker table
 * document fingerprint — md5 of the normalized text (exact-dup key) and a
                          crc32-based rolling bucket
+* winnowing            — k-gram window-min fingerprints (MOSS), substring-
+                         level near-dup detection with an ANSI-SQL twin
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "token_count",
@@ -23,6 +25,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "fingerprint",
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
     "with_text_stats",
     "LANG_MARKERS",
 ]
@@ -120,6 +124,87 @@ def fingerprint(text: Column) -> Column:
     whitespace-collapsed text — the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    SIGMOD 2003, the MOSS algorithm): hash every ``k``-char gram of the
+    normalized text, keep the minimum hash of each window of ``w``
+    consecutive grams.  Guarantee: any substring match of length at least
+    ``k + w - 1`` between two documents produces at least one shared
+    fingerprint.  Output: distinct ``(id, fp)``.
+
+    The classical serial implementation uses a Rabin *rolling* hash to
+    update the gram hash in O(1) per character; in a columnar engine each
+    gram is hashed independently (one JVM expression over an exploded gram
+    table — same fingerprints, embarrassingly parallel).  ``portable``
+    uses the md5-derived hash so the whole operator is replayable in ANSI
+    SQL; the window min is a plain ``ROWS BETWEEN`` frame in both engines.
+    """
+    from .dedup import _hash63
+
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("id"), norm.alias("_t")).where(
+        F.length("_t") >= k
+    )
+    grams = base.select(
+        "id",
+        (F.length("_t") - F.lit(k - 1)).alias("_ng"),
+        F.explode(F.sequence(F.lit(1), F.length("_t") - F.lit(k - 1))).alias("_p"),
+        "_t",
+    ).select(
+        "id", "_ng", "_p",
+        _hash63(F.expr(f"substring(_t, _p, {k})"), portable).alias("_h"),
+    )
+    win = (
+        Window.partitionBy("id").orderBy("_p").rowsBetween(0, w - 1)
+    )
+    return (
+        grams.withColumn("fp", F.min("_h").over(win))
+        .where(F.col("_p") <= F.col("_ng") - F.lit(w - 1))
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def winnow_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_shared: int = 3,
+    portable: bool = False,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Document pairs sharing at least ``min_shared`` winnowed fingerprints
+    — substring-level near-dup/plagiarism detection.  ``df_cap`` drops
+    fingerprints present in more than that many documents before the
+    self-join (same hot-key guard as ``dedup.jaccard_pairs``)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, portable)
+    if df_cap is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("fp")
+        )
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -373,3 +373,29 @@ def test_ivf_portable_matches_default_shape(emb):
     for qid in [0, 1, 2]:
         g = res[res["qid"] == qid].sort_values("rank")
         assert g["cosine"].is_monotonic_decreasing
+
+
+def test_winnow_guarantee_shared_substring(spark):
+    """Winnowing guarantee: documents sharing a substring of length >=
+    k + w - 1 share at least one fingerprint (Schleimer et al. 2003)."""
+    shared = "zqxj kvwpy mnbtr aolch eiudg"  # 28 chars >= 8 + 4 - 1
+    rows = [
+        (0, "prefix one " + shared + " tail alpha"),
+        (1, "other start " + shared + " different end"),
+        (2, "totally unrelated content with nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    pairs = textops.winnow_neardup_pairs(df, k=8, w=4, min_shared=1).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert not any(2 in p for p in got)
+
+
+def test_winnow_fingerprints_portable_and_cap(spark, docs):
+    sample = docs.limit(60)
+    fps = textops.winnow_fingerprints(sample, k=8, w=4, portable=True).toPandas()
+    assert ((fps["fp"] >= 0) & (fps["fp"] < (1 << 60))).all()
+    # df_cap drops corpus-wide boilerplate fingerprints
+    full = textops.winnow_neardup_pairs(sample, min_shared=1).count()
+    capped = textops.winnow_neardup_pairs(sample, min_shared=1, df_cap=3).count()
+    assert capped <= full
