@@ -272,9 +272,12 @@ def _q_winnow_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashing makes the whole operator ANSI-SQL-replayable."""
     from ddspark.pipeline.textops import winnow_neardup_pairs
 
+    # segment_chars=64 forces the bounded-partition segmented window path;
+    # the oracle replays with a single global window per doc — matching
+    # hashes prove the segmentation is exact
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
     return winnow_neardup_pairs(
-        docs, k=8, w=4, min_shared=3, portable=True, df_cap=16
+        docs, k=8, w=4, min_shared=3, portable=True, df_cap=16, segment_chars=64
     )
 
 

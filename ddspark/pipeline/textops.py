@@ -133,6 +133,7 @@ def winnow_fingerprints(
     k: int = 8,
     w: int = 4,
     portable: bool = False,
+    segment_chars: int | None = 1 << 14,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     SIGMOD 2003, the MOSS algorithm): hash every ``k``-char gram of the
@@ -147,6 +148,17 @@ def winnow_fingerprints(
     table — same fingerprints, embarrassingly parallel).  ``portable``
     uses the md5-derived hash so the whole operator is replayable in ANSI
     SQL; the window min is a plain ``ROWS BETWEEN`` frame in both engines.
+
+    **Scale**: a naive ``PARTITION BY id`` window puts an entire document in
+    one task — a 1 GB document would serialize through one core.
+    ``segment_chars`` bounds window partitions *exactly*: grams are routed
+    to segment ``(p-1) div B`` and (when a window from the previous segment
+    reaches them) also ``(p-w) div B`` — each gram lands in at most two
+    segments, every window min is computed over its full w grams, and a
+    window start is emitted only by its owning segment, so the result is
+    bit-identical to the global window (the driver query proves this by
+    replaying against a global-window oracle with ``segment_chars=64``).
+    ``None`` disables segmentation.
     """
     from .dedup import _hash63
 
@@ -163,15 +175,24 @@ def winnow_fingerprints(
         "id", "_ng", "_p",
         _hash63(F.expr(f"substring(_t, _p, {k})"), portable).alias("_h"),
     )
-    win = (
-        Window.partitionBy("id").orderBy("_p").rowsBetween(0, w - 1)
-    )
-    return (
-        grams.withColumn("fp", F.min("_h").over(win))
-        .where(F.col("_p") <= F.col("_ng") - F.lit(w - 1))
-        .select("id", "fp")
-        .distinct()
-    )
+    start_ok = F.col("_p") <= F.col("_ng") - F.lit(w - 1)
+    if segment_chars is None:
+        win = Window.partitionBy("id").orderBy("_p").rowsBetween(0, w - 1)
+        fps = grams.withColumn("fp", F.min("_h").over(win)).where(start_ok)
+    else:
+        B = max(int(segment_chars), w)  # floor((q-1)/B) - floor((q-w)/B) <= 1
+        own = F.floor((F.col("_p") - F.lit(1)) / F.lit(B))
+        prev = F.floor((F.col("_p") - F.lit(w)) / F.lit(B))
+        segs = F.array_distinct(F.array(own, prev))
+        seg_grams = grams.select(
+            "id", "_ng", "_p", "_h", F.explode(segs).alias("_seg")
+        ).where(F.col("_seg") >= 0)
+        win = Window.partitionBy("id", "_seg").orderBy("_p").rowsBetween(0, w - 1)
+        fps = (
+            seg_grams.withColumn("fp", F.min("_h").over(win))
+            .where(start_ok & (own == F.col("_seg")))
+        )
+    return fps.select("id", "fp").distinct()
 
 
 def winnow_neardup_pairs(
@@ -183,12 +204,13 @@ def winnow_neardup_pairs(
     min_shared: int = 3,
     portable: bool = False,
     df_cap: int | None = None,
+    segment_chars: int | None = 1 << 14,
 ) -> DataFrame:
     """Document pairs sharing at least ``min_shared`` winnowed fingerprints
     — substring-level near-dup/plagiarism detection.  ``df_cap`` drops
     fingerprints present in more than that many documents before the
     self-join (same hot-key guard as ``dedup.jaccard_pairs``)."""
-    fps = winnow_fingerprints(df, id_col, text_col, k, w, portable)
+    fps = winnow_fingerprints(df, id_col, text_col, k, w, portable, segment_chars)
     if df_cap is not None:
         hot = (
             fps.groupBy("fp")

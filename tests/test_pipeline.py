@@ -399,3 +399,19 @@ def test_winnow_fingerprints_portable_and_cap(spark, docs):
     full = textops.winnow_neardup_pairs(sample, min_shared=1).count()
     capped = textops.winnow_neardup_pairs(sample, min_shared=1, df_cap=3).count()
     assert capped <= full
+
+
+def test_winnow_segmented_equals_global(spark, docs):
+    """Exactness of the bounded-partition segmented window: bit-identical
+    fingerprint sets for pathological small segment sizes."""
+    sample = docs.limit(40)
+    base = (
+        textops.winnow_fingerprints(sample, k=8, w=4, segment_chars=None)
+        .toPandas().sort_values(["id", "fp"]).reset_index(drop=True)
+    )
+    for b in (4, 7, 64):
+        seg = (
+            textops.winnow_fingerprints(sample, k=8, w=4, segment_chars=b)
+            .toPandas().sort_values(["id", "fp"]).reset_index(drop=True)
+        )
+        assert base.equals(seg), b
