@@ -192,6 +192,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     portable: bool = False,
+    lloyd_steps: int = 0,
 ) -> DataFrame:
     """IVF: assign vectors to their nearest seeded centroid; queries score
     only vectors in their ``nprobe`` closest centroid lists.
@@ -199,7 +200,11 @@ def ivf_topk(
     Centroids are hash-sampled corpus vectors (cheap k-means-0), collected
     once — a bounded ``n_centroids``-row driver list, not a data-dependent
     action.  ``portable`` draws the sample with the md5-derived hash so the
-    selection is replayable in ANSI SQL."""
+    selection is replayable in ANSI SQL.  ``lloyd_steps`` runs that many
+    spherical k-means refinement passes (assign -> per-dimension mean ->
+    renormalize), entirely as distributed aggregates — only the
+    ``n_centroids``-row result is ever broadcast; better-balanced lists
+    mean fewer candidates per probe at the same recall."""
     c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
     if portable:
         r_expr = portable_hash63(
@@ -235,6 +240,24 @@ def ivf_topk(
             scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= topn)
             .select(*df.columns, F.col("cid").alias(out))
+        )
+
+    for _ in range(lloyd_steps):
+        assigned = assign(c, "nid", "u", "cid", 1)
+        dim_means = (
+            assigned.select("cid", F.posexplode("u").alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(F.avg("x").alias("m"))
+        )
+        mean_vec = F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+        )
+        new_cents = dim_means.groupBy("cid").agg(mean_vec.alias("mv"))
+        norm = F.sqrt(F.aggregate("mv", F.lit(0.0), lambda acc, x: acc + x * x))
+        cents = F.broadcast(
+            new_cents.select(
+                "cid", F.transform("mv", lambda x: x / norm).alias("cu")
+            )
         )
 
     c_assigned = assign(c, "nid", "u", "cid", 1)

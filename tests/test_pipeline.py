@@ -415,3 +415,26 @@ def test_winnow_segmented_equals_global(spark, docs):
             .toPandas().sort_values(["id", "fp"]).reset_index(drop=True)
         )
         assert base.equals(seg), b
+
+
+def test_ivf_lloyd_refinement(emb):
+    """Lloyd refinement must keep the API contract and not hurt recall on
+    the corpus: compare recall@5 vs exact for 0 and 2 refinement steps."""
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+
+    def recall(res):
+        r = 0.0
+        for qid in range(10):
+            want = set(exact[exact["qid"] == qid]["nid"])
+            got = set(res[res["qid"] == qid]["nid"])
+            r += len(want & got) / len(want)
+        return r / 10
+
+    r0 = recall(ann.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).toPandas())
+    r2 = recall(
+        ann.ivf_topk(
+            emb, queries, k=5, n_centroids=8, nprobe=4, lloyd_steps=2
+        ).toPandas()
+    )
+    assert r2 >= r0 - 0.1, (r0, r2)
