@@ -439,6 +439,31 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_quantiles(out)
 
 
+def _q_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized quantile sketches: row-level gaps-and-islands session
+    assignment (``ddspark.streaming.sessionize``) composed with the fused
+    JVM sketch — per (user, session) value quantiles, sessions keyed by
+    their exact start instant.  The oracle re-derives the same sessions
+    with gaps-and-islands SQL."""
+    from ddspark.streaming import sessionize
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").where(F.col("value") > 0)
+    sess = sessionize(ev, "ts", ["user_id"], gap="12 hours").withColumn(
+        # parquet timestamps arrive as TIMESTAMP_NTZ; with the session
+        # pinned to UTC the cast makes unix_micros read the same naive
+        # instant DuckDB's epoch_us sees
+        "s_start",
+        F.unix_micros(F.col("session_start").cast("timestamp")),
+    )
+    res = quantile_sketch(
+        sess, "value", by=["s_start", "user_id"], qs=QS, cfg=SketchConfig(0.05)
+    )
+    return _round_quantiles(
+        res.select("s_start", "user_id", "count", *[quantile_label(q) for q in QS])
+    )
+
+
 def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle shape: Spark computes the HLL estimate AND the
     exact distinct count in one job and emits whether the estimate is inside
@@ -597,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_cubic_mapping": wrap(_q_cubic_mapping),
         "ddsketch_proto_roundtrip": wrap(_q_proto_roundtrip),
         "ddsketch_windowed_events": wrap(_q_windowed_events),
+        "ddsketch_session_events": wrap(_q_session_events),
         "hll_distinct_users_by_type": wrap(_q_hll_distinct),
         "exact_distinct_users_by_type": wrap(_q_exact_distinct),
         "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
@@ -802,6 +828,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
             "event_type, value FROM events) evt",
             "value", ["day", "event_type"], QS, 0.05, round_digits=ROUND,
+        ),
+        "ddsketch_session_events": ansi_sql_quantile_sketch(
+            """(WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        >= INTERVAL 12 HOUR
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WHERE value > 0
+), s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+) SELECT user_id, value,
+         epoch_us(MIN(ts) OVER (PARTITION BY user_id, sid)) AS s_start
+  FROM s) sess""",
+            "value", ["s_start", "user_id"], QS, 0.05, round_digits=ROUND,
         ),
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(
             "documents", where="doc_id < 200", n=2, num_hashes=64, bands=16,

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
@@ -37,6 +37,7 @@ from .sketch import Sketch, SketchConfig
 __all__ = [
     "sketch_stream_state",
     "windowed_sketch_cells",
+    "sessionize",
     "finalize_cells_batch",
 ]
 
@@ -140,6 +141,45 @@ def windowed_sketch_cells(
         F.max("_v").alias("_mx"),
         F.count(F.lit(1)).alias("_rc"),
     )
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str,
+    by: list[str],
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Row-level sessionization (batch): adds ``session_start`` — the first
+    event time of the row's session, where a session is a maximal run of
+    per-key events with inter-event gaps strictly below ``gap`` (the same
+    boundary rule as Spark's ``session_window``: an event exactly ``gap``
+    after the last one starts a new session).
+
+    Why not ``F.session_window``?  Native session windows merge per *full
+    grouping key*, so they cannot host the cells trick — adding the bucket
+    key to the groupBy would fragment a session into per-bucket pseudo-
+    sessions.  Row-level assignment (gaps-and-islands: LAG + running sum,
+    two windows over the same per-key sort) composes with any downstream
+    aggregation: ``quantile_sketch(sessionize(df, ...), v,
+    by=[key, "session_start"])`` stays fully JVM.  For *streaming*
+    per-session sketches use :func:`sketch_stream_state` (keyed custom
+    state is the streaming-native sessionization vehicle); this helper is
+    the batch/replay twin the correctness gate can oracle-check.
+
+    Scale: the two windows sort rows within each key partition — the
+    natural requirement of sessionization; keys are users/devices, so
+    partitions stay bounded.
+    """
+    w = Window.partitionBy(*by).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_s = F.when(
+        prev.isNull() | (F.col(ts_col) >= prev + gap_expr), 1
+    ).otherwise(0)
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("_sid", F.sum(new_s).over(cum))
+    sw = Window.partitionBy(*by, "_sid")
+    return out.withColumn("session_start", F.min(ts_col).over(sw)).drop("_sid")
 
 
 def finalize_cells_batch(

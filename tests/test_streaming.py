@@ -114,3 +114,30 @@ def test_windowed_cells_stream(spark, tmp_path, stream_rows):
         assert rec["count"] == len(vals)
         exact = exact_quantile(vals, 0.95)
         assert abs(rec[quantile_label(0.95)] - exact) <= 0.02 * abs(exact) + 1e-15
+
+
+def test_sessionize_islands(spark):
+    """Session assignment: maximal runs with gaps < gap; boundary at
+    exactly gap starts a new session (session_window parity)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        ("u1", t0),
+        ("u1", t0 + dt.timedelta(minutes=10)),      # same session (<30m)
+        ("u1", t0 + dt.timedelta(minutes=40)),      # exactly 30m after prev -> new
+        ("u1", t0 + dt.timedelta(minutes=69)),      # 29m after prev -> same
+        ("u2", t0 + dt.timedelta(minutes=5)),       # separate key
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["u", "ts"]))
+    from ddspark.streaming import sessionize
+
+    res = sessionize(df, "ts", ["u"], gap="30 minutes").toPandas()
+    res["s"] = res["session_start"]
+    u1 = res[res["u"] == "u1"].sort_values("ts")
+    starts = u1["s"].tolist()
+    assert starts[0] == starts[1] == t0
+    assert starts[2] == starts[3] == t0 + dt.timedelta(minutes=40)
+    assert res[res["u"] == "u2"]["s"].iloc[0] == t0 + dt.timedelta(minutes=5)
