@@ -373,9 +373,9 @@ def _q_collapsing_highest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_linear_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel engine with LinearlyInterpolatedMapping (reference
-    ``ddsketch/mapping.py:124-157``); oracle replays the frexp math in
-    closed SQL form."""
+    """LinearlyInterpolatedMapping (reference ``ddsketch/mapping.py:124-157``)
+    through the default JVM cells engine (corrected-frexp Catalyst key);
+    oracle replays the frexp math in closed SQL form."""
     docs = _read(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
     res = quantile_sketch(
         docs.withColumn("v", F.col("n_chars").cast("double")),
@@ -387,12 +387,13 @@ def _q_linear_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cubic_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kernel engine with CubicallyInterpolatedMapping (reference
-    ``ddsketch/mapping.py:160-216``); oracle inverts via Cardano in SQL."""
+    """CubicallyInterpolatedMapping (reference ``ddsketch/mapping.py:160-216``)
+    pinned to the Arrow kernel engine so that path stays driver-verified;
+    oracle inverts via Cardano in SQL."""
     li = _read(spark, sf_dir, "lineitem").where(F.col("l_extendedprice") > 0)
     res = quantile_sketch(
         li, "l_extendedprice", by=["l_returnflag"], qs=QS,
-        cfg=SketchConfig(ALPHA, mapping="cubic"),
+        cfg=SketchConfig(ALPHA, mapping="cubic"), engine="kernel",
     )
     return _round_quantiles(
         res.select("l_returnflag", "count", *[quantile_label(q) for q in QS])

@@ -235,12 +235,8 @@ def keyed_projection(
     """
     by = list(by or [])
     cfg = cfg or SketchConfig()
-    if cfg.mapping != "logarithmic":
-        raise ValueError("cells engine requires the logarithmic mapping")
     mapping = cfg.key_mapping
-    m = mapping._multiplier
     mp = mapping.min_possible
-    off = cfg.offset
     v = F.col(value_col)
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     df = df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
@@ -259,20 +255,14 @@ def keyed_projection(
         .otherwise(F.lit(0))
     )
 
-    def key_expr(x):
-        k = F.ceil(F.log2(x) * F.lit(m))
-        if off:
-            k = (k.cast("double") + F.lit(off)).cast("long")
-        return k
-
     return df.select(
         *(extra_cols or []),
         *by,
         v.alias("_v"),
         w.cast("double").alias("_w"),
         sgn.alias("_sgn"),
-        F.when(sgn == 1, key_expr(v))
-        .when(sgn == -1, key_expr(-v))
+        F.when(sgn == 1, mapping.key_expr(v))
+        .when(sgn == -1, mapping.key_expr(-v))
         .otherwise(F.lit(0))
         .alias("_k"),
     )
@@ -293,9 +283,9 @@ def build_cells(
     ``ddsketch.py:144-149``) are plain Catalyst expressions, so the heavy
     per-row work runs inside whole-stage codegen with Spark's own map-side
     combine — the shuffle carries only ``groups x live-buckets`` cells, and
-    no raw row ever crosses the Python boundary.  Only the logarithmic
-    mapping has this pure-column form; interpolated mappings use the kernel
-    engine.
+    no raw row ever crosses the Python boundary.  All three mappings have
+    pure-column key forms (the interpolated ones via the corrected-frexp
+    expression, ``KeyMapping.key_expr``).
 
     ``stats=False`` drops the exact-stat accumulators (``_s``/``_mn``/
     ``_mx``) from every cell — for quantiles-only workloads this narrows
@@ -580,18 +570,14 @@ def finalize_cells_sql(
     Collapsing modes clamp keys per ``(group, sign)`` against the store
     window first (the clamped-counter semantics of reference
     ``store.py:262-504``), exactly as ``bins_from_keys`` does per store.
-    Logarithmic mapping only (the cells engine's precondition).
+    Works for every mapping (``KeyMapping.value_expr`` is the Catalyst twin
+    of the NumPy inverse).
     """
     from .store import COLLAPSE_HIGHEST, COLLAPSE_LOWEST
 
     by = list(by or [])
     cfg = cfg or SketchConfig()
-    if cfg.mapping != "logarithmic":
-        raise ValueError("finalize_cells_sql requires the logarithmic mapping")
     mapping = cfg.key_mapping
-    m = mapping._multiplier
-    gamma = mapping.gamma
-    off = cfg.offset
 
     has_stats = "_s" in cells.columns
     df = cells
@@ -628,11 +614,8 @@ def finalize_cells_sql(
     cum = df.withColumn("run", F.sum("_c").over(w_cum)).withColumn(
         "n", F.sum("_c").over(part)
     )
-    key_d = F.col("_k").cast("double") - F.lit(float(off))
     val = F.when(F.col("_sgn") == 0, F.lit(0.0)).otherwise(
-        F.col("_sgn").cast("double")
-        * F.pow(F.lit(2.0), key_d / F.lit(m))
-        * F.lit(2.0 / (1.0 + gamma))
+        F.col("_sgn").cast("double") * mapping.value_expr(F.col("_k"))
     )
     aggs = [F.sum("_c").alias("count")]
     if has_stats:
@@ -820,7 +803,10 @@ def sketch_agg(
     by = list(by or [])
     cfg = cfg or SketchConfig()
     if engine == "auto":
-        engine = "cells" if cfg.mapping == "logarithmic" else "kernel"
+        # every mapping now has Catalyst key/value forms, so the JVM cells
+        # engine is always the default; "kernel" remains for lineage/
+        # checkpoint workflows and as the independent Arrow cross-check
+        engine = "cells"
     if engine == "cells":
         return assemble_cells(build_cells(df, value_col, by, cfg, weight_col), by, cfg)
     partials = build_partials(df, value_col, by, cfg, weight_col)
@@ -853,7 +839,10 @@ def quantile_sketch(
     by = list(by or [])
     cfg = cfg or SketchConfig()
     if engine == "auto":
-        engine = "cells" if cfg.mapping == "logarithmic" else "kernel"
+        # every mapping now has Catalyst key/value forms, so the JVM cells
+        # engine is always the default; "kernel" remains for lineage/
+        # checkpoint workflows and as the independent Arrow cross-check
+        engine = "cells"
     if engine == "cells" and not keep_state:
         # fully-fused JVM path: key expressions, partial aggregation AND the
         # quantile finalizer all run inside Catalyst/Tungsten — zero Python

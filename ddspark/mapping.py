@@ -105,6 +105,53 @@ class KeyMapping(ABC):
     def value(self, key: int) -> float:
         return float(self.value_vec(np.array([key]))[0])
 
+    # -- Catalyst expression forms (the cells engine) -----------------------
+    #
+    # Each mapping also renders its key/value functions as Spark Column
+    # expressions so the JVM cells engine works for every mapping, not just
+    # the logarithmic one.  The interpolated mappings need frexp; its closed
+    # column form is FLOOR(LOG2(v)) with an explicit +/-1 correction (libm
+    # log2 can be one ulp off at powers of two), after which v / 2^e and the
+    # subtraction of 1.0 are IEEE-exact — keys are bit-identical to the
+    # NumPy kernels (property-tested in tests/test_mapping.py).
+
+    def _approx_log_expr(self, v):
+        """Mapping-specific log expression on a positive double column."""
+        raise NotImplementedError
+
+    def _approx_pow_expr(self, x):
+        """Inverse of :meth:`_approx_log_expr` on a double column."""
+        raise NotImplementedError
+
+    def key_expr(self, v):
+        """Bucket key (BIGINT column) of a positive double column — the
+        Catalyst twin of :meth:`key_vec`."""
+        from pyspark.sql import functions as F
+
+        k = F.ceil(self._approx_log_expr(v) * F.lit(self._multiplier))
+        if self._offset:
+            k = (k.cast("double") + F.lit(self._offset)).cast("long")
+        return k
+
+    def value_expr(self, k):
+        """Bucket representative value (double column) of a key column —
+        the Catalyst twin of :meth:`value_vec`."""
+        from pyspark.sql import functions as F
+
+        x = (k.cast("double") - F.lit(self._offset)) / F.lit(self._multiplier)
+        return self._approx_pow_expr(x) * F.lit(2.0 / (1.0 + self.gamma))
+
+
+def _frexp_e_expr(v):
+    """Column form of frexp's exponent-1: e such that v / 2^e is in [1, 2)."""
+    from pyspark.sql import functions as F
+
+    e0 = F.floor(F.log2(v))
+    p = F.pow(F.lit(2.0), e0)
+    return (
+        F.when(v / p >= 2.0, e0 + 1).when(v / p < 1.0, e0 - 1).otherwise(e0)
+    ).cast("long")
+
 
 class LogarithmicMapping(KeyMapping):
     """Exact logarithmic mapping (reference ``mapping.py:96-113``).
@@ -128,6 +175,16 @@ class LogarithmicMapping(KeyMapping):
 
     def _pow_gamma_vec(self, x: np.ndarray) -> np.ndarray:
         return np.power(2.0, x / self._multiplier)
+
+    def _approx_log_expr(self, v):
+        from pyspark.sql import functions as F
+
+        return F.log2(v)
+
+    def _approx_pow_expr(self, x):
+        from pyspark.sql import functions as F
+
+        return F.pow(F.lit(2.0), x)
 
 
 def _frexp_vec(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -159,6 +216,20 @@ class LinearlyInterpolatedMapping(KeyMapping):
 
     def _pow_gamma_vec(self, x: np.ndarray) -> np.ndarray:
         return self._exp2_approx_vec(x / self._multiplier)
+
+    def _approx_log_expr(self, v):
+        from pyspark.sql import functions as F
+
+        e = _frexp_e_expr(v)
+        s = v / F.pow(F.lit(2.0), e.cast("double")) - F.lit(1.0)
+        return s + e.cast("double")
+
+    def _approx_pow_expr(self, x):
+        from pyspark.sql import functions as F
+
+        e2 = F.floor(x).cast("long") + 1
+        mant = (x - e2.cast("double") + F.lit(2.0)) / F.lit(2.0)
+        return mant * F.pow(F.lit(2.0), e2.cast("double"))
 
 
 class CubicallyInterpolatedMapping(KeyMapping):
@@ -200,6 +271,32 @@ class CubicallyInterpolatedMapping(KeyMapping):
 
     def _pow_gamma_vec(self, x: np.ndarray) -> np.ndarray:
         return self._cubic_exp2_approx_vec(x / self._multiplier)
+
+    def _approx_log_expr(self, v):
+        from pyspark.sql import functions as F
+
+        e = _frexp_e_expr(v)
+        s = v / F.pow(F.lit(2.0), e.cast("double")) - F.lit(1.0)
+        A, B, C = self.A, self.B, self.C
+        return ((F.lit(A) * s + F.lit(B)) * s + F.lit(C)) * s + e.cast("double")
+
+    def _approx_pow_expr(self, x):
+        # Cardano inverse, constants folded exactly as the NumPy kernel
+        # folds them (see _cubic_exp2_approx_vec)
+        from pyspark.sql import functions as F
+
+        A, B, C = self.A, self.B, self.C
+        d0 = B * B - 3.0 * A * C
+        t1 = 2.0 * B**3 - 9.0 * A * B * C
+        c2 = 27.0 * A * A
+        c3 = 4.0 * d0**3
+        three_a = 3.0 * A
+        ex = F.floor(x)
+        frac = x - ex
+        d1 = F.lit(t1) - F.lit(c2) * frac
+        card = F.cbrt((d1 - F.sqrt(d1 * d1 - F.lit(c3))) / F.lit(2.0))
+        sp1 = (-((F.lit(B) + card) + (F.lit(d0) / card))) / F.lit(three_a) + F.lit(1.0)
+        return (sp1 / F.lit(2.0)) * F.pow(F.lit(2.0), ex.cast("long").cast("double") + F.lit(1.0))
 
 
 _MAPPING_CLASSES = {

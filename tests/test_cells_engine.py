@@ -121,13 +121,55 @@ def test_cells_global_and_plan(spark, mixed_df):
     assert "HashAggregate" in plan
 
 
-def test_cells_rejects_interpolated_mappings(spark, mixed_df):
-    df, _ = mixed_df
-    with pytest.raises(Exception):
-        sketch_agg(df, "v", ["g"], SketchConfig(0.01, mapping="cubic"), engine="cells").collect()
-    # auto falls back to kernel for cubic
-    res = sketch_agg(df, "v", ["g"], SketchConfig(0.05, mapping="cubic"), engine="auto")
-    assert res.count() == 3
+@pytest.mark.parametrize("mapping", ["linear", "cubic"])
+def test_cells_supports_interpolated_mappings(spark, mixed_df, mapping):
+    """Round 2: the corrected-frexp Catalyst key makes the cells engine
+    cover the interpolated mappings too — bit-identical bins vs the Arrow
+    kernel engine and the local algebra."""
+    df, pdf = mixed_df
+    cfg = SketchConfig(0.02, mapping=mapping)
+    cells = (
+        sketch_agg(df, "v", ["g"], cfg, engine="cells")
+        .toPandas().set_index("g").sort_index()
+    )
+    kernel = (
+        sketch_agg(df, "v", ["g"], cfg, engine="kernel")
+        .toPandas().set_index("g").sort_index()
+    )
+    for key in cells.index:
+        local = Sketch.from_values(pdf[pdf["g"] == key]["v"].to_numpy(np.float64), cfg)
+        got = Sketch.from_state(cfg, cells.loc[key].to_dict())
+        ker = Sketch.from_state(cfg, kernel.loc[key].to_dict())
+        assert got.nonzero_bins() == local.nonzero_bins() == ker.nonzero_bins(), key
+        assert got.count == local.count == ker.count
+
+
+@pytest.mark.parametrize("mapping", ["linear", "cubic"])
+def test_mapping_exprs_match_numpy_kernels(spark, mapping):
+    """key_expr/value_expr (Catalyst) vs key_vec/value_vec (NumPy): keys
+    bit-identical across frexp boundary cases; values within 1 ulp."""
+    from ddspark.mapping import mapping_from_name
+
+    rng = np.random.default_rng(0)
+    vals = np.concatenate([
+        rng.uniform(1e-6, 1e6, 4000),
+        np.exp(rng.uniform(-20, 20, 4000)),
+        2.0 ** np.arange(-30, 31),
+        np.nextafter(2.0 ** np.arange(-30, 31), 0),
+        np.nextafter(2.0 ** np.arange(-30, 31), np.inf),
+    ])
+    km = mapping_from_name(mapping, 0.01)
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got_k = (
+        df.select(km.key_expr(F.col("v")).alias("k")).toPandas()["k"]
+        .to_numpy(np.int64)
+    )
+    assert np.array_equal(got_k, km.key_vec(vals))
+    keys = np.unique(km.key_vec(vals))
+    kdf = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    got_v = kdf.select(km.value_expr(F.col("k")).alias("x")).toPandas()["x"].to_numpy()
+    want_v = km.value_vec(keys)
+    assert np.allclose(got_v, want_v, rtol=1e-12)
 
 
 def test_rollup_levels_consistent(spark, mixed_df):
