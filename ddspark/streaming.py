@@ -1,6 +1,6 @@
 """Structured Streaming sketch aggregation.
 
-Two shapes, matching how DDSketch is used on live data:
+Four shapes, matching how DDSketch is used on live data:
 
 1. **Continuous per-key sketches** — :func:`sketch_stream_state`:
    ``applyInPandasWithState`` keeps one flat sketch state per group
@@ -16,6 +16,14 @@ Two shapes, matching how DDSketch is used on live data:
    data, and state eviction are Spark's own, with nothing custom in the
    loop — and the tiny per-window cell sets are finalized to quantiles in
    ``foreachBatch`` (or any downstream batch hop).
+
+3. **Session quantiles, streaming** — :func:`session_sketch_state`:
+   gap-based sessions with one open-session sketch per key in custom
+   keyed state, closed by the next gap or an event-time timeout.
+
+4. **Session quantiles, batch/replay** — :func:`sessionize`: row-level
+   gaps-and-islands session assignment that composes with the fused JVM
+   sketch; the oracle-checkable twin of shape 3.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
+    LongType,
     StringType,
     StructField,
     StructType,
@@ -38,6 +47,7 @@ __all__ = [
     "sketch_stream_state",
     "windowed_sketch_cells",
     "sessionize",
+    "session_sketch_state",
     "finalize_cells_batch",
 ]
 
@@ -162,8 +172,7 @@ def sessionize(
     two windows over the same per-key sort) composes with any downstream
     aggregation: ``quantile_sketch(sessionize(df, ...), v,
     by=[key, "session_start"])`` stays fully JVM.  For *streaming*
-    per-session sketches use :func:`sketch_stream_state` (keyed custom
-    state is the streaming-native sessionization vehicle); this helper is
+    per-session sketches use :func:`session_sketch_state`; this helper is
     the batch/replay twin the correctness gate can oracle-check.
 
     Scale: the two windows sort rows within each key partition — the
@@ -180,6 +189,150 @@ def sessionize(
     out = df.withColumn("_sid", F.sum(new_s).over(cum))
     sw = Window.partitionBy(*by, "_sid")
     return out.withColumn("session_start", F.min(ts_col).over(sw)).drop("_sid")
+
+
+def session_sketch_state(
+    sdf: DataFrame,
+    ts_col: str,
+    value_col: str,
+    by: list[str],
+    gap: str = "30 minutes",
+    cfg: SketchConfig | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming per-session sketches: ``applyInPandasWithState`` keyed by
+    ``by``, one open-session sketch per key, closed either by a new event
+    arriving ``>= gap`` after the session's last event or by an event-time
+    timeout once the watermark passes ``last_event + gap``.
+
+    Emits one row per *closed* session: ``by... | session_start | count |
+    min | max | p...``.  Within a micro-batch events are sorted and split
+    into islands vectorized; across micro-batches the usual streaming-
+    sessionization assumption applies (per-key data no later than the
+    watermark).  This is the streaming twin of :func:`sessionize` — native
+    ``session_window`` cannot host a sketch aggregate (it merges sessions
+    per full grouping key), and custom keyed state is the idiomatic Spark
+    vehicle for session aggregates.  State per key is one flat sketch row
+    (KBs), evicted on timeout.
+    """
+    cfg = cfg or SketchConfig()
+    watermark = watermark or gap
+    gap_us = int(pd.Timedelta(gap).value // 1_000)
+    q_cols = [quantile_label(q) for q in qs]
+    out_schema = StructType(
+        _by_fields(sdf, by)
+        + [
+            StructField("session_start", LongType()),
+            StructField("count", DoubleType()),
+            StructField("min", DoubleType()),
+            StructField("max", DoubleType()),
+        ]
+        + [StructField(c, DoubleType()) for c in q_cols]
+    )
+    state_keys = ["_session_start", "_last_ts"] + STATE_COLS
+    state_schema = StructType(
+        [
+            StructField("_session_start", LongType()),
+            StructField("_last_ts", LongType()),
+        ]
+        + STATE_FIELDS
+    )
+
+    def close_row(key, start_us: int, sk: Sketch) -> dict:
+        rec = dict(zip(by, key))
+        rec["session_start"] = int(start_us)
+        rec.update(count=sk.count, min=sk.min, max=sk.max)
+        for q, c in zip(qs, q_cols):
+            rec[c] = sk.quantile(q)
+        return rec
+
+    def update(key, pdfs, state: GroupState):
+        out: list[dict] = []
+        carried = None
+        if state.exists:
+            st = dict(zip(state_keys, state.get))
+            carried = (
+                int(st["_session_start"]),
+                int(st["_last_ts"]),
+                Sketch.from_state(cfg, st),
+            )
+        if state.hasTimedOut:
+            if carried is not None:
+                out.append(close_row(key, carried[0], carried[2]))
+            state.remove()
+            if out:
+                yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+            return
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            pdf = pdf[pdf[value_col].notna()].sort_values(ts_col)
+            ts_us = (pdf[ts_col].astype("int64") // 1_000).to_numpy()
+            vals = pdf[value_col].to_numpy(np.float64)
+        else:
+            ts_us = np.array([], dtype=np.int64)
+            vals = np.array([], dtype=np.float64)
+        if len(ts_us) == 0:
+            starts = np.array([], dtype=np.int64)
+        else:
+            new_s = np.r_[True, np.diff(ts_us) >= gap_us]
+            starts = np.flatnonzero(new_s)
+        islands = [
+            (int(ts_us[s]), int(ts_us[e - 1]), vals[s:e])
+            for s, e in zip(starts, np.r_[starts[1:], len(ts_us)])
+        ]
+        if not islands:
+            # batch had no usable rows for this key: keep the open session
+            if carried is not None:
+                wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(
+                    max(carried[1] // 1_000 + gap_us // 1_000, wm + 1)
+                )
+            return
+        if carried is not None and islands and islands[0][0] - carried[1] < gap_us:
+            # first island continues the open session
+            s0, e0, v0 = islands[0]
+            merged = carried[2].merge(Sketch.from_values(v0, cfg))
+            islands[0] = (carried[0], e0, merged)
+            carried = None
+        if carried is not None:
+            # gap between state and everything new: close the old session
+            out.append(close_row(key, carried[0], carried[2]))
+        open_sess = None
+        for i, (s, e, v) in enumerate(islands):
+            sk = v if isinstance(v, Sketch) else Sketch.from_values(v, cfg)
+            if i < len(islands) - 1:
+                out.append(close_row(key, s, sk))
+            else:
+                open_sess = (s, e, sk)
+        if open_sess is not None:
+            s, e, sk = open_sess
+            st = sk.to_state()
+            state.update(
+                (int(s), int(e))
+                + tuple(
+                    st[c] if c not in ("pos_bins", "neg_bins") else st[c].tolist()
+                    for c in STATE_COLS
+                )
+            )
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(e // 1_000 + gap_us // 1_000, wm + 1))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .select(*by, ts_col, value_col)
+        .groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
 
 
 def finalize_cells_batch(

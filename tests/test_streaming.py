@@ -141,3 +141,71 @@ def test_sessionize_islands(spark):
     assert starts[0] == starts[1] == t0
     assert starts[2] == starts[3] == t0 + dt.timedelta(minutes=40)
     assert res[res["u"] == "u2"]["s"].iloc[0] == t0 + dt.timedelta(minutes=5)
+
+
+def test_session_sketch_state_stream(spark, tmp_path):
+    """Streaming sessionization with custom keyed state: sessions split
+    across micro-batches are carried and closed correctly (by gap or by
+    event-time timeout), and each closed session's sketch equals the local
+    algebra over exactly its events."""
+    import datetime as dt
+
+    from ddspark.streaming import session_sketch_state
+
+    rng = np.random.default_rng(9)
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    rows = []
+    for ui, u in enumerate(["u0", "u1"]):
+        for s in range(3):  # 3 sessions per key, 1h apart
+            t0 = base + pd.Timedelta(hours=s) + pd.Timedelta(minutes=7 * ui)
+            for i in range(5):  # events 20s apart
+                rows.append((u, t0 + pd.Timedelta(seconds=20 * i),
+                             float(np.round(rng.lognormal(3, 1), 3))))
+    pdf = pd.DataFrame(rows, columns=["u", "ts", "v"]).sort_values("ts")
+    src = str(tmp_path / "sess_src")
+    # split mid-stream (and mid-session) to exercise cross-batch carry;
+    # one part file per batch (coalesce) + mtime spacing so the file source
+    # delivers them in event-time order — the documented assumption of
+    # streaming sessionization (out-of-order beyond the watermark is
+    # dropped by Spark itself)
+    import time as _time
+
+    cut = len(pdf) // 2 + 1
+    spark.createDataFrame(pdf.iloc[:cut]).coalesce(1).write.parquet(f"{src}/f0.parquet")
+    _time.sleep(1.5)
+    spark.createDataFrame(pdf.iloc[cut:]).coalesce(1).write.parquet(f"{src}/f1.parquet")
+    _time.sleep(1.5)
+    sentinel = pd.DataFrame(
+        {"u": ["zz"], "ts": [base + pd.Timedelta(days=1)], "v": [1.0]}
+    )
+    spark.createDataFrame(sentinel).coalesce(1).write.parquet(f"{src}/f2.parquet")
+
+    sdf = (
+        spark.readStream.schema("u string, ts timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = session_sketch_state(
+        sdf, "ts", "v", ["u"], gap="2 minutes", cfg=CFG, qs=[0.5, 0.95]
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("session_state_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("SELECT * FROM session_state_test").toPandas()
+    res = res[res["u"] != "zz"]
+    assert len(res) == 6, res  # 2 keys x 3 sessions, all closed
+    for rec in res.to_dict("records"):
+        start = pd.Timestamp(rec["session_start"] * 1000)  # us -> ns
+        g = pdf[(pdf["u"] == rec["u"]) & (pdf["ts"] >= start)
+                & (pdf["ts"] < start + pd.Timedelta(minutes=2))]
+        vals = g["v"].to_numpy(np.float64)
+        assert rec["count"] == len(vals) == 5
+        local = Sketch.from_values(vals, CFG)
+        assert rec["min"] == vals.min() and rec["max"] == vals.max()
+        assert rec[quantile_label(0.5)] == pytest.approx(local.quantile(0.5), rel=1e-12)
