@@ -239,6 +239,17 @@ def _q_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "n_bytes")
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing (decode stubbed, mechanics real):
+    uniform chunk selection over the blob, replayed byte-for-byte by the
+    oracle over the blob's hex form."""
+    from ddspark.pipeline.multimodal import sample_frames, with_blob
+
+    docs = _read(spark, sf_dir, "documents")
+    fr = sample_frames(with_blob(docs), n_frames=4, frame_bytes=16)
+    return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable hashing: the whole signature/band pipeline is replayed
     # bit-for-bit by the DuckDB oracle (ddspark/pipeline/oracles.py)
@@ -609,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": wrap(_q_jaccard_pairs),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
+        "multimodal_frame_sample": wrap(_q_frame_sample),
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
@@ -791,6 +803,27 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_byte_plumbing": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "multimodal_frame_sample": """
+            WITH b AS (
+              SELECT doc_id, to_hex(encode(text)) AS hx,
+                     octet_length(encode(text)) AS nb
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id, hx, CAST(CEIL(nb / 16.0) AS BIGINT) AS nc FROM b
+            ),
+            fr AS (
+              SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                     CASE WHEN nc <= 4 THEN i ELSE (i * nc) // 4 END AS chunk,
+                     hx
+              FROM m,
+                   UNNEST(generate_series(0,
+                     CASE WHEN nc <= 4 THEN nc ELSE 4 END - 1)) AS u(i)
+            )
+            SELECT doc_id, frame_idx,
+                   substr(hx, CAST(chunk * 32 + 1 AS BIGINT), 32) AS frame_hex
+            FROM fr
         """,
         "exact_distinct_users_by_type": """
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_users

@@ -27,7 +27,14 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["with_blob", "decode_image", "byte_features", "extract_features"]
+__all__ = [
+    "with_blob",
+    "decode_image",
+    "resize_image",
+    "byte_features",
+    "extract_features",
+    "sample_frames",
+]
 
 
 def with_blob(df: DataFrame, text_col: str = "text", media_type: str = "image/fake") -> DataFrame:
@@ -50,6 +57,63 @@ def decode_image(blob: bytes) -> "np.ndarray":
     raise NotImplementedError(
         "image decode requires PIL/opencv; not available in this environment"
     )
+
+
+def resize_image(blob: bytes, width: int, height: int) -> bytes:
+    """STUB: real resize requires an image codec not present in this
+    container.  The distributed shape it would run in is exactly
+    :func:`extract_features` / :func:`sample_frames`: Arrow-batched
+    ``mapInPandas`` over ``(id, blob)`` with a typed output schema."""
+    raise NotImplementedError(
+        "image resize requires PIL/opencv; not available in this environment"
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    n_frames: int = 4,
+    frame_bytes: int = 16,
+) -> DataFrame:
+    """Uniform frame sampling over a chunked binary payload — the
+    frame-sample plumbing for video blobs.  With no video codec in the
+    container a "frame" is a fixed-size byte chunk (deterministic fake),
+    but the distributed mechanics are the real thing: column-pruned
+    ``(id, blob)`` through Arrow batches, uniform index selection
+    ``floor(i * n_chunks / n_frames)``, typed ``(id, frame_idx, frame)``
+    output.  Deterministic, so the driver gate replays it byte-for-byte in
+    SQL over the blob's hex form.
+    """
+    from pyspark.sql.types import BinaryType, IntegerType
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(b) if b is not None else b""
+                nc = (len(b) + frame_bytes - 1) // frame_bytes
+                if nc == 0:
+                    continue
+                if nc <= n_frames:
+                    chunks = list(range(nc))
+                else:
+                    chunks = [(i * nc) // n_frames for i in range(n_frames)]
+                for fi, c in enumerate(chunks):
+                    ids.append(rid)
+                    idxs.append(fi)
+                    frames.append(b[c * frame_bytes:(c + 1) * frame_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
 def byte_features(blobs: pd.Series) -> pd.DataFrame:

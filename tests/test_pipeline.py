@@ -438,3 +438,27 @@ def test_ivf_lloyd_refinement(emb):
         ).toPandas()
     )
     assert r2 >= r0 - 0.1, (r0, r2)
+
+
+def test_sample_frames_uniform_and_short(spark):
+    rows = [
+        (0, b"A" * 100),          # 7 chunks of 16 -> 4 sampled
+        (1, b"B" * 20),           # 2 chunks -> both
+        (2, b""),                 # empty -> no frames
+        (3, b"C" * 16),           # exactly one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    res = multimodal.sample_frames(df, n_frames=4, frame_bytes=16).toPandas()
+    g0 = res[res["doc_id"] == 0].sort_values("frame_idx")
+    assert list(g0["frame_idx"]) == [0, 1, 2, 3]
+    # uniform chunks over 7: floor(i*7/4) = 0,1,3,5
+    assert [len(bytes(f)) for f in g0["frame"]] == [16, 16, 16, 16]
+    assert len(res[res["doc_id"] == 1]) == 2
+    assert bytes(res[res["doc_id"] == 1].sort_values("frame_idx")["frame"].iloc[1]) == b"B" * 4
+    assert len(res[res["doc_id"] == 2]) == 0
+    assert len(res[res["doc_id"] == 3]) == 1
+
+
+def test_resize_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_image(b"\x89PNG", 64, 64)
