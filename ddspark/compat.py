@@ -160,3 +160,112 @@ class LogCollapsingHighestDenseDDSketch(BaseDDSketch):
         super().__init__(
             SketchConfig(relative_accuracy, mode=COLLAPSE_HIGHEST, bin_limit=bin_limit)
         )
+
+
+# --------------------------------------------------------------- store shims
+#
+# The remaining reference exports (``ddsketch/__init__.py:15-24``): the three
+# mapping classes (ours are drop-ins already) and the two collapsing store
+# classes.  The store shims wrap the batch-functional core (``bins_from_keys``
+# / ``merge_bins`` / ``key_at_rank``) in the reference's mutable per-key API
+# (``store.py:161-165,244-259,299-381,423-504``) with the same
+# amortized-buffer trick the sketch shims use.
+
+from .mapping import (  # noqa: E402  (re-exports for drop-in parity)
+    CubicallyInterpolatedMapping,
+    LinearlyInterpolatedMapping,
+)
+from .store import (  # noqa: E402
+    bins_from_keys,
+    empty_bins,
+    is_empty,
+    key_at_rank as _key_at_rank,
+    merge_bins,
+)
+
+__all__ += [
+    "LogarithmicMapping",
+    "LinearlyInterpolatedMapping",
+    "CubicallyInterpolatedMapping",
+    "DenseStore",
+    "CollapsingLowestDenseStore",
+    "CollapsingHighestDenseStore",
+]
+
+
+class DenseStore:
+    """Reference-API store over the canonical ``(offset, bins)`` core."""
+
+    _mode = DENSE
+
+    def __init__(self, bin_limit: int | None = None) -> None:
+        self._limit = bin_limit
+        self._bins = empty_bins()
+        self._buf_k: list[int] = []
+        self._buf_w: list[float] = []
+
+    def _flush(self) -> None:
+        if self._buf_k:
+            batch = bins_from_keys(
+                np.asarray(self._buf_k, dtype=np.int64),
+                np.asarray(self._buf_w, dtype=np.float64),
+                self._mode,
+                self._limit,
+            )
+            self._bins = merge_bins(self._bins, batch, self._mode, self._limit)
+            self._buf_k, self._buf_w = [], []
+
+    # ------------------------------------------------------- reference API
+
+    def add(self, key: int, weight: float = 1.0) -> None:
+        self._buf_k.append(int(key))
+        self._buf_w.append(float(weight))
+        if len(self._buf_k) >= _FLUSH_AT:
+            self._flush()
+
+    def merge(self, other: "DenseStore") -> None:
+        self._flush()
+        other._flush()
+        self._bins = merge_bins(self._bins, other._bins, self._mode, self._limit)
+
+    def copy(self, other: "DenseStore") -> None:
+        other._flush()
+        self._bins = (other._bins[0], other._bins[1].copy())
+        self._buf_k, self._buf_w = [], []
+
+    def key_at_rank(self, rank: float, lower: bool = True) -> int:
+        self._flush()
+        return _key_at_rank(self._bins, rank, lower)
+
+    @property
+    def count(self) -> float:
+        self._flush()
+        return float(self._bins[1].sum())
+
+    def to_store(self):
+        """Canonical ``(offset, bins)`` tuple (this engine's native form)."""
+        self._flush()
+        return self._bins
+
+    def __repr__(self) -> str:
+        self._flush()
+        off, bins = self._bins
+        return f"{type(self).__name__}(offset={off}, n_bins={len(bins)})"
+
+
+class CollapsingLowestDenseStore(DenseStore):
+    """Bounded store collapsing lowest bins (reference ``store.py:262-381``)."""
+
+    _mode = COLLAPSE_LOWEST
+
+    def __init__(self, bin_limit: int) -> None:
+        super().__init__(bin_limit)
+
+
+class CollapsingHighestDenseStore(DenseStore):
+    """Bounded store collapsing highest bins (reference ``store.py:384-504``)."""
+
+    _mode = COLLAPSE_HIGHEST
+
+    def __init__(self, bin_limit: int) -> None:
+        super().__init__(bin_limit)

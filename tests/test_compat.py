@@ -116,3 +116,64 @@ def test_buffer_flush_boundary():
         if i % 1234 == 0:
             out.append(s.get_quantile_value(0.5))
     assert s.count == 9000
+
+
+def test_compat_store_classes_match_reference(ref):
+    """The store shims complete the reference's 8-name export surface:
+    bin-level equality against the reference store classes on mixed
+    streams, including collapsing clamps and merge."""
+    import numpy as np
+
+    from ddspark import compat
+
+    rng = np.random.default_rng(13)
+    keys_a = rng.integers(-300, 300, 4000)
+    keys_b = rng.integers(-50, 600, 3000)
+
+    pairs = [
+        (lambda: compat.DenseStore(), lambda: ref.store.DenseStore()),
+        (
+            lambda: compat.CollapsingLowestDenseStore(64),
+            lambda: ref.store.CollapsingLowestDenseStore(64),
+        ),
+        (
+            lambda: compat.CollapsingHighestDenseStore(64),
+            lambda: ref.store.CollapsingHighestDenseStore(64),
+        ),
+    ]
+    for mk_ours, mk_theirs in pairs:
+        ours, theirs = mk_ours(), mk_theirs()
+        ours_b, theirs_b = mk_ours(), mk_theirs()
+        for k in keys_a:
+            ours.add(int(k))
+            theirs.add(int(k))
+        for k in keys_b:
+            ours_b.add(int(k), 2.0)
+            theirs_b.add(int(k), 2.0)
+        ours.merge(ours_b)
+        theirs.merge(theirs_b)
+        off, bins = ours.to_store()
+        got = {off + i: c for i, c in enumerate(bins) if c}
+        want = {
+            theirs.offset + i: c
+            for i, c in enumerate(theirs.bins)
+            if c
+        }
+        assert got == want, type(ours).__name__
+        assert ours.count == theirs.count
+        for rank in [0.0, 10.5, 1000.0, ours.count - 1]:
+            assert ours.key_at_rank(rank) == theirs.key_at_rank(rank)
+            assert ours.key_at_rank(rank, lower=False) == theirs.key_at_rank(rank, lower=False)
+
+
+def test_compat_mapping_reexports():
+    from ddspark import compat
+
+    for cls_name in [
+        "LogarithmicMapping",
+        "LinearlyInterpolatedMapping",
+        "CubicallyInterpolatedMapping",
+    ]:
+        assert cls_name in compat.__all__
+        m = getattr(compat, cls_name)(0.01)
+        assert m.key(100.0) == m.key(100.0)
