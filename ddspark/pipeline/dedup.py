@@ -183,8 +183,17 @@ def lsh_candidate_pairs(
     bands: int = 16,
     rows_per_band: int = 4,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
-    """Band the signatures; docs sharing any band bucket are candidates."""
+    """Band the signatures; docs sharing any band bucket are candidates.
+
+    **Scale**: a cluster of ``d`` near-identical documents shares every band
+    bucket, contributing ``bands * d^2 / 2`` candidate rows — exact-dup
+    clusters are the classic LSH blowup.  ``max_bucket`` drops buckets
+    holding more than that many docs before the self-join (an explicit
+    recall trade-off; pairs inside a dropped mega-cluster are better found
+    by running :func:`exact_dedup` first, which is also the cheaper tool for
+    them)."""
     sig = signatures
     band_cols = []
     for b in range(bands):
@@ -199,6 +208,14 @@ def lsh_candidate_pairs(
     exploded = sig.select("id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket is not None:
+        oversized = (
+            exploded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "bucket")
+        )
+        exploded = exploded.join(oversized, ["band", "bucket"], "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -223,17 +240,20 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     portable: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates + signature-estimated Jaccard filter.
 
     Output: ``id_a, id_b, est_jaccard`` — near-dup pairs without any
     all-pairs comparison.  With ``portable`` every hash has an exact
     ANSI-SQL twin (:func:`ddspark.pipeline.oracles.minhash_lsh_oracle_sql`),
-    making the whole pipeline independently replayable.
+    making the whole pipeline independently replayable.  ``max_bucket``
+    guards against exact-dup mega-clusters (see
+    :func:`lsh_candidate_pairs`).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, seed, portable)
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable, max_bucket)
     sa = sigs.withColumnRenamed("id", "id_a").withColumnRenamed("sig", "sig_a")
     sb = sigs.withColumnRenamed("id", "id_b").withColumnRenamed("sig", "sig_b")
     est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)) / F.lit(

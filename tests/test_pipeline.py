@@ -462,3 +462,18 @@ def test_sample_frames_uniform_and_short(spark):
 def test_resize_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.resize_image(b"\x89PNG", 64, 64)
+
+
+def test_lsh_max_bucket_drops_mega_clusters(spark):
+    """An exact-dup cluster shares every band bucket; max_bucket bounds the
+    candidate join instead of producing d^2/2 rows."""
+    rows = [(i, "identical boilerplate page content repeated " * 3) for i in range(40)]
+    rows += [(100, "one unique document about something else entirely"),
+             (101, "one unique document about something else entirely plus tail")]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    full = dedup.minhash_dedup_pairs(df, threshold=0.2).toPandas()
+    assert len(full) >= 40 * 39 / 2
+    capped = dedup.minhash_dedup_pairs(df, threshold=0.2, max_bucket=10).toPandas()
+    got = {(a, b) for a, b in zip(capped["id_a"], capped["id_b"])}
+    assert (100, 101) in got          # genuine near-dup survives
+    assert not any(p[0] < 100 and p[1] < 100 for p in got)  # mega-cluster dropped
