@@ -223,6 +223,46 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.05, n=2, df_cap=8)
 
 
+def _q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic 90/5/5 split; identical assignment at any parallelism
+    from ddspark.pipeline.curation import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    )
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-stratum deterministic Bernoulli: downsample en, keep de fully
+    from ddspark.pipeline.curation import stratified_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"en": 0.25, "de": 1.0, "fr": 0.5}, strata_col="lang"
+    )
+    return kept.select("doc_id", "lang")
+
+
+def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # eval-set decontamination: docs >= 450 act as the benchmark set
+    from ddspark.pipeline.curation import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 450)
+    bench = docs.where(F.col("doc_id") >= 450)
+    return decontaminate(corpus, bench, n=5, min_hits=1, portable=True)
+
+
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ddspark.pipeline.curation import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.ann import cosine_topk
 
@@ -618,6 +658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_hist": wrap(_q_quality_hist),
         "text_lang_id_counts": wrap(_q_lang_id_counts),
         "dedup_jaccard_pairs": wrap(_q_jaccard_pairs),
+        "curation_hash_split": wrap(_q_hash_split_counts),
+        "curation_stratified_sample": wrap(_q_stratified_sample),
+        "curation_decontam": wrap(_q_decontam),
+        "text_repetition_stats": wrap(_q_repetition_stats),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
@@ -777,6 +821,10 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.id = id_b
             WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.05
         """,
+        "curation_hash_split": _hash_split_oracle(),
+        "curation_stratified_sample": _stratified_sample_oracle(),
+        "curation_decontam": _decontam_oracle(),
+        "text_repetition_stats": _repetition_oracle(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -978,3 +1026,39 @@ hits AS (
 SELECT {case} AS pred_lang, CAST(COUNT(*) AS DOUBLE) AS n_docs
 FROM hits GROUP BY 1
 """.strip()
+
+
+def _hash_split_oracle() -> str:
+    from ddspark.pipeline.curation import hash_split_oracle_sql
+
+    inner = hash_split_oracle_sql("documents", "doc_id")
+    return (
+        f"SELECT lang, split, CAST(COUNT(*) AS DOUBLE) AS n_docs "
+        f"FROM ({inner}) GROUP BY lang, split"
+    )
+
+
+def _stratified_sample_oracle() -> str:
+    from ddspark.pipeline.curation import stratified_sample_oracle_sql
+
+    inner = stratified_sample_oracle_sql(
+        "documents", {"en": 0.25, "de": 1.0, "fr": 0.5}, strata_col="lang",
+        id_col="doc_id",
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+def _decontam_oracle() -> str:
+    from ddspark.pipeline.curation import decontaminate_oracle_sql
+
+    return decontaminate_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id < 450)",
+        "(SELECT * FROM documents WHERE doc_id >= 450)",
+        n=5, min_hits=1,
+    )
+
+
+def _repetition_oracle() -> str:
+    from ddspark.pipeline.curation import repetition_stats_oracle_sql
+
+    return repetition_stats_oracle_sql("documents")

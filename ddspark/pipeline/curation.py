@@ -1,0 +1,383 @@
+"""Corpus-curation operators for training-data pipelines.
+
+The reference (DataDog/sketches-py) stops at the sketch algebra; a corpus
+engine also needs the bread-and-butter curation steps every large-scale
+training pipeline runs before and after sketching.  Four operators, all
+deterministic and all with exact ANSI-SQL twins (DuckDB) so the driver's
+correctness gate can replay them bit-for-bit:
+
+* **hash split**       — train/val/test assignment from an md5-derived
+                         bucket of the document id: reproducible across
+                         runs, engines, and cluster sizes (no ``rand()``,
+                         no partition-order dependence).
+* **stratified sample**— per-stratum deterministic Bernoulli sampling via
+                         the same hash-bucket trick; fractions can differ
+                         per stratum (e.g. downsample the dominant
+                         language).
+* **decontamination**  — flag corpus documents sharing word n-grams with a
+                         benchmark/eval set.  The benchmark gram table is
+                         tiny by construction, so the join is a broadcast:
+                         the 100 TB corpus side never shuffles.
+* **repetition stats** — Gopher-style repetition quality signals
+                         (duplicate-word fraction, top n-gram coverage);
+                         explode + two hash aggregations keyed by the
+                         unique document id — skew-free and linear.
+
+Scale notes: the split/sample operators are pure column expressions (one
+md5 per row inside whole-stage codegen, no shuffle at all); decontamination
+shuffles only the exploded gram table of the *corpus* once (hash partial
+agg on (id, gram-hash)); repetition stats shuffle on the unique id, which
+cannot skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import word_shingles, _hash63
+from .hashing import portable_hash63, portable_hash63_sql
+
+__all__ = [
+    "split_bucket",
+    "hash_split",
+    "stratified_sample",
+    "decontaminate",
+    "repetition_stats",
+    "hash_split_oracle_sql",
+    "stratified_sample_oracle_sql",
+    "decontaminate_oracle_sql",
+    "repetition_stats_oracle_sql",
+]
+
+# bucket resolution: 1e6 buckets keeps split boundaries exact for any
+# fraction with <= 6 decimal digits while the hash stays uniform
+_BUCKETS = 1_000_000
+
+
+def split_bucket(id_col: Column | str, salt: str) -> Column:
+    """Deterministic bucket in ``[0, 1e6)`` from the id and a salt string.
+
+    md5-derived (portable across engines); changing the salt re-rolls every
+    assignment independently, so a pipeline can draw a split and several
+    samples from the same ids without correlation.
+    """
+    key = F.concat(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"),
+                   F.lit(":" + salt))
+    return portable_hash63(key) % _BUCKETS
+
+
+def _bucket_sql(id_expr: str, salt: str) -> str:
+    return f"{portable_hash63_sql(f'CAST({id_expr} AS VARCHAR) || ' + repr(':' + salt))} % {_BUCKETS}"
+
+
+def _split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    total = sum(weights.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    cum = 0.0
+    out = []
+    for name, w in weights.items():  # insertion order is the split order
+        if w < 0:
+            raise ValueError(f"negative split weight for {name!r}")
+        cum += w
+        out.append((name, round(cum * _BUCKETS)))
+    out[-1] = (out[-1][0], _BUCKETS)  # close the last interval exactly
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Add a deterministic ``split`` column (e.g. train/val/test).
+
+    Pure column expression — no shuffle, no state, identical assignment at
+    any parallelism, so a 1000-executor run and a laptop run agree on every
+    row.  Default weights: 90/5/5.
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    b = split_bucket(id_col, salt)
+    thresholds = _split_thresholds(weights)
+    expr = None
+    for name, hi in thresholds:  # lowest threshold first wins, like SQL CASE
+        expr = F.when(b < hi, F.lit(name)) if expr is None else expr.when(b < hi, F.lit(name))
+    return df.withColumn(out_col, expr)
+
+
+def hash_split_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> str:
+    """CASE-expression twin of :func:`hash_split` (select id + split)."""
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    thresholds = _split_thresholds(weights)
+    whens = " ".join(
+        f"WHEN b < {hi} THEN '{name}'" for name, hi in thresholds
+    )
+    return (
+        f"SELECT *, CASE {whens} END AS split FROM "
+        f"(SELECT *, {_bucket_sql(id_col, salt)} AS b FROM {table})"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: float | dict[str, float],
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic Bernoulli sample, optionally with per-stratum rates.
+
+    ``fractions`` is either a scalar rate or ``{stratum_value: rate}`` over
+    ``strata_col`` (strata absent from the dict are dropped — rate 0).
+    Unlike ``DataFrame.sample`` this is a pure filter on a hash bucket:
+    reproducible across runs/engines/cluster sizes and free of the
+    partition-order dependence of seeded RNG sampling.
+    """
+    b = split_bucket(id_col, salt)
+    if isinstance(fractions, dict):
+        if strata_col is None:
+            raise ValueError("per-stratum fractions need strata_col")
+        thr = None
+        for value, rate in sorted(fractions.items()):
+            cond = F.col(strata_col) == value
+            lim = F.lit(round(rate * _BUCKETS))
+            thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+        thr = thr.otherwise(F.lit(0))
+    else:
+        thr = F.lit(round(float(fractions) * _BUCKETS))
+    return df.where(b < thr)
+
+
+def stratified_sample_oracle_sql(
+    table: str,
+    fractions: float | dict[str, float],
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> str:
+    """Filter twin of :func:`stratified_sample` (SELECT * of kept rows)."""
+    b = _bucket_sql(id_col, salt)
+    if isinstance(fractions, dict):
+        whens = " ".join(
+            f"WHEN {strata_col} = '{v}' THEN {round(r * _BUCKETS)}"
+            for v, r in sorted(fractions.items())
+        )
+        thr = f"CASE {whens} ELSE 0 END"
+    else:
+        thr = str(round(float(fractions) * _BUCKETS))
+    return f"SELECT * FROM {table} WHERE {b} < {thr}"
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+    n: int = 5,
+    min_hits: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Flag corpus documents that share word ``n``-grams with a benchmark.
+
+    Standard eval-set decontamination (the 13-gram-overlap rule of GPT-3 /
+    The Pile, here parameterized): any corpus document sharing at least
+    ``min_hits`` distinct word n-grams with any benchmark document is
+    flagged.  Output: ``(id, bench_hits, contaminated)`` for every corpus
+    row — join it back or filter on it.
+
+    **Scale**: the benchmark side is eval sets (thousands of docs), so its
+    distinct gram-hash table is KBs-MBs → ``broadcast`` join; the corpus
+    side streams through map-side, the only shuffle being the partial-agg
+    on the unique ``id``.  Grams travel as 8-byte hashes, never strings.
+    ``portable=True`` switches to the md5-derived hash with an exact DuckDB
+    twin (:func:`decontaminate_oracle_sql`).
+    """
+    grams = word_shingles(df, id_col, text_col, n).select(
+        "id", _hash63(F.col("shingle"), portable).alias("gh")
+    )
+    bgrams = (
+        word_shingles(bench, id_col, bench_text_col or text_col, n)
+        .select(_hash63(F.col("shingle"), portable).alias("gh"))
+        .distinct()
+    )
+    hits = (
+        grams.join(F.broadcast(bgrams), "gh")
+        .groupBy("id")
+        .agg(F.count_distinct("gh").alias("bench_hits"))
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return (
+        base.join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("bench_hits", F.lit(0)).alias("bench_hits"),
+            (F.coalesce("bench_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_oracle_sql(
+    corpus_sql: str,
+    bench_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_hits: int = 1,
+) -> str:
+    """Twin of ``decontaminate(..., portable=True)``.  ``corpus_sql`` and
+    ``bench_sql`` are table expressions (name or parenthesized subquery)."""
+    shingle = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+
+    def gram_cte(src: str, alias: str) -> str:
+        return rf"""{alias}_t AS (
+  SELECT {id_col} AS id,
+         string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' ') AS t
+  FROM {src}
+),
+{alias} AS (
+  SELECT DISTINCT id, {portable_hash63_sql(shingle)} AS gh
+  FROM {alias}_t, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+)"""
+
+    return f"""
+WITH {gram_cte(corpus_sql, 'cg')},
+{gram_cte(bench_sql, 'bg')},
+bset AS (SELECT DISTINCT gh FROM bg),
+hits AS (
+  SELECT cg.id, COUNT(DISTINCT cg.gh) AS bench_hits
+  FROM cg JOIN bset USING (gh)
+  GROUP BY cg.id
+)
+SELECT d.{id_col},
+       COALESCE(h.bench_hits, 0) AS bench_hits,
+       COALESCE(h.bench_hits, 0) >= {min_hits} AS contaminated
+FROM {corpus_sql} d
+LEFT JOIN hits h ON h.id = d.{id_col}
+"""
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1):
+
+    * ``dup_word_frac``   — fraction of tokens that are repeats of an
+      earlier token: ``(tokens - distinct_tokens) / tokens``.
+    * ``top_ngram_frac``  — fraction of all word ``ngram``-grams taken by
+      the single most frequent one (boilerplate detector).
+
+    Output: ``(id_col, token_count, dup_word_frac, top_ngram_frac)``.
+    Plan shape: explode → partial-agg on ``(id, gram)`` → agg on ``id``;
+    both shuffle keys include the unique document id, so group skew is
+    impossible and cost is linear in corpus size.
+    """
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("t"))
+    words = (
+        base.select("id", F.explode("t").alias("w"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("token_count"),
+            F.count_distinct("w").alias("_d"),
+        )
+        .select(
+            "id",
+            "token_count",
+            F.round(
+                (F.col("token_count") - F.col("_d"))
+                / F.col("token_count").cast("double"),
+                round_digits,
+            ).alias("dup_word_frac"),
+        )
+    )
+    idx = F.when(
+        F.size("t") >= ngram, F.sequence(F.lit(0), F.size("t") - ngram)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("t", (i + j + 1).cast("int")) for j in range(ngram)]
+                ),
+            )
+        ).alias("g"),
+    )
+    top = (
+        grams.groupBy("id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("_mx"), F.sum("c").alias("_tot"))
+        .select(
+            "id",
+            F.round(F.col("_mx") / F.col("_tot").cast("double"), round_digits).alias(
+                "top_ngram_frac"
+            ),
+        )
+    )
+    return (
+        words.join(top, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "token_count",
+            "dup_word_frac",
+            F.coalesce("top_ngram_frac", F.lit(0.0)).alias("top_ngram_frac"),
+        )
+    )
+
+
+def repetition_stats_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    where: str | None = None,
+    ngram: int = 2,
+    round_digits: int = 6,
+) -> str:
+    """Twin of :func:`repetition_stats`."""
+    filt = f"WHERE {where}" if where else ""
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(ngram))
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' ') AS t
+  FROM {table} {filt}
+),
+w AS (
+  SELECT id, COUNT(*) AS token_count, COUNT(DISTINCT u.w) AS d
+  FROM toks, UNNEST(t) AS u(w)
+  GROUP BY id
+),
+g AS (
+  SELECT id, {gram} AS g, COUNT(*) AS c
+  FROM toks, UNNEST(generate_series(1, len(t) - {ngram - 1})) AS u(i)
+  WHERE len(t) >= {ngram}
+  GROUP BY id, {gram}
+),
+gm AS (
+  SELECT id, ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), {round_digits}) AS top_ngram_frac
+  FROM g GROUP BY id
+)
+SELECT w.id AS {id_col},
+       w.token_count,
+       ROUND((w.token_count - w.d) / CAST(w.token_count AS DOUBLE), {round_digits})
+         AS dup_word_frac,
+       COALESCE(gm.top_ngram_frac, 0.0) AS top_ngram_frac
+FROM w LEFT JOIN gm USING (id)
+"""

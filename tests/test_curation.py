@@ -1,0 +1,219 @@
+"""Curation operators: deterministic splits/samples, decontamination,
+repetition stats — plus DuckDB replay of each ANSI twin."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from ddspark.pipeline.curation import (
+    decontaminate,
+    decontaminate_oracle_sql,
+    hash_split,
+    hash_split_oracle_sql,
+    repetition_stats,
+    repetition_stats_oracle_sql,
+    split_bucket,
+    stratified_sample,
+    stratified_sample_oracle_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+        (1, "alpha beta gamma delta epsilon nine ten eleven", "en"),
+        (2, "one two three four five six seven eight", "en"),
+        (3, "uno dos tres cuatro cinco seis siete ocho", "es"),
+        (4, "a a a a b", "en"),
+        (5, "x", "de"),
+    ] + [(i, f"unique w{i} text body number {i} tail{i} pad pad{i}", "en") for i in range(6, 40)]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+# ---------------------------------------------------------------- hash split
+
+
+def test_hash_split_deterministic_and_total(spark, docs):
+    a = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b  # parallelism-independent
+    assert set(a.values()) <= {"train", "val", "test"}
+    assert len(a) == docs.count()  # every row assigned
+
+
+def test_hash_split_weights_validation(docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, weights={"a": 0.5, "b": 0.2})
+
+
+def test_hash_split_proportions(spark):
+    big = spark.range(20000).withColumnRenamed("id", "doc_id")
+    counts = dict(
+        hash_split(big).groupBy("split").count().rdd.map(tuple).collect()
+    )
+    assert abs(counts["train"] / 20000 - 0.90) < 0.02
+    assert abs(counts.get("val", 0) / 20000 - 0.05) < 0.01
+    assert abs(counts.get("test", 0) / 20000 - 0.05) < 0.01
+
+
+def test_hash_split_salt_independence(spark):
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = hash_split(big, salt="s1").withColumnRenamed("split", "sa")
+    b = hash_split(big, salt="s2").select("doc_id", F.col("split").alias("sb"))
+    both = a.join(b, "doc_id")
+    # different salts must re-roll: the two assignments disagree somewhere
+    assert both.where(F.col("sa") != F.col("sb")).count() > 0
+
+
+def test_hash_split_matches_duckdb(spark, docs):
+    pdf = docs.toPandas()
+    spark_rows = {
+        r["doc_id"]: r["split"] for r in hash_split(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, split FROM ({hash_split_oracle_sql('documents')})"
+        ).fetchall()
+    )
+    assert spark_rows == duck
+
+
+# ---------------------------------------------------------- stratified sample
+
+
+def test_stratified_sample_deterministic_subset(spark, docs):
+    kept = stratified_sample(docs, {"en": 0.5, "es": 1.0}, strata_col="lang")
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in stratified_sample(
+        docs.repartition(5), {"en": 0.5, "es": 1.0}, strata_col="lang"
+    ).collect()}
+    assert ids1 == ids2
+    assert 3 in ids1  # es kept fully
+    # de has no listed fraction -> dropped entirely
+    assert 5 not in ids1
+
+
+def test_stratified_sample_scalar_rate(spark):
+    big = spark.range(10000).withColumnRenamed("id", "doc_id")
+    n = stratified_sample(big, 0.3).count()
+    assert abs(n / 10000 - 0.3) < 0.02
+
+
+def test_stratified_sample_requires_strata_col(docs):
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": 0.5})
+
+
+def test_stratified_sample_matches_duckdb(spark, docs):
+    pdf = docs.toPandas()
+    kept = stratified_sample(docs, {"en": 0.5, "es": 1.0}, strata_col="lang")
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = stratified_sample_oracle_sql(
+        "documents", {"en": 0.5, "es": 1.0}, strata_col="lang"
+    )
+    duck_ids = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM ({sql})").fetchall()}
+    assert {r["doc_id"] for r in kept.collect()} == duck_ids
+
+
+# ------------------------------------------------------------- decontaminate
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    corpus = docs.where(F.col("doc_id") <= 2)
+    bench = docs.where(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: (r["bench_hits"], r["contaminated"])
+        for r in decontaminate(corpus, bench, n=5).collect()
+    }
+    # doc 0 shares the 5-gram "alpha beta gamma delta epsilon" with bench doc 1
+    assert out[0][1] is True and out[0][0] >= 1
+    # doc 1 IS the benchmark text: every gram hits
+    assert out[1][1] is True
+    # doc 2 shares nothing
+    assert out[2] == (0, False)
+
+
+def test_decontaminate_min_hits(spark, docs):
+    corpus = docs.where(F.col("doc_id") <= 2)
+    bench = docs.where(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontaminate(corpus, bench, n=5, min_hits=2).collect()
+    }
+    assert out[1] is True  # 4 shared grams
+    assert out[0] is False  # only 1 shared gram
+
+
+def test_decontaminate_matches_duckdb(spark, docs):
+    pdf = docs.toPandas()
+    out = decontaminate(
+        docs.where(F.col("doc_id") < 30),
+        docs.where(F.col("doc_id") >= 30),
+        n=3,
+        portable=True,
+    )
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = decontaminate_oracle_sql(
+        "(SELECT * FROM documents WHERE doc_id < 30)",
+        "(SELECT * FROM documents WHERE doc_id >= 30)",
+        n=3,
+    )
+    duck = {r[0]: (r[1], r[2]) for r in con.execute(sql).fetchall()}
+    got = {r["doc_id"]: (r["bench_hits"], r["contaminated"]) for r in out.collect()}
+    assert got == duck
+
+
+def test_decontaminate_plan_broadcasts_bench(spark, docs):
+    out = decontaminate(docs, docs.limit(2), n=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+# ----------------------------------------------------------- repetition stats
+
+
+def test_repetition_stats_handcrafted(spark, docs):
+    out = {
+        r["doc_id"]: (r["token_count"], r["dup_word_frac"], r["top_ngram_frac"])
+        for r in repetition_stats(docs).collect()
+    }
+    # "a a a a b": 5 tokens, 2 distinct -> dup 3/5; bigrams: "a a" x3, "a b" x1
+    tc, dup, top = out[4]
+    assert tc == 5
+    assert dup == pytest.approx(0.6)
+    assert top == pytest.approx(0.75)
+    # single token doc: no bigrams -> 0.0, dup 0
+    assert out[5] == (1, 0.0, 0.0)
+
+
+def test_repetition_stats_matches_duckdb(spark, docs):
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(repetition_stats_oracle_sql("documents")).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["token_count"], r["dup_word_frac"], r["top_ngram_frac"])
+        for r in repetition_stats(docs).collect()
+    }
+    assert got == duck
+
+
+def test_split_bucket_range(spark):
+    big = spark.range(5000).withColumnRenamed("id", "doc_id")
+    mm = big.select(
+        F.min(split_bucket("doc_id", "s")).alias("lo"),
+        F.max(split_bucket("doc_id", "s")).alias("hi"),
+    ).first()
+    assert 0 <= mm["lo"] and mm["hi"] < 1_000_000
