@@ -339,6 +339,15 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(emb, threshold=0.4)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup-style: within-cluster pairs only (scale path for the exact
+    # all-pairs dedup_embedding_neardup above)
+    from ddspark.pipeline.ann import semantic_dedup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, threshold=0.4, n_centroids=16, portable=True)
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.ann import ivf_topk
 
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": wrap(_q_ann_lsh),
         "ann_ivf_topk": wrap(_q_ann_ivf),
         "dedup_embedding_neardup": wrap(_q_embedding_neardup),
+        "dedup_semantic_pairs": wrap(_q_semantic_dedup),
         "text_winnow_neardup": wrap(_q_winnow_neardup),
         "bloom_membership": wrap(_q_bloom_membership),
         "ddsketch_rollup_chars": wrap(_q_rollup_chars),
@@ -697,6 +707,7 @@ def oracle_sql() -> dict[str, str]:
         ann_lsh_sparse_oracle_sql,
         bloom_membership_oracle_sql,
         ivf_topk_oracle_sql,
+        semantic_dedup_oracle_sql,
         minhash_lsh_oracle_sql,
         simhash_pairs_oracle_sql,
         winnow_neardup_oracle_sql,
@@ -941,6 +952,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh_topk": ann_lsh_sparse_oracle_sql(
             query_pred="nid < 5", k=5, n_planes=8, n_tables=8, seed=42, dim=64,
+        ),
+        "dedup_semantic_pairs": semantic_dedup_oracle_sql(
+            threshold=0.4, n_centroids=16, seed=42,
         ),
         "ann_ivf_topk": ivf_topk_oracle_sql(
             query_pred="vec_id < 5", k=5, n_centroids=16, nprobe=4, seed=42,

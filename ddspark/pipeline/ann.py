@@ -38,7 +38,13 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashing import portable_hash63
 
-__all__ = ["normalize_vecs", "cosine_topk", "lsh_topk", "ivf_topk"]
+__all__ = [
+    "normalize_vecs",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "semantic_dedup_pairs",
+]
 
 
 def normalize_vecs(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -182,6 +188,87 @@ def lsh_topk(
     )
 
 
+def _seed_centroids(
+    c: DataFrame, n_centroids: int, seed: int, portable: bool
+) -> DataFrame:
+    """Hash-sampled corpus vectors as centroids (cheap k-means-0): a bounded
+    ``n_centroids``-row collect, broadcast back.  ``c`` is the normalized
+    ``(nid, u)`` frame.  ``portable`` draws the sample with the md5-derived
+    hash so the selection is replayable in ANSI SQL."""
+    if portable:
+        r_expr = portable_hash63(
+            F.concat(F.col("nid").cast("string"), F.lit(f":{seed}"))
+        )
+    else:
+        r_expr = F.pmod(
+            F.xxhash64(F.col("nid").cast("string"), F.lit(seed)), F.lit(10**9)
+        )
+    sampled = (
+        c.withColumn("r", r_expr)
+        .orderBy("r", "nid")
+        .limit(n_centroids)
+        .select("u")
+        .collect()
+    )
+    cents = c.sparkSession.createDataFrame(
+        [(i, row["u"]) for i, row in enumerate(sampled)], "cid long, cu array<double>"
+    )
+    return F.broadcast(cents)
+
+
+def _assign_nearest(
+    df: DataFrame, cents: DataFrame, id_name: str, ucol: str, out: str, topn: int
+) -> DataFrame:
+    """Nearest-centroid assignment (top ``topn``).  The similarity is rounded
+    so argmax ties break identically in any engine replaying this (float dot
+    products can differ in the last ulp across summation orders); the window
+    is keyed on the id, never on the vector column."""
+    scored = df.crossJoin(cents).withColumn(
+        "sim", F.round(_dot(F.col(ucol), F.col("cu")), 6)
+    )
+    w = Window.partitionBy(id_name).orderBy(F.desc("sim"), F.asc("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= topn)
+        .select(*df.columns, F.col("cid").alias(out))
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings around seeded centroids, then
+    compare pairs **within a cluster only**.  Output:
+    ``(id_a < id_b, cosine)`` with cosine >= ``threshold``.
+
+    This is the scale path for :func:`ddspark.pipeline.dedup.
+    embedding_neardup_pairs` (exact all-pairs, O(N^2)): candidates shrink to
+    ~``N^2 / n_centroids`` and the per-cluster join is shuffle-partitioned
+    by ``cid``.  Size ``n_centroids`` so clusters hold ~1k-10k vectors
+    (n_centroids ~ N / cluster_target); near-dups land in the same cluster
+    with high probability because they are near the same centroid, but
+    pairs straddling a cluster boundary are missed — the documented recall
+    trade-off that makes the quadratic term tractable.
+    """
+    c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
+    cents = _seed_centroids(c, n_centroids, seed, portable)
+    assigned = _assign_nearest(c, cents, "nid", "u", "cid", 1)
+    a = assigned.select(F.col("cid"), F.col("nid").alias("id_a"), F.col("u").alias("ua"))
+    b = assigned.select(F.col("cid"), F.col("nid").alias("id_b"), F.col("u").alias("ub"))
+    pairs = a.join(b, "cid").where(F.col("id_a") < F.col("id_b"))
+    cos = F.round(_dot(F.col("ua"), F.col("ub")), 6)
+    return pairs.select("id_a", "id_b", cos.alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -206,44 +293,10 @@ def ivf_topk(
     ``n_centroids``-row result is ever broadcast; better-balanced lists
     mean fewer candidates per probe at the same recall."""
     c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
-    if portable:
-        r_expr = portable_hash63(
-            F.concat(F.col("nid").cast("string"), F.lit(f":{seed}"))
-        )
-    else:
-        r_expr = F.pmod(
-            F.xxhash64(F.col("nid").cast("string"), F.lit(seed)), F.lit(10**9)
-        )
-    sampled = (
-        c.withColumn("r", r_expr)
-        .orderBy("r", "nid")
-        .limit(n_centroids)
-        .select("u")
-        .collect()
-    )
-    spark = corpus.sparkSession
-    cents = spark.createDataFrame(
-        [(i, row["u"]) for i, row in enumerate(sampled)], "cid long, cu array<double>"
-    )
-    cents = F.broadcast(cents)
-
-    def assign(df: DataFrame, id_name: str, ucol: str, out: str, topn: int) -> DataFrame:
-        # round the similarity so argmax ties are broken identically by any
-        # engine replaying this (float dot products can differ in the last
-        # ulp across summation orders); window keyed on the id, never on the
-        # vector column
-        scored = df.crossJoin(cents).withColumn(
-            "sim", F.round(_dot(F.col(ucol), F.col("cu")), 6)
-        )
-        w = Window.partitionBy(id_name).orderBy(F.desc("sim"), F.asc("cid"))
-        return (
-            scored.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= topn)
-            .select(*df.columns, F.col("cid").alias(out))
-        )
+    cents = _seed_centroids(c, n_centroids, seed, portable)
 
     for _ in range(lloyd_steps):
-        assigned = assign(c, "nid", "u", "cid", 1)
+        assigned = _assign_nearest(c, cents, "nid", "u", "cid", 1)
         dim_means = (
             assigned.select("cid", F.posexplode("u").alias("d", "x"))
             .groupBy("cid", "d")
@@ -260,11 +313,11 @@ def ivf_topk(
             )
         )
 
-    c_assigned = assign(c, "nid", "u", "cid", 1)
+    c_assigned = _assign_nearest(c, cents, "nid", "u", "cid", 1)
     q = normalize_vecs(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("u").alias("qu")
     )
-    q_assigned = assign(q, "qid", "qu", "cid", nprobe)
+    q_assigned = _assign_nearest(q, cents, "qid", "qu", "cid", nprobe)
     cand = c_assigned.join(F.broadcast(q_assigned), "cid").where(
         F.col("qid") != F.col("nid")
     )

@@ -21,6 +21,7 @@ __all__ = [
     "winnow_neardup_oracle_sql",
     "ann_lsh_sparse_oracle_sql",
     "ivf_topk_oracle_sql",
+    "semantic_dedup_oracle_sql",
     "bloom_membership_oracle_sql",
 ]
 
@@ -329,6 +330,53 @@ rr AS (
   FROM scored
 )
 SELECT qid, nid, rank, cosine FROM rr WHERE rank <= {k}
+""".strip()
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    seed: int = 42,
+) -> str:
+    """Twin of ``semantic_dedup_pairs(..., portable=True)``: replays the
+    md5-sampled centroids, the rounded nearest-centroid argmax, and the
+    within-cluster pair scoring."""
+    r_hash = _h63(f"CAST(vid AS VARCHAR) || ':{seed}'")
+    return f"""
+WITH v AS (
+  SELECT {id_col} AS vid, list_transform({vec_col}, x -> CAST(x AS DOUBLE)) AS e
+  FROM {table}
+),
+u AS (
+  SELECT vid, list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS uv
+  FROM v
+),
+r0 AS (
+  SELECT vid, uv, {r_hash} AS r FROM u
+),
+cent AS (
+  SELECT cid, cu FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY r, vid) AS BIGINT) - 1 AS cid, uv AS cu
+    FROM r0
+  ) WHERE cid < {n_centroids}
+),
+ca AS (
+  SELECT nid, uv, cid FROM (
+    SELECT u.vid AS nid, u.uv AS uv, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vid
+             ORDER BY ROUND(list_dot_product(u.uv, c.cu), 6) DESC, c.cid ASC
+           ) AS rk
+    FROM u CROSS JOIN cent c
+  ) WHERE rk = 1
+)
+SELECT a.nid AS id_a, b.nid AS id_b,
+       ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
+FROM ca a JOIN ca b ON a.cid = b.cid AND a.nid < b.nid
+WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= {threshold}
 """.strip()
 
 

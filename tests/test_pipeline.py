@@ -477,3 +477,65 @@ def test_lsh_max_bucket_drops_mega_clusters(spark):
     got = {(a, b) for a, b in zip(capped["id_a"], capped["id_b"])}
     assert (100, 101) in got          # genuine near-dup survives
     assert not any(p[0] < 100 and p[1] < 100 for p in got)  # mega-cluster dropped
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_finds_planted_neardups(spark):
+    rng = np.random.default_rng(7)
+    base_a = rng.standard_normal(16)
+    base_b = rng.standard_normal(16)
+    rows = [
+        (0, base_a.tolist()),
+        (1, (base_a + 0.01 * rng.standard_normal(16)).tolist()),
+        (2, base_b.tolist()),
+        (3, (base_b + 0.01 * rng.standard_normal(16)).tolist()),
+    ] + [(i, rng.standard_normal(16).tolist()) for i in range(4, 40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = ann.semantic_dedup_pairs(df, threshold=0.95, n_centroids=4).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    # planted near-dups sit next to the same centroid -> found
+    assert {(0, 1), (2, 3)} <= got
+
+
+def test_semantic_dedup_subset_of_exact_allpairs(emb):
+    sem = ann.semantic_dedup_pairs(emb, threshold=0.4, n_centroids=8).toPandas()
+    exact = dedup.embedding_neardup_pairs(emb, threshold=0.4).toPandas()
+    sem_set = {(a, b) for a, b in zip(sem["id_a"], sem["id_b"])}
+    exact_set = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+    # within-cluster candidates are a subset of the all-pairs result
+    assert sem_set <= exact_set
+    # and the cosine values agree on the shared pairs
+    sem_cos = {(a, b): c for a, b, c in sem.itertuples(index=False)}
+    exact_cos = {(a, b): c for a, b, c in exact.itertuples(index=False)}
+    assert all(sem_cos[p] == exact_cos[p] for p in sem_set)
+
+
+def test_semantic_dedup_partition_invariant(emb):
+    a = ann.semantic_dedup_pairs(emb, threshold=0.4, n_centroids=8).toPandas()
+    b = ann.semantic_dedup_pairs(
+        emb.repartition(13), threshold=0.4, n_centroids=8
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d.itertuples(index=False)))
+    assert key(a) == key(b)
+
+
+def test_semantic_dedup_duckdb_replay(emb):
+    import duckdb
+
+    from ddspark.pipeline.oracles import semantic_dedup_oracle_sql
+
+    got = ann.semantic_dedup_pairs(
+        emb, threshold=0.4, n_centroids=8, portable=True
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("embeddings", emb.toPandas())
+    duck = con.execute(
+        semantic_dedup_oracle_sql(threshold=0.4, n_centroids=8)
+    ).fetchdf()
+    key = lambda d: sorted(
+        (int(a), int(b), round(float(c), 6))
+        for a, b, c in d.itertuples(index=False)
+    )
+    assert key(got) == key(duck)
