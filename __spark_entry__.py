@@ -612,6 +612,17 @@ _CM_PROBES = [str(i) for i in range(1, 9)] + ["absent_user"]
 _CM_DEPTH, _CM_WIDTH = 5, 2048
 
 
+def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bound-check oracle shape (see _q_hll_distinct): Misra-Gries heavy
+    hitters per event_type; Spark certifies est <= true <= est + err_bound
+    and completeness above the bound, and emits the boolean — summary
+    *contents* legitimately vary with partitioning, the guarantee may not."""
+    from ddspark.sketches.mgfreq import mg_check
+
+    ev = _read(spark, sf_dir, "events")
+    return mg_check(ev, "user_id", k=64, by=["event_type"])
+
+
 def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle shape: point-frequency estimates must satisfy the
     CM guarantee ``exact <= est <= exact + (e/width) * N`` per probe."""
@@ -695,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
         "kll_chars_by_lang": wrap(_q_kll_chars),
         "countmin_point_queries": wrap(_q_countmin_points),
+        "mg_heavy_hitters_users": wrap(_q_mg_heavy_hitters),
     }
 
 
@@ -994,6 +1006,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "countmin_point_queries": _countmin_oracle_sql(),
+        "mg_heavy_hitters_users": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n_rows,
+                   TRUE AS guarantee_ok
+            FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+        """,
     }
 
 

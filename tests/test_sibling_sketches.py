@@ -302,3 +302,82 @@ def test_proto_roundtrip_quantiles_distributed(spark, items_df):
     assert np.allclose(
         merged["count_rt"].to_numpy(), merged["count_d"].to_numpy()
     )
+
+
+# --------------------------------------------------------- Misra-Gries (MG)
+
+
+class TestMGFrequent:
+    def _zipf(self, spark, n=20000, seed=3):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        items = rng.zipf(1.5, n).clip(max=5000)
+        return spark.createDataFrame(
+            [(int(x),) for x in items], "item long"
+        )
+
+    def test_guarantee_certified(self, spark):
+        from ddspark.sketches.mgfreq import mg_summary
+
+        df = self._zipf(spark)
+        exact = {
+            str(r["item"]): r["c"]
+            for r in df.groupBy("item").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        rows = mg_summary(df, "item", k=32).collect()
+        bound = rows[0]["err_bound"]
+        total = rows[0]["total"]
+        assert total == 20000.0
+        present = set()
+        for r in rows:
+            if r["item"] is None:
+                continue
+            present.add(r["item"])
+            true = exact[r["item"]]
+            assert r["est"] <= true <= r["est"] + bound
+        # completeness: every item more frequent than the bound is present
+        for it, c in exact.items():
+            if c > bound:
+                assert it in present, (it, c, bound)
+
+    def test_bounded_shuffle_rows(self, spark):
+        from ddspark.sketches.mgfreq import mg_partials
+
+        df = self._zipf(spark).repartition(8)
+        n_parts = mg_partials(df, "item", k=16).count()
+        assert n_parts <= 8 * (16 + 1)
+
+    def test_grouped_and_weighted(self, spark):
+        from ddspark.sketches.mgfreq import mg_check
+
+        rows = [("a", "x", 5.0)] * 50 + [("a", "y", 1.0)] * 200 + [
+            ("b", str(i % 40), 2.0) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "g string, item string, w double")
+        out = {
+            r["g"]: (r["n_rows"], r["guarantee_ok"])
+            for r in mg_check(df, "item", k=8, by=["g"], weight_col="w").collect()
+        }
+        assert out["a"] == (450.0, True)
+        assert out["b"][1] is True
+
+    def test_check_partition_invariant(self, spark):
+        from ddspark.sketches.mgfreq import mg_check
+
+        df = self._zipf(spark, n=5000)
+        for p in (1, 7, 32):
+            row = mg_check(df.repartition(p), "item", k=24).first()
+            assert row["guarantee_ok"] is True
+            assert row["n_rows"] == 5000.0
+
+    def test_nonpositive_weight_raises(self, spark):
+        import pytest as _pytest
+
+        from ddspark.sketches.mgfreq import mg_summary
+
+        df = spark.createDataFrame(
+            [("x", 1.0), ("y", 0.0)], "item string, w double"
+        )
+        with _pytest.raises(Exception, match="weight must be positive"):
+            mg_summary(df, "item", k=4, weight_col="w").collect()
