@@ -256,6 +256,16 @@ def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, n=5, min_hits=1, portable=True)
 
 
+def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style common-line removal; documents are single-line word soup,
+    # so sep=' ' demonstrates the operator at word granularity (drops tokens
+    # present in >390 distinct docs — corpus-level stopword boilerplate)
+    from ddspark.pipeline.textops import drop_boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    return drop_boilerplate_lines(docs, sep=" ", max_doc_freq=390)
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.curation import repetition_stats
 
@@ -682,6 +692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_stratified_sample": wrap(_q_stratified_sample),
         "curation_decontam": wrap(_q_decontam),
         "text_repetition_stats": wrap(_q_repetition_stats),
+        "text_boilerplate_removal": wrap(_q_boilerplate_lines),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
@@ -848,6 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_stratified_sample": _stratified_sample_oracle(),
         "curation_decontam": _decontam_oracle(),
         "text_repetition_stats": _repetition_oracle(),
+        "text_boilerplate_removal": _boilerplate_oracle(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1094,3 +1106,11 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _boilerplate_oracle() -> str:
+    from ddspark.pipeline.textops import drop_boilerplate_lines_oracle_sql
+
+    return drop_boilerplate_lines_oracle_sql(
+        "documents", sep=" ", max_doc_freq=390
+    )

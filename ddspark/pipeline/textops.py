@@ -27,6 +27,8 @@ __all__ = [
     "fingerprint",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
+    "drop_boilerplate_lines",
+    "drop_boilerplate_lines_oracle_sql",
     "with_text_stats",
     "LANG_MARKERS",
 ]
@@ -227,6 +229,105 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("shared_fps"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_freq: int = 10,
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet line-dedup step): drop
+    every line that occurs in more than ``max_doc_freq`` *distinct*
+    documents (navigation chrome, cookie banners, license headers), keep
+    the rest in original order.  Output: ``(id_col, text)`` with the
+    cleaned text; documents whose lines are all boilerplate keep an empty
+    string.  Lines shorter than ``min_chars`` are never dropped (blank
+    separators carry no dedup signal).
+
+    **Scale**: lines travel as 64-bit ``xxhash64`` keys.  The line
+    document-frequency aggregation is a hash partial-agg (map-side combine
+    soaks up within-partition repeats of a hot line); the boilerplate set
+    (lines with df > cap) is tiny by definition of "boilerplate", so the
+    removal join back to the exploded lines broadcasts it.  Reassembly
+    groups on the unique ``id``, which cannot skew.
+    """
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        # literal separator (escaped): Spark split() is regex-based
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "line"),
+    ).withColumn("lh", F.xxhash64("line"))
+    hot = (
+        lines.where(F.length("line") >= min_chars)
+        .groupBy("lh")
+        .agg(F.count_distinct("id").alias("_df"))
+        .where(F.col("_df") > max_doc_freq)
+        .select("lh")
+    )
+    kept = lines.join(F.broadcast(hot), "lh", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text")
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col), F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
+def drop_boilerplate_lines_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    max_doc_freq: int = 10,
+    min_chars: int = 1,
+    where: str | None = None,
+) -> str:
+    """ANSI twin of :func:`drop_boilerplate_lines` (joins on the raw line
+    text — equivalent because xxhash64 is collision-free on these corpora
+    sizes only in expectation; the *oracle* uses exact strings, so a hash
+    collision in the Spark path would surface as a mismatch, which is the
+    point of an independent replay)."""
+    filt = f"WHERE {where}" if where else ""
+    sep_lit = sep.replace("'", "''")
+    return f"""
+WITH src AS (
+  SELECT {id_col} AS id, {text_col} AS txt FROM {table} {filt}
+),
+t0 AS (
+  SELECT id, string_split(txt, '{sep_lit}') AS t FROM src
+),
+ln AS (
+  SELECT id, u.i AS pos, t[u.i] AS line
+  FROM t0, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+hot AS (
+  SELECT line FROM ln
+  WHERE length(line) >= {min_chars}
+  GROUP BY line
+  HAVING COUNT(DISTINCT id) > {max_doc_freq}
+),
+kept AS (
+  SELECT id, pos, line FROM ln
+  WHERE line NOT IN (SELECT line FROM hot)
+),
+built AS (
+  SELECT id, string_agg(line, '{sep_lit}' ORDER BY pos) AS text
+  FROM kept GROUP BY id
+)
+SELECT s.id AS {id_col}, COALESCE(b.text, '') AS text
+FROM src s LEFT JOIN built b ON b.id = s.id
+"""
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -217,3 +217,53 @@ def test_split_bucket_range(spark):
         F.max(split_bucket("doc_id", "s")).alias("hi"),
     ).first()
     assert 0 <= mm["lo"] and mm["hi"] < 1_000_000
+
+
+# --------------------------------------------------------- boilerplate lines
+
+
+def test_drop_boilerplate_lines_basic(spark):
+    from ddspark.pipeline.textops import drop_boilerplate_lines
+
+    rows = [(i, f"COOKIE BANNER\nbody text {i}\nfooter") for i in range(5)] + [
+        (99, "unique line one\nunique line two")
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in
+           drop_boilerplate_lines(df, max_doc_freq=3).collect()}
+    # shared lines (df=5 > 3) removed, per-doc body kept, order preserved
+    assert out[0] == "body text 0"
+    assert out[4] == "body text 4"
+    assert out[99] == "unique line one\nunique line two"
+
+
+def test_drop_boilerplate_all_boilerplate_doc(spark):
+    from ddspark.pipeline.textops import drop_boilerplate_lines
+
+    rows = [(i, "same\nsame2") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = drop_boilerplate_lines(df, max_doc_freq=2).collect()
+    assert all(r["text"] == "" for r in out)
+    assert len(out) == 4  # every doc survives, emptied
+
+
+def test_drop_boilerplate_matches_duckdb(spark, docs):
+    import duckdb
+
+    from ddspark.pipeline.textops import (
+        drop_boilerplate_lines,
+        drop_boilerplate_lines_oracle_sql,
+    )
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in drop_boilerplate_lines(docs, sep=" ", max_doc_freq=5).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = dict(
+        con.execute(
+            drop_boilerplate_lines_oracle_sql("documents", sep=" ", max_doc_freq=5)
+        ).fetchall()
+    )
+    assert got == duck
