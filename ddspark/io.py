@@ -15,7 +15,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_corpus", "write_state_table", "read_state_table", "write_results"]
+__all__ = [
+    "read_corpus",
+    "read_corpus_jsonl",
+    "write_state_table",
+    "read_state_table",
+    "write_results",
+]
 
 
 def read_corpus(
@@ -40,6 +46,40 @@ def read_corpus(
             df = spark.table(source)
     else:
         df = spark.read.format(fmt).load(source)
+    return df.select(*columns) if columns else df
+
+
+def read_corpus_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Read a JSON-Lines corpus (the common web-scrape interchange format:
+    one JSON object per line, gzip-splittable per file).
+
+    An explicit ``schema`` (StructType or DDL string) is strongly preferred
+    and defaults to the engine's corpus schema: schema *inference* scans the
+    data once before the real job (twice the IO at 100 TB) and drifts when
+    shards disagree on optional keys.  Malformed lines land in
+    ``_corrupt_record`` (PERMISSIVE mode) instead of failing the job —
+    filter or count them explicitly; a web crawl always contains garbage.
+    (Spark restriction: a query referencing *only* ``_corrupt_record`` over
+    the raw scan is disallowed — ``cache()`` or checkpoint the frame first
+    when auditing corrupt rows.)
+    """
+    if schema is None:
+        from .corpus import corpus_schema
+        from pyspark.sql.types import StringType, StructField
+
+        schema = corpus_schema().add(StructField("_corrupt_record", StringType(), True))
+    df = (
+        spark.read.format("json")
+        .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(path)
+    )
     return df.select(*columns) if columns else df
 
 

@@ -164,3 +164,28 @@ def test_checkpoint_attempt_numbering_survives_gaps(spark, tmp_path):
     assert "attempt_00002" in names and "attempt_00001" in names
     # attempt_00000's files were redone in the new attempt: full coverage
     assert res["count"].sum() == 400
+
+
+def test_read_corpus_jsonl(spark, tmp_path):
+    import json
+
+    from ddspark import io as dio
+    from ddspark.corpus import generate_corpus
+
+    pdf = generate_corpus(spark, n_rows=40, parts=2).toPandas()
+    p = tmp_path / "corpus.jsonl"
+    with open(p, "w") as fh:
+        for rec in pdf.to_dict("records"):
+            fh.write(json.dumps(rec) + "\n")
+        fh.write("{not valid json\n")  # a crawl always contains garbage
+    # Spark disallows filtering on _corrupt_record alone over a raw file
+    # scan — materialize first (documented in read_corpus_jsonl)
+    df = dio.read_corpus_jsonl(spark, str(p)).cache()
+    good = df.where(df["_corrupt_record"].isNull())
+    assert good.count() == 40
+    assert df.where(df["_corrupt_record"].isNotNull()).count() == 1
+    # explicit schema: no inference pass, exact dtypes
+    assert dict(df.dtypes)["lang"] == "string"
+    # column pruning arg
+    two = dio.read_corpus_jsonl(spark, str(p), columns=["lang", "content"])
+    assert two.columns == ["lang", "content"]
