@@ -113,3 +113,82 @@ def test_collapsing_clamp_oracle_property(keys, bin_limit, mode):
             want[min(k, hi)] += 1
     got = {off + i: c for i, c in enumerate(bins) if c != 0}
     assert got == {k: float(c) for k, c in want.items()}
+
+
+# ------------------------------------------------------- MG compress algebra
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(
+        st.lists(st.integers(0, 30), min_size=1, max_size=200),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(1, 20),
+)
+def test_mg_compress_composition_certificate(data, k):
+    """The exact property the distributed MG pipeline relies on: under ANY
+    composition of (add counts, compress to k) steps — per-batch, per
+    partition, then a final merge — every kept item satisfies
+    est <= true <= est + (sum of subtractions), and every item more
+    frequent than that bound survives."""
+    import pandas as pd
+
+    from ddspark.sketches.mgfreq import mg_compress
+
+    exact: dict[str, int] = {}
+    partials = []
+    for part in data:  # each inner list is one "partition"
+        counts = pd.Series(dtype=float)
+        err = 0.0
+        for i in range(0, len(part), 37):  # mimic Arrow batch boundaries
+            chunk = (
+                pd.Series(part[i : i + 37]).astype(str).value_counts().astype(float)
+            )
+            counts = counts.add(chunk, fill_value=0.0)
+            counts, e = mg_compress(counts, k)
+            err += e
+        partials.append((counts, err))
+        for x in part:
+            exact[str(x)] = exact.get(str(x), 0) + 1
+    merged = pd.Series(dtype=float)
+    bound = 0.0
+    for c, e in partials:
+        merged = merged.add(c, fill_value=0.0)
+        bound += e
+    merged, e2 = mg_compress(merged, k)
+    bound += e2
+    assert len(merged) <= k
+    for it, est in merged.items():
+        assert est <= exact[it] <= est + bound
+    for it, true in exact.items():
+        if true > bound:
+            assert it in merged.index
+
+
+# ------------------------------------------------------ split threshold math
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    raw=st.lists(st.floats(0.01, 1.0), min_size=1, max_size=6),
+)
+def test_split_thresholds_partition_bucket_space(raw):
+    """Normalized weights always tile [0, 1e6) exactly: thresholds are
+    monotone, the last one closes at 1e6, and every bucket maps to exactly
+    one split name."""
+    from ddspark.pipeline.curation import _BUCKETS, _split_thresholds
+
+    total = sum(raw)
+    weights = {f"s{i}": w / total for i, w in enumerate(raw)}
+    th = _split_thresholds(weights)
+    assert th[-1][1] == _BUCKETS
+    his = [hi for _, hi in th]
+    assert his == sorted(his)
+    # every threshold interval is assignable (no empty trailing interval
+    # steals a name's mass entirely unless its weight rounded to zero)
+    prev = 0
+    for name, hi in th:
+        assert hi >= prev
+        prev = hi
