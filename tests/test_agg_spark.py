@@ -202,3 +202,35 @@ def test_nonpositive_weight_fails_fast_sqlpath(spark):
     )
     with pytest.raises(Exception, match="weight must be positive"):
         sql_quantile_sketch(df, "v", None, [0.5], 0.05, weight_col="w").collect()
+
+
+def test_cross_check_vs_spark_builtins(spark):
+    """SURVEY §7 step 9: Spark's own approximate aggregates as independent
+    sanity anchors.  percentile_approx bounds *rank* error and DDSketch
+    bounds *relative value* error, so they are not equal — but on a smooth
+    distribution both must sit near the exact value; approx_count_distinct
+    (HLL++) must land within its published ~5% envelope of our exact count."""
+    import numpy as np
+
+    from ddspark.agg import quantile_sketch
+    from ddspark.sketch import SketchConfig
+
+    rng = np.random.default_rng(11)
+    vals = np.abs(rng.lognormal(3.0, 1.0, 20000)) + 1.0
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    ours = quantile_sketch(df, "v", by=None, qs=[0.5, 0.95], cfg=SketchConfig(0.01))
+    r = ours.first()
+    builtin = df.selectExpr(
+        "percentile_approx(v, 0.5, 10000) AS p50",
+        "percentile_approx(v, 0.95, 10000) AS p95",
+        "approx_count_distinct(v) AS acd",
+    ).first()
+    exact50 = float(np.sort(vals)[int(0.5 * (len(vals) - 1))])
+    exact95 = float(np.sort(vals)[int(0.95 * (len(vals) - 1))])
+    # both engines near exact (ours within alpha; builtin within 2%)
+    assert abs(r["p50"] - exact50) <= 0.01 * exact50 + 1e-9
+    assert abs(r["p95"] - exact95) <= 0.01 * exact95 + 1e-9
+    assert abs(builtin["p50"] - exact50) <= 0.02 * exact50
+    assert abs(builtin["p95"] - exact95) <= 0.02 * exact95
+    # HLL++ vs our exact count field
+    assert abs(builtin["acd"] - r["count"]) <= 0.05 * r["count"]
