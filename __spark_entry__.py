@@ -633,6 +633,58 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_check(ev, "user_id", k=64, by=["event_type"])
 
 
+def _q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV set algebra: estimated distinct word-3-gram overlap between
+    language pairs, certified by the Poisson 5-sigma half-width
+    (theta_intersect_bound).  Bound-check oracle shape: DuckDB recomputes
+    the exact overlap + TRUE; the boolean is deterministic (the k-min
+    sample is a pure function of the item set, independent of
+    partitioning)."""
+    from ddspark.pipeline.dedup import word_shingles
+    from ddspark.sketches.theta import (
+        theta_intersect,
+        theta_intersect_bound,
+        theta_summary,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = word_shingles(docs, id_col="lang", text_col="text", n=3)
+    summ = {
+        r["id"]: r
+        for r in theta_summary(sh, "shingle", k=2048, by=["id"]).collect()
+    }
+    ests = []
+    langs = sorted(summ)
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            a, b = summ[la], summ[lb]
+            est, nc, theta = theta_intersect(
+                a["ks"], a["theta"], b["ks"], b["theta"]
+            )
+            ests.append((la, lb, est, theta_intersect_bound(nc, theta)))
+    est_df = spark.createDataFrame(
+        ests, "lang_a string, lang_b string, est double, half double"
+    )
+    exact = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("lang_a"), F.col("b.id").alias("lang_b"))
+        .agg(F.count(F.lit(1)).cast("double").alias("exact_overlap"))
+    )
+    return exact.join(F.broadcast(est_df), ["lang_a", "lang_b"]).select(
+        "lang_a",
+        "lang_b",
+        "exact_overlap",
+        (
+            F.abs(F.col("est") - F.col("exact_overlap")) <= F.col("half")
+        ).alias("within_bound"),
+    )
+
+
 def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle shape: point-frequency estimates must satisfy the
     CM guarantee ``exact <= est <= exact + (e/width) * N`` per probe."""
@@ -718,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kll_chars_by_lang": wrap(_q_kll_chars),
         "countmin_point_queries": wrap(_q_countmin_points),
         "mg_heavy_hitters_users": wrap(_q_mg_heavy_hitters),
+        "theta_shingle_overlap": wrap(_q_theta_overlap),
     }
 
 
@@ -1024,6 +1077,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS guarantee_ok
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
+        "theta_shingle_overlap": _theta_overlap_oracle(),
     }
 
 
@@ -1114,3 +1168,16 @@ def _boilerplate_oracle() -> str:
     return drop_boilerplate_lines_oracle_sql(
         "documents", sep=" ", max_doc_freq=390
     )
+
+
+def _theta_overlap_oracle() -> str:
+    from ddspark.pipeline.oracles import _shingle_ctes
+
+    return f"""
+WITH {_shingle_ctes('documents', 'lang', 'text', None, 3)}
+SELECT a.id AS lang_a, b.id AS lang_b,
+       CAST(COUNT(*) AS DOUBLE) AS exact_overlap,
+       TRUE AS within_bound
+FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+GROUP BY 1, 2
+"""

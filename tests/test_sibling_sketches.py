@@ -381,3 +381,96 @@ class TestMGFrequent:
         )
         with _pytest.raises(Exception, match="weight must be positive"):
             mg_summary(df, "item", k=4, weight_col="w").collect()
+
+
+# ----------------------------------------------------------- theta (KMV)
+
+
+class TestTheta:
+    def _items(self, spark, n, prefix="x", extra_col=None):
+        rows = [(f"{prefix}{i}",) for i in range(n)]
+        return spark.createDataFrame(rows, "item string")
+
+    def test_exact_mode_below_k(self, spark):
+        from ddspark.sketches.theta import theta_summary
+
+        df = self._items(spark, 200)
+        r = theta_summary(df, "item", k=1024).first()
+        assert r["is_exact"] is True
+        assert r["est"] == 200.0
+        assert len(r["ks"]) == 200
+
+    def test_estimation_accuracy(self, spark):
+        from ddspark.sketches.theta import theta_summary
+
+        n, k = 30000, 1024
+        df = self._items(spark, n)
+        r = theta_summary(df, "item", k=k).first()
+        assert r["is_exact"] is False
+        # 5-sigma envelope, sigma ~ 1/sqrt(k-2)
+        assert abs(r["est"] - n) <= 5.0 * n / (k - 2) ** 0.5
+
+    def test_partition_invariant(self, spark):
+        from ddspark.sketches.theta import theta_summary
+
+        df = self._items(spark, 5000)
+        a = theta_summary(df, "item", k=256).first()
+        b = theta_summary(df.repartition(17), "item", k=256).first()
+        assert a["ks"] == b["ks"] and a["est"] == b["est"]
+
+    def test_duplicates_do_not_inflate(self, spark):
+        from ddspark.sketches.theta import theta_summary
+
+        import pyspark.sql.functions as _F
+
+        df = self._items(spark, 300)
+        tripled = df.union(df).union(df).repartition(9)
+        r = theta_summary(tripled, "item", k=1024).first()
+        assert r["est"] == 300.0
+
+    def test_intersection_and_union(self, spark):
+        from ddspark.sketches.theta import (
+            theta_estimate,
+            theta_intersect,
+            theta_intersect_bound,
+            theta_summary,
+            theta_union,
+        )
+
+        n, overlap, k = 20000, 6000, 1024
+        a = self._items(spark, n)  # x0..x19999
+        b = spark.createDataFrame(
+            [(f"x{i}",) for i in range(n - overlap, 2 * n - overlap)],
+            "item string",
+        )
+        sa = theta_summary(a, "item", k=k).first()
+        sb = theta_summary(b, "item", k=k).first()
+        est, nc, theta = theta_intersect(sa["ks"], sa["theta"], sb["ks"], sb["theta"])
+        half = theta_intersect_bound(nc, theta)
+        assert abs(est - overlap) <= half
+        uks, utheta = theta_union(sa["ks"], sa["theta"], sb["ks"], sb["theta"], k)
+        u_est = theta_estimate(uks, utheta)
+        true_union = 2 * n - overlap
+        assert abs(u_est - true_union) <= 5.0 * true_union / (k - 2) ** 0.5
+
+    def test_exact_intersection_when_both_small(self, spark):
+        from ddspark.sketches.theta import theta_intersect, theta_summary
+
+        a = self._items(spark, 100)
+        b = spark.createDataFrame(
+            [(f"x{i}",) for i in range(60, 160)], "item string"
+        )
+        sa = theta_summary(a, "item", k=1024).first()
+        sb = theta_summary(b, "item", k=1024).first()
+        est, nc, theta = theta_intersect(sa["ks"], sa["theta"], sb["ks"], sb["theta"])
+        assert (est, theta) == (40.0, 1.0)  # exact: both sets fit
+
+    def test_grouped(self, spark):
+        from ddspark.sketches.theta import theta_summary
+
+        rows = [("g1", f"a{i}") for i in range(50)] + [
+            ("g2", f"b{i}") for i in range(80)
+        ]
+        df = spark.createDataFrame(rows, "g string, item string")
+        out = {r["g"]: r["est"] for r in theta_summary(df, "item", k=512, by=["g"]).collect()}
+        assert out == {"g1": 50.0, "g2": 80.0}
