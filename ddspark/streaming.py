@@ -49,6 +49,7 @@ __all__ = [
     "sessionize",
     "session_sketch_state",
     "finalize_cells_batch",
+    "mg_stream_state",
 ]
 
 _STATE_SCHEMA = StructType(STATE_FIELDS)
@@ -111,6 +112,99 @@ def sketch_stream_state(
             update,
             outputStructType=out_schema,
             stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def mg_stream_state(
+    sdf: DataFrame,
+    item_col: str,
+    by: list[str],
+    k: int = 64,
+    topn: int = 10,
+) -> DataFrame:
+    """Streaming heavy hitters: a running Misra-Gries summary per key,
+    emitting the top-``topn`` items after every micro-batch:
+    ``by... | rank | item | est | err_bound | total``.
+
+    The MG summary is the canonical bounded streaming-state structure —
+    exactly ``k`` counters per key forever, no matter how many distinct
+    items the stream carries — and the certificate survives restarts
+    because the cumulative subtracted mass (``err``) is part of the
+    checkpointed state: at any point ``est <= true <= est + err_bound``
+    over the whole stream so far (see :mod:`ddspark.sketches.mgfreq`).
+    """
+    from .sketches.mgfreq import mg_compress
+
+    state_schema = StructType(
+        [
+            StructField("items", StringType()),  # JSON-free: \x1f-joined
+            StructField("counts", StringType()),
+            StructField("err", DoubleType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    out_schema = StructType(
+        _by_fields(sdf, by)
+        + [
+            StructField("rank", LongType()),
+            StructField("item", StringType()),
+            StructField("est", DoubleType()),
+            StructField("err_bound", DoubleType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+    SEP = "\x1f"
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            items_s, counts_s, err, total = state.get
+            idx = items_s.split(SEP) if items_s else []
+            vals = [float(x) for x in counts_s.split(SEP)] if counts_s else []
+            counts = pd.Series(vals, index=idx, dtype=np.float64)
+        else:
+            counts, err, total = pd.Series(dtype=np.float64), 0.0, 0.0
+        for pdf in pdfs:
+            items = pdf[item_col].dropna().astype(str)
+            if not len(items):
+                continue
+            if items.str.contains(SEP).any():
+                raise ValueError(
+                    "items containing the \\x1f unit separator are not "
+                    "representable in the checkpoint encoding"
+                )
+            batch = items.value_counts().astype(np.float64)
+            counts = counts.add(batch, fill_value=0.0)
+            counts, e = mg_compress(counts, k)
+            err += e
+            total += float(len(items))
+        state.update(
+            (
+                SEP.join(counts.index),
+                SEP.join(repr(float(c)) for c in counts),
+                float(err),
+                float(total),
+            )
+        )
+        top = counts.sort_values(ascending=False).head(topn)
+        recs = [
+            dict(zip(by, key))
+            | {"rank": r + 1, "item": it, "est": float(c),
+               "err_bound": float(err), "total": float(total)}
+            for r, (it, c) in enumerate(top.items())
+        ]
+        yield pd.DataFrame(recs, columns=names)
+
+    return (
+        sdf.select(*by, item_col)
+        .groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

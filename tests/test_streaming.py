@@ -209,3 +209,38 @@ def test_session_sketch_state_stream(spark, tmp_path):
         local = Sketch.from_values(vals, CFG)
         assert rec["min"] == vals.min() and rec["max"] == vals.max()
         assert rec[quantile_label(0.5)] == pytest.approx(local.quantile(0.5), rel=1e-12)
+
+
+def test_mg_stream_heavy_hitters(spark, tmp_path):
+    """Streaming MG: after all micro-batches the per-key certificate holds
+    against the exact stream counts, with state carried across batches."""
+    from ddspark.streaming import mg_stream_state
+
+    rng = np.random.default_rng(13)
+    items = rng.zipf(1.4, 6000).clip(max=800)
+    rows = pd.DataFrame({"g": ["k"] * len(items), "item": items.astype(str)})
+    src = str(tmp_path / "mg_src")
+    for i, part in enumerate(np.array_split(np.arange(len(rows)), 3)):
+        spark.createDataFrame(rows.iloc[part]).write.parquet(f"{src}/f{i}.parquet")
+    sdf = spark.readStream.schema("g string, item string").parquet(src + "/*")
+    out = mg_stream_state(sdf, "item", ["g"], k=32, topn=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_stream_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mg_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM mg_stream_test").toPandas()
+    final = res[res["total"] == res["total"].max()]
+    assert final["total"].iloc[0] == len(items)  # state carried across batches
+    exact = rows["item"].value_counts()
+    bound = final["err_bound"].iloc[0]
+    assert bound > 0  # with 32 counters and this stream, compression happened
+    for _, r in final.iterrows():
+        true = exact[r["item"]]
+        assert r["est"] <= true <= r["est"] + bound
+    # the true top item must be surfaced (its count dwarfs the bound)
+    assert exact.index[0] in set(final["item"])
