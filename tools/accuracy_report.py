@@ -95,6 +95,81 @@ def hll_table() -> list[str]:
     return rows
 
 
+def mg_table() -> list[str]:
+    """Misra-Gries: measured worst undercount vs the self-certified bound,
+    simulating the distributed pipeline (8 partitions, batched adds)."""
+    import pandas as pd
+
+    from ddspark.sketches.mgfreq import mg_compress
+
+    rng = np.random.default_rng(23)
+    rows = [
+        "| k | stream (n=200k) | worst (true - est) | certified bound | all >bound items kept |",
+        "|---|---|---|---|---|",
+    ]
+    for a, label in [(1.3, "zipf(1.3)"), (1.7, "zipf(1.7)")]:
+        data = rng.zipf(a, 200_000).clip(max=100_000)
+        exact = pd.Series(data).value_counts()
+        for k in (64, 256, 1024):
+            parts = np.array_split(rng.permutation(data), 8)
+            partials = []
+            for p in parts:
+                counts, err = pd.Series(dtype=np.float64), 0.0
+                for i in range(0, len(p), 10_000):
+                    batch = pd.Series(p[i : i + 10_000]).value_counts().astype(float)
+                    counts = counts.add(batch, fill_value=0.0)
+                    counts, e = mg_compress(counts, k)
+                    err += e
+                partials.append((counts, err))
+            merged, bound = pd.Series(dtype=np.float64), 0.0
+            for c, e in partials:
+                merged = merged.add(c, fill_value=0.0)
+                bound += e
+            merged, e2 = mg_compress(merged, k)
+            bound += e2
+            worst = max(
+                (exact[it] - est for it, est in merged.items()), default=0.0
+            )
+            complete = all(
+                it in merged.index for it, c in exact.items() if c > bound
+            )
+            rows.append(
+                f"| {k} | {label} | {worst:.0f} | {bound:.0f} | {complete} |"
+            )
+    return rows
+
+
+def theta_table() -> list[str]:
+    """Theta/KMV: distinct-count and intersection error vs the published
+    1/sqrt(k-2) sigma and the Poisson intersection certificate (uniform
+    hash model, same math as the engine)."""
+    from ddspark.sketches.theta import (
+        theta_intersect,
+        theta_intersect_bound,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = [
+        "| k | n_a | n_b | overlap | est distinct A (rel err) | est overlap | certified half-width | inside |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for k in (256, 1024, 4096):
+        n_a, n_b, ov = 100_000, 60_000, 20_000
+        h_shared = rng.random(ov)
+        h_a = np.sort(np.concatenate([h_shared, rng.random(n_a - ov)]))
+        h_b = np.sort(np.concatenate([h_shared, rng.random(n_b - ov)]))
+        ks_a, ta = h_a[:k], float(h_a[k - 1])
+        ks_b, tb = h_b[:k], float(h_b[k - 1])
+        est_a = (k - 1) / ta
+        est_i, nc, theta = theta_intersect(ks_a, ta, ks_b, tb)
+        half = theta_intersect_bound(nc, theta)
+        rows.append(
+            f"| {k} | {n_a} | {n_b} | {ov} | {est_a:.0f} ({abs(est_a-n_a)/n_a:.4f}) "
+            f"| {est_i:.0f} | {half:.0f} | {abs(est_i-ov) <= half} |"
+        )
+    return rows
+
+
 def main() -> None:
     out = [
         "# ACCURACY — measured error vs exact oracles\n",
@@ -110,6 +185,10 @@ def main() -> None:
     out.extend(rank_sketch_table())
     out.append("\n## HyperLogLog (simulated uniform hashes)\n")
     out.extend(hll_table())
+    out.append("\n## Misra-Gries heavy hitters (simulated distributed pipeline)\n")
+    out.extend(mg_table())
+    out.append("\n## Theta/KMV set algebra (uniform hash model)\n")
+    out.extend(theta_table())
     out.append("")
     with open(os.path.join(REPO, "ACCURACY.md"), "w") as fh:
         fh.write("\n".join(out))
