@@ -266,6 +266,32 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(docs, sep=" ", max_doc_freq=390)
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the synthetic tables carry no PII, so both engines derive identical
+    # PII-shaped text from event columns, then redact — full operator
+    # exercise with an exact cross-engine oracle
+    from ddspark.pipeline.curation import redact_pii
+
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    synth = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("reach user"),
+            F.col("user_id").cast("string"),
+            F.lit("@m"),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(".org via 10.0."),
+            (F.col("user_id") % 200).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 250).cast("string"),
+            F.lit(" or +1 555 "),
+            (1000 + F.col("event_id") % 9000).cast("string"),
+            F.lit(" thanks"),
+        ).alias("text"),
+    )
+    return redact_pii(synth, id_col="event_id")
+
+
 def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.curation import repetition_stats
 
@@ -745,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_decontam": wrap(_q_decontam),
         "text_repetition_stats": wrap(_q_repetition_stats),
         "text_boilerplate_removal": wrap(_q_boilerplate_lines),
+        "curation_pii_redaction": wrap(_q_pii_redaction),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
@@ -913,6 +940,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_decontam": _decontam_oracle(),
         "text_repetition_stats": _repetition_oracle(),
         "text_boilerplate_removal": _boilerplate_oracle(),
+        "curation_pii_redaction": _pii_oracle(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1181,3 +1209,18 @@ SELECT a.id AS lang_a, b.id AS lang_b,
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
 GROUP BY 1, 2
 """
+
+
+def _pii_oracle() -> str:
+    from ddspark.pipeline.curation import redact_pii_oracle_sql
+
+    synth = (
+        "(SELECT event_id, "
+        "'reach user' || CAST(user_id AS VARCHAR) || '@m' || "
+        "CAST(user_id % 7 AS VARCHAR) || '.org via 10.0.' || "
+        "CAST(user_id % 200 AS VARCHAR) || '.' || "
+        "CAST(event_id % 250 AS VARCHAR) || ' or +1 555 ' || "
+        "CAST(1000 + event_id % 9000 AS VARCHAR) || ' thanks' AS text "
+        "FROM events WHERE event_id < 500) synth"
+    )
+    return redact_pii_oracle_sql(synth, id_col="event_id")

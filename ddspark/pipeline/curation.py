@@ -43,10 +43,13 @@ __all__ = [
     "stratified_sample",
     "decontaminate",
     "repetition_stats",
+    "redact_pii",
     "hash_split_oracle_sql",
     "stratified_sample_oracle_sql",
     "decontaminate_oracle_sql",
     "repetition_stats_oracle_sql",
+    "redact_pii_oracle_sql",
+    "PII_PATTERNS",
 ]
 
 # bucket resolution: 1e6 buckets keeps split boundaries exact for any
@@ -262,6 +265,83 @@ SELECT d.{id_col},
        COALESCE(h.bench_hits, 0) >= {min_hits} AS contaminated
 FROM {corpus_sql} d
 LEFT JOIN hits h ON h.id = d.{id_col}
+"""
+
+
+# PII patterns restricted to the regex subset where Java regex (Spark) and
+# RE2 (DuckDB) agree exactly: character classes, bounded repetition, no
+# backreferences, no lookaround.  Order matters: emails are redacted before
+# the bare-domain-ish IP pattern could eat their host part.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}[ -]?\d{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """C4/RefinedWeb-style PII scrubbing: replace emails, IPv4 addresses,
+    and international-format phone numbers with typed placeholder tokens.
+
+    Output: ``(id_col, text, n_email, n_ipv4, n_phone)`` — the per-document
+    redaction counts feed quality dashboards and let a pipeline drop
+    PII-dense documents entirely.  Pure column expressions (sequential
+    ``regexp_replace`` inside whole-stage codegen, zero Python); patterns
+    live in the Java-regex/RE2 common subset so the DuckDB twin
+    (:func:`redact_pii_oracle_sql`) replays them character-for-character.
+    Counts are computed per pattern *before* that pattern's replacement,
+    on the output of the previous ones — same order both engines.
+    """
+    patterns = patterns if patterns is not None else PII_PATTERNS
+    t = F.col(text_col)
+    counts = []
+    for name, pat, repl in patterns:
+        # occurrences = how many placeholders this stage inserts
+        replaced = F.regexp_replace(t, pat, repl)
+        n = (
+            (F.length(replaced) - F.length(F.regexp_replace(t, pat, "")))
+            / len(repl)
+        ).cast("long")
+        counts.append(n.alias(f"n_{name}"))
+        t = replaced
+    return df.select(F.col(id_col), t.alias("text"), *counts)
+
+
+def redact_pii_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+    where: str | None = None,
+) -> str:
+    """Twin of :func:`redact_pii` (DuckDB ``regexp_replace`` with the 'g'
+    flag; Spark's replaces all occurrences by default)."""
+    patterns = patterns if patterns is not None else PII_PATTERNS
+    filt = f"WHERE {where}" if where else ""
+    t = text_col
+    count_exprs = []
+    for name, pat, repl in patterns:
+        # DuckDB '' strings are literal (no backslash processing): only
+        # quotes need escaping for the regex to arrive intact at RE2
+        pat_sql = pat.replace("'", "''")
+        replaced = f"regexp_replace({t}, '{pat_sql}', '{repl}', 'g')"
+        gone = f"regexp_replace({t}, '{pat_sql}', '', 'g')"
+        count_exprs.append(
+            f"CAST((length({replaced}) - length({gone})) / {len(repl)} AS BIGINT)"
+            f" AS n_{name}"
+        )
+        t = replaced
+    cols = ",\n       ".join(count_exprs)
+    return f"""
+SELECT {id_col},
+       {t} AS text,
+       {cols}
+FROM {table} {filt}
 """
 
 

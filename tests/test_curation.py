@@ -267,3 +267,49 @@ def test_drop_boilerplate_matches_duckdb(spark, docs):
         ).fetchall()
     )
     assert got == duck
+
+
+# ------------------------------------------------------------------ PII
+
+
+def test_redact_pii_basic(spark):
+    from ddspark.pipeline.curation import redact_pii
+
+    rows = [
+        (0, "contact bob.smith+x@example.co.uk or call +1 555 123 4567"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 responded"),
+        (2, "nothing sensitive here"),
+        (3, "a@b.io a@b.io a@b.io"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[0]["text"] == "contact <EMAIL> or call <PHONE>"
+    assert out[0]["n_email"] == 1 and out[0]["n_phone"] == 1
+    assert out[1]["text"] == "server at <IP> and <IP> responded"
+    assert out[1]["n_ipv4"] == 2
+    assert out[2]["text"] == "nothing sensitive here"
+    assert (out[2]["n_email"], out[2]["n_ipv4"], out[2]["n_phone"]) == (0, 0, 0)
+    assert out[3]["n_email"] == 3
+
+
+def test_redact_pii_matches_duckdb(spark):
+    import duckdb
+
+    from ddspark.pipeline.curation import redact_pii, redact_pii_oracle_sql
+
+    rows = [
+        (0, "x a.b@c.de y 1.2.3.4 z +44 20 7946 0958"),
+        (1, "edge: 999.999.999.999 and user@@double.at and +1-555-000-1111"),
+        (2, "email-at-end foo@bar.baz"),
+        (3, ""),
+        (4, "ip4-ish 12.34.56.78.90 keeps tail"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: tuple(r)[1:] for r in redact_pii(df).collect()}
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    duck = {
+        r[0]: tuple(r)[1:]
+        for r in con.execute(redact_pii_oracle_sql("documents")).fetchall()
+    }
+    assert got == duck
