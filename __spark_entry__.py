@@ -266,6 +266,15 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(docs, sep=" ", max_doc_freq=390)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # concat-then-chunk packing of the corpus into 4096-char context
+    # windows, 8 parallel deterministic streams
+    from ddspark.pipeline.curation import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    return pack_sequences(docs, "n_chars", max_tokens=4096, n_buckets=8)
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synthetic tables carry no PII, so both engines derive identical
     # PII-shaped text from event columns, then redact — full operator
@@ -772,6 +781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": wrap(_q_repetition_stats),
         "text_boilerplate_removal": wrap(_q_boilerplate_lines),
         "curation_pii_redaction": wrap(_q_pii_redaction),
+        "curation_pack_sequences": wrap(_q_pack_sequences),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
@@ -941,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition_stats": _repetition_oracle(),
         "text_boilerplate_removal": _boilerplate_oracle(),
         "curation_pii_redaction": _pii_oracle(),
+        "curation_pack_sequences": _pack_oracle(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1224,3 +1235,11 @@ def _pii_oracle() -> str:
         "FROM events WHERE event_id < 500) synth"
     )
     return redact_pii_oracle_sql(synth, id_col="event_id")
+
+
+def _pack_oracle() -> str:
+    from ddspark.pipeline.curation import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(
+        "documents", "n_chars", max_tokens=4096, n_buckets=8
+    )

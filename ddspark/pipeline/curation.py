@@ -2,8 +2,8 @@
 
 The reference (DataDog/sketches-py) stops at the sketch algebra; a corpus
 engine also needs the bread-and-butter curation steps every large-scale
-training pipeline runs before and after sketching.  Four operators, all
-deterministic and all with exact ANSI-SQL twins (DuckDB) so the driver's
+training pipeline runs before and after sketching.  All operators here are
+deterministic and carry exact ANSI-SQL twins (DuckDB) so the driver's
 correctness gate can replay them bit-for-bit:
 
 * **hash split**       — train/val/test assignment from an md5-derived
@@ -22,6 +22,12 @@ correctness gate can replay them bit-for-bit:
                          (duplicate-word fraction, top n-gram coverage);
                          explode + two hash aggregations keyed by the
                          unique document id — skew-free and linear.
+* **PII redaction**    — email/IPv4/phone scrubbing with per-document
+                         counts, pure regexp_replace column expressions in
+                         the Java-regex/RE2 common subset.
+* **sequence packing** — concat-then-chunk layout of documents into
+                         fixed-capacity context windows over n_buckets
+                         parallel deterministic streams.
 
 Scale notes: the split/sample operators are pure column expressions (one
 md5 per row inside whole-stage codegen, no shuffle at all); decontamination
@@ -44,11 +50,13 @@ __all__ = [
     "decontaminate",
     "repetition_stats",
     "redact_pii",
+    "pack_sequences",
     "hash_split_oracle_sql",
     "stratified_sample_oracle_sql",
     "decontaminate_oracle_sql",
     "repetition_stats_oracle_sql",
     "redact_pii_oracle_sql",
+    "pack_sequences_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -460,4 +468,88 @@ SELECT w.id AS {id_col},
          AS dup_word_frac,
        COALESCE(gm.top_ngram_frac, 0.0) AS top_ngram_frac
 FROM w LEFT JOIN gm USING (id)
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    size_col: str,
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Concat-then-chunk sequence packing: lay documents end-to-end in a
+    deterministic order and cut the stream into fixed-capacity packs of
+    ``max_tokens`` — the standard pretraining batching step (documents may
+    straddle a pack boundary; ``spans`` counts how many packs a document
+    touches).
+
+    Output: ``(id_col, bucket, pack_seq, pack_offset, spans)`` — a document
+    starts in pack ``(bucket, pack_seq)`` at ``pack_offset``.
+
+    **Scale**: a single global ordering would be one total sort through one
+    task.  Instead documents are salted into ``n_buckets`` independent
+    streams (deterministic md5 bucket, so the layout is reproducible at any
+    parallelism) and each bucket packs via a running sum — ``n_buckets``
+    parallel windows, each a partition-local sort.  Waste is at most one
+    partial pack per bucket, negligible for corpus >> n_buckets x
+    max_tokens.  Size ``n_buckets`` ~ cluster cores x a small factor.
+    """
+    from pyspark.sql import Window
+
+    b = split_bucket(id_col, salt) % n_buckets
+    base = df.select(
+        F.col(id_col),
+        b.alias("bucket"),
+        F.col(size_col).cast("long").alias("_sz"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_sz").over(w), F.lit(0))
+    pack_seq = F.floor(cum / max_tokens)
+    end_pack = F.floor((cum + F.greatest("_sz", F.lit(1)) - 1) / max_tokens)
+    return base.select(
+        id_col,
+        "bucket",
+        pack_seq.alias("pack_seq"),
+        (cum % max_tokens).alias("pack_offset"),
+        (end_pack - pack_seq + 1).cast("int").alias("spans"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    table: str,
+    size_col: str,
+    id_col: str = "doc_id",
+    max_tokens: int = 2048,
+    n_buckets: int = 64,
+    salt: str = "pack",
+    where: str | None = None,
+) -> str:
+    """Twin of :func:`pack_sequences`."""
+    filt = f"WHERE {where}" if where else ""
+    bucket = f"({_bucket_sql(id_col, salt)}) % {n_buckets}"
+    return f"""
+WITH base AS (
+  SELECT {id_col}, {bucket} AS bucket, CAST({size_col} AS BIGINT) AS sz
+  FROM {table} {filt}
+),
+c AS (
+  SELECT {id_col}, bucket, sz,
+         COALESCE(SUM(sz) OVER (
+           PARTITION BY bucket ORDER BY {id_col}
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum
+  FROM base
+)
+SELECT {id_col}, bucket,
+       CAST(FLOOR(cum / {max_tokens}) AS BIGINT) AS pack_seq,
+       cum % {max_tokens} AS pack_offset,
+       CAST(FLOOR((cum + GREATEST(sz, 1) - 1) / {max_tokens})
+            - FLOOR(cum / {max_tokens}) + 1 AS INT) AS spans
+FROM c
 """

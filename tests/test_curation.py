@@ -313,3 +313,59 @@ def test_redact_pii_matches_duckdb(spark):
         for r in con.execute(redact_pii_oracle_sql("documents")).fetchall()
     }
     assert got == duck
+
+
+# --------------------------------------------------------- sequence packing
+
+
+def test_pack_sequences_layout(spark):
+    from ddspark.pipeline.curation import pack_sequences
+
+    # one bucket -> a single deterministic stream ordered by doc_id
+    rows = [(i, 100) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    out = {
+        r["doc_id"]: (r["pack_seq"], r["pack_offset"], r["spans"])
+        for r in pack_sequences(
+            df, "toks", max_tokens=256, n_buckets=1
+        ).collect()
+    }
+    # doc0 at (0,0), doc1 at (0,100), doc2 starts at 200 and straddles
+    assert out[0] == (0, 0, 1)
+    assert out[1] == (0, 100, 1)
+    assert out[2] == (0, 200, 2)  # 200..300 crosses the 256 boundary
+    assert out[3] == (1, 44, 1)
+    # total budget conserved: last doc ends at 10*100 over 256-sized packs
+    assert out[9] == (3, 900 - 3 * 256, 1)
+
+
+def test_pack_sequences_parallelism_invariant(spark):
+    from ddspark.pipeline.curation import pack_sequences
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    key = lambda d: sorted(map(tuple, d.collect()))
+    a = pack_sequences(df, "toks", max_tokens=512, n_buckets=8)
+    b = pack_sequences(df.repartition(13), "toks", max_tokens=512, n_buckets=8)
+    assert key(a) == key(b)
+
+
+def test_pack_sequences_matches_duckdb(spark):
+    import duckdb
+
+    from ddspark.pipeline.curation import (
+        pack_sequences,
+        pack_sequences_oracle_sql,
+    )
+
+    rows = [(i, 1 + (i * 13) % 300) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "toks"])
+    got = sorted(map(tuple, pack_sequences(df, "toks", max_tokens=777, n_buckets=4).collect()))
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck = sorted(
+        map(tuple, con.execute(
+            pack_sequences_oracle_sql("t", "toks", max_tokens=777, n_buckets=4)
+        ).fetchall())
+    )
+    assert got == duck
