@@ -223,6 +223,16 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.05, n=2, df_cap=8)
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pairs -> clusters -> keepers: min-label + pointer-jumping connected
+    # components over the Jaccard near-dup graph (oracle: recursive CTE)
+    from ddspark.pipeline.dedup import dedup_keepers, jaccard_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    pairs = jaccard_pairs(docs, threshold=0.05, n=2, df_cap=8)
+    return dedup_keepers(docs, pairs)
+
+
 def _q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic 90/5/5 split; identical assignment at any parallelism
     from ddspark.pipeline.curation import hash_split
@@ -775,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_hist": wrap(_q_quality_hist),
         "text_lang_id_counts": wrap(_q_lang_id_counts),
         "dedup_jaccard_pairs": wrap(_q_jaccard_pairs),
+        "dedup_components": wrap(_q_dedup_components),
         "curation_hash_split": wrap(_q_hash_split_counts),
         "curation_stratified_sample": wrap(_q_stratified_sample),
         "curation_decontam": wrap(_q_decontam),
@@ -914,37 +925,8 @@ def oracle_sql() -> dict[str, str]:
             FROM q GROUP BY 1
         """,
         "text_lang_id_counts": _lang_id_oracle_sql(),
-        "dedup_jaccard_pairs": r"""
-            WITH toks AS (
-              SELECT doc_id AS id,
-                     string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
-              FROM documents WHERE doc_id < 150
-            ),
-            sh0 AS (
-              SELECT DISTINCT id, t[i] || ' ' || t[i+1] AS shingle
-              FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
-              WHERE len(t) >= 2
-            ),
-            hot AS (
-              SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 8
-            ),
-            sh AS (
-              SELECT id, shingle FROM sh0
-              WHERE shingle NOT IN (SELECT shingle FROM hot)
-            ),
-            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-            inter AS (
-              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
-              GROUP BY 1, 2
-            )
-            SELECT id_a, id_b,
-                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes sa ON sa.id = id_a
-            JOIN sizes sb ON sb.id = id_b
-            WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.05
-        """,
+        "dedup_jaccard_pairs": "WITH " + _JACCARD_CTES + _JACCARD_SELECT,
+        "dedup_components": _dedup_components_oracle(),
         "curation_hash_split": _hash_split_oracle(),
         "curation_stratified_sample": _stratified_sample_oracle(),
         "curation_decontam": _decontam_oracle(),
@@ -1242,4 +1224,67 @@ def _pack_oracle() -> str:
 
     return pack_sequences_oracle_sql(
         "documents", "n_chars", max_tokens=4096, n_buckets=8
+    )
+
+
+_JACCARD_CTES = r"""toks AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents WHERE doc_id < 150
+),
+sh0 AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+hot AS (
+  SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 8
+),
+sh AS (
+  SELECT id, shingle FROM sh0
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+"""
+
+_JACCARD_SELECT = """
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) >= 0.05
+"""
+
+
+def _dedup_components_oracle() -> str:
+    """Recursive-CTE twin of dedup_keepers over the jaccard pair graph:
+    component = min reachable id."""
+    return (
+        "WITH RECURSIVE "
+        + _JACCARD_CTES
+        + f""",
+pairs AS ({_JACCARD_SELECT}),
+edges AS (
+  SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+  FROM pairs WHERE id_a <> id_b
+),
+sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+reach(id, r) AS (
+  SELECT u AS id, u AS r FROM sym
+  UNION
+  SELECT s.u AS id, t.r FROM sym s JOIN reach t ON t.id = s.v
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS keep
+FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
+LEFT JOIN comp c ON c.id = d.doc_id
+"""
     )

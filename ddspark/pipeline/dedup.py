@@ -38,6 +38,8 @@ __all__ = [
     "simhash_chunk_layout",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "connected_components",
+    "dedup_keepers",
 ]
 
 # 2^31-1: products of two residues fit in int64 (no overflow under ANSI mode)
@@ -411,4 +413,96 @@ def embedding_neardup_pairs(
         .withColumn("cosine", F.round(_dot(F.col("a.u"), F.col("b.u")), 6))
         .where(F.col("cosine") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: ``(id, component)``
+    where ``component`` is the smallest id reachable from ``id`` — the
+    step that turns pairwise dedup output into dedup *clusters* (keep one
+    document per component, drop the rest).
+
+    Algorithm: min-label propagation with pointer jumping — each round (a)
+    takes the min label over neighbors (one hash join + min-agg) and (b)
+    replaces every label by its label's label (path halving, one more hash
+    join), so label chains collapse exponentially and even a path graph of
+    diameter d converges in O(log d) rounds (fixed-point checked;
+    ``max_iters`` bounds adversarial graphs).  Labels are
+    ``localCheckpoint``-ed every round — the standard guard against the
+    exponentially deepening lineage of iterative DataFrame plans.
+
+    Scale: every join keys on integer node ids; per-round state never
+    exceeds the input edge list plus one label per node.
+    """
+    edges = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    # label(x) starts as min neighbor (or itself); iterate min-propagation:
+    # lbl <- min over neighbors' labels and own label, until fixpoint
+    nodes = edges.select(F.col("u").alias("id")).union(
+        edges.select(F.col("v").alias("id"))
+    ).distinct()
+    lbl = nodes.select("id", F.col("id").alias("c")).localCheckpoint()
+    both = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    both = both.persist()
+    for _ in range(max_iters):
+        # (a) candidate label per node: min of own and neighbors' labels
+        nb = (
+            both.join(lbl.withColumnRenamed("id", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("c").alias("nc"))
+            .withColumnRenamed("u", "id")
+        )
+        stepped = (
+            lbl.join(nb, "id", "left")
+            .select("id", F.least("c", F.coalesce("nc", "c")).alias("c"))
+        )
+        # (b) pointer jumping: c <- label(c) (labels are node ids, so the
+        # parent lookup is a self-join); collapses label chains by half
+        par = stepped.select(F.col("id").alias("_p"), F.col("c").alias("pc"))
+        new_lbl = (
+            stepped.join(par, stepped["c"] == par["_p"], "left")
+            .select("id", F.least(F.coalesce("pc", "c"), "c").alias("c"))
+            .localCheckpoint()  # cut the iterative plan's lineage
+        )
+        changed = (
+            new_lbl.alias("n")
+            .join(lbl.alias("o"), "id")
+            .where(F.col("n.c") != F.col("o.c"))
+            .limit(1)
+            .count()
+        )
+        lbl = new_lbl
+        if changed == 0:
+            break
+    both.unpersist()
+    return lbl.select("id", F.col("c").alias("component"))
+
+
+def dedup_keepers(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+) -> DataFrame:
+    """Per-document dedup verdict from a near-dup pair list:
+    ``(id_col, component, keep BOOLEAN)`` — the component minimum is kept,
+    every other member dropped; documents in no pair keep themselves."""
+    comp = connected_components(pairs, a_col, b_col)
+    out = df.select(F.col(id_col).alias("id")).join(comp, "id", "left")
+    return out.select(
+        F.col("id").alias(id_col),
+        F.coalesce("component", "id").alias("component"),
+        (F.coalesce("component", "id") == F.col("id")).alias("keep"),
     )

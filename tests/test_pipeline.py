@@ -539,3 +539,74 @@ def test_semantic_dedup_duckdb_replay(emb):
         for a, b, c in d.itertuples(index=False)
     )
     assert key(got) == key(duck)
+
+
+# ------------------------------------------------------ connected components
+
+
+def test_connected_components_basic(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 10), (5, 4)], ["id_a", "id_b"]
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[7] == comp[8] == 7
+    assert comp[4] == comp[5] == 4
+    assert 10 not in comp  # self-loop carries no edge
+
+
+def test_connected_components_chain_and_fixpoint(spark):
+    # a path graph: worst case for min propagation; still converges
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["id_a", "id_b"]
+    )
+    comp = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == n + 1
+
+
+def test_connected_components_matches_union_find(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, (300, 2)) if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["id"]: r["component"] for r in dedup.connected_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+
+
+def test_dedup_keepers_end_to_end(spark, dup_docs):
+    pairs = dedup.minhash_dedup_pairs(dup_docs, threshold=0.2)
+    out = {
+        r["doc_id"]: (r["component"], r["keep"])
+        for r in dedup.dedup_keepers(dup_docs, pairs).collect()
+    }
+    assert len(out) == dup_docs.count()  # verdict for every doc
+    keepers = [d for d, (_, k) in out.items() if k]
+    # exactly one keeper per component
+    comps = {}
+    for d, (c, k) in out.items():
+        comps.setdefault(c, []).append((d, k))
+    for c, members in comps.items():
+        assert sum(1 for _, k in members if k) == 1
+        assert (c, True) in members  # the component minimum is the keeper
+    assert len(keepers) < dup_docs.count()  # planted dups were clustered
