@@ -50,6 +50,7 @@ __all__ = [
     "session_sketch_state",
     "finalize_cells_batch",
     "mg_stream_state",
+    "stream_dedup",
 ]
 
 _STATE_SCHEMA = StructType(STATE_FIELDS)
@@ -201,6 +202,88 @@ def mg_stream_state(
     return (
         sdf.select(*by, item_col)
         .groupBy(*by)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    n_routes: int = 16,
+) -> DataFrame:
+    """Cross-micro-batch deduplication with bounded state: emit only the
+    first occurrence of each normalized-content fingerprint ever seen on
+    the stream.
+
+    State per routing key is a Bloom bitset of ``m_bits`` (``m_bits/8``
+    bytes — 128 KB at the default — forever, regardless of stream length).
+    Fingerprints are routed to ``n_routes`` keys by fingerprint hash, so
+    every occurrence of the same content reaches the same state and the
+    work spreads over the cluster.  Guarantees: a true duplicate is ALWAYS
+    dropped (no false negatives in a Bloom filter); a novel document is
+    dropped with probability ~``(1 - e^(-kn/m))^k`` (false positive) — the
+    standard trade-off of streaming dedup at bounded memory; size
+    ``m_bits`` for the expected distinct count.
+
+    Output: the deduplicated stream ``(id_col, fingerprint)``.
+    """
+    import hashlib
+
+    from .pipeline.textops import fingerprint
+
+    route = F.pmod(F.xxhash64(fingerprint(F.col(text_col))), F.lit(n_routes))
+    base = sdf.select(
+        F.col(id_col),
+        fingerprint(F.col(text_col)).alias("fingerprint"),
+        route.alias("_route"),
+    )
+    state_schema = StructType([StructField("bits", StringType())])  # hex
+    out_schema = StructType(
+        [
+            next(f for f in sdf.schema.fields if f.name == id_col),
+            StructField("fingerprint", StringType()),
+        ]
+    )
+    n_bytes = m_bits // 8
+
+    def positions(fp: str) -> list[int]:
+        h = hashlib.md5(fp.encode()).digest()
+        h1 = int.from_bytes(h[:8], "big") % m_bits
+        h2 = int.from_bytes(h[8:], "big") % (m_bits - 1) + 1
+        return [(h1 + i * h2) % m_bits for i in range(k)]
+
+    def update(key, pdfs, state: GroupState):
+        bits = (
+            bytearray.fromhex(state.get[0]) if state.exists else bytearray(n_bytes)
+        )
+        out = []
+        for pdf in pdfs:
+            # across batches the first ARRIVAL wins (streaming semantics);
+            # within one micro-batch ties break deterministically by id
+            pdf = pdf.sort_values(id_col).drop_duplicates(
+                subset=["fingerprint"], keep="first"
+            )
+            for rid, fp in zip(pdf[id_col], pdf["fingerprint"]):
+                pos = positions(fp)
+                if all(bits[p >> 3] & (1 << (p & 7)) for p in pos):
+                    continue  # seen (or Bloom false positive): drop
+                for p in pos:
+                    bits[p >> 3] |= 1 << (p & 7)
+                out.append((rid, fp))
+        state.update((bytes(bits).hex(),))
+        yield pd.DataFrame(out, columns=[id_col, "fingerprint"])
+
+    return (
+        base.groupBy("_route")
         .applyInPandasWithState(
             update,
             outputStructType=out_schema,

@@ -244,3 +244,37 @@ def test_mg_stream_heavy_hitters(spark, tmp_path):
         assert r["est"] <= true <= r["est"] + bound
     # the true top item must be surfaced (its count dwarfs the bound)
     assert exact.index[0] in set(final["item"])
+
+
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """Cross-batch duplicates are dropped; first occurrences survive; state
+    persists through the checkpoint between micro-batches."""
+    from ddspark.streaming import stream_dedup
+
+    batches = [
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": ["alpha one", "beta two", "alpha one"]}),
+        pd.DataFrame({"doc_id": [3, 4], "text": ["ALPHA   ONE", "gamma three"]}),
+        pd.DataFrame({"doc_id": [5, 6], "text": ["beta two", "delta four"]}),
+    ]
+    src = str(tmp_path / "dd_src")
+    for i, b in enumerate(batches):
+        spark.createDataFrame(b).write.parquet(f"{src}/f{i}.parquet")
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+    out = stream_dedup(sdf, m_bits=1 << 12, k=4, n_routes=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "dd_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM stream_dedup_test").toPandas()
+    kept = set(res["doc_id"])
+    # one survivor per distinct normalized content; dups (2: same as 0,
+    # 3: whitespace/case-normalized dup of 0, 5: dup of 1) dropped
+    assert 2 not in kept and 3 not in kept and 5 not in kept
+    assert {1, 4, 6} <= kept
+    assert len(kept) == 4  # 0-or... exactly: {0,1,4,6}
+    assert 0 in kept
