@@ -223,6 +223,32 @@ def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(docs, threshold=0.05, n=2, df_cap=8)
 
 
+def _q_sketch_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: the engine's own sketch output drives a data-quality
+    filter — per-lang p05/p95 length thresholds (DDSketch, cells engine)
+    broadcast back onto the corpus to count outliers.  The oracle replays
+    the identical DDSketch math in ANSI SQL, so the whole loop (sketch ->
+    thresholds -> filter) is value-checked, not just the sketch."""
+    docs = _read(spark, sf_dir, "documents")
+    thr = quantile_sketch(
+        docs, "n_chars", by=["lang"], qs=[0.05, 0.95], cfg=SketchConfig(ALPHA)
+    ).select(
+        "lang",
+        # round thresholds identically in both engines: the bucket-midpoint
+        # float may differ by 1 ulp across JVM/DuckDB pow implementations
+        F.round(F.col(quantile_label(0.05)), ROUND).alias("lo"),
+        F.round(F.col(quantile_label(0.95)), ROUND).alias("hi"),
+    )
+    joined = docs.join(F.broadcast(thr), "lang")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(
+            ((F.col("n_chars") < F.col("lo")) | (F.col("n_chars") > F.col("hi")))
+            .cast("double")
+        ).alias("n_outliers"),
+    )
+
+
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs -> clusters -> keepers: min-label + pointer-jumping connected
     # components over the Jaccard near-dup graph (oracle: recursive CTE)
@@ -786,6 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id_counts": wrap(_q_lang_id_counts),
         "dedup_jaccard_pairs": wrap(_q_jaccard_pairs),
         "dedup_components": wrap(_q_dedup_components),
+        "sketch_outlier_filter": wrap(_q_sketch_outlier_filter),
         "curation_hash_split": wrap(_q_hash_split_counts),
         "curation_stratified_sample": wrap(_q_stratified_sample),
         "curation_decontam": wrap(_q_decontam),
@@ -927,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id_counts": _lang_id_oracle_sql(),
         "dedup_jaccard_pairs": "WITH " + _JACCARD_CTES + _JACCARD_SELECT,
         "dedup_components": _dedup_components_oracle(),
+        "sketch_outlier_filter": _sketch_outlier_oracle(),
         "curation_hash_split": _hash_split_oracle(),
         "curation_stratified_sample": _stratified_sample_oracle(),
         "curation_decontam": _decontam_oracle(),
@@ -1288,3 +1316,20 @@ FROM (SELECT doc_id FROM documents WHERE doc_id < 150) d
 LEFT JOIN comp c ON c.id = d.doc_id
 """
     )
+
+
+def _sketch_outlier_oracle() -> str:
+    inner = ansi_sql_quantile_sketch(
+        "documents", "n_chars", ["lang"], [0.05, 0.95], ALPHA, round_digits=ROUND
+    )
+    return f"""
+WITH thr AS (
+  SELECT lang, p5 AS lo, p95 AS hi FROM ({inner})
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS DOUBLE) AS n_docs,
+       CAST(SUM(CASE WHEN d.n_chars < thr.lo OR d.n_chars > thr.hi
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS n_outliers
+FROM documents d JOIN thr USING (lang)
+GROUP BY d.lang
+"""
