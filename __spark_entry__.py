@@ -302,6 +302,18 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(docs, sep=" ", max_doc_freq=390)
 
 
+def _q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language rebalancing toward a fixed mix; the oracle recomputes the
+    # feasible total + per-stratum rates from exact counts in SQL
+    from ddspark.pipeline.curation import target_mix
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = target_mix(
+        docs, {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+    )
+    return kept.select("doc_id", "lang")
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # concat-then-chunk packing of the corpus into 4096-char context
     # windows, 8 parallel deterministic streams
@@ -820,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_removal": wrap(_q_boilerplate_lines),
         "curation_pii_redaction": wrap(_q_pii_redaction),
         "curation_pack_sequences": wrap(_q_pack_sequences),
+        "curation_target_mix": wrap(_q_target_mix),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
@@ -962,6 +975,7 @@ def oracle_sql() -> dict[str, str]:
         "text_boilerplate_removal": _boilerplate_oracle(),
         "curation_pii_redaction": _pii_oracle(),
         "curation_pack_sequences": _pack_oracle(),
+        "curation_target_mix": _target_mix_oracle_q(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1333,3 +1347,12 @@ SELECT d.lang,
 FROM documents d JOIN thr USING (lang)
 GROUP BY d.lang
 """
+
+
+def _target_mix_oracle_q() -> str:
+    from ddspark.pipeline.curation import target_mix_oracle_sql
+
+    inner = target_mix_oracle_sql(
+        "documents", {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+    )
+    return f"SELECT doc_id, lang FROM ({inner})"

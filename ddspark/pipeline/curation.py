@@ -28,6 +28,9 @@ correctness gate can replay them bit-for-bit:
 * **sequence packing** — concat-then-chunk layout of documents into
                          fixed-capacity context windows over n_buckets
                          parallel deterministic streams.
+* **target mixing**    — downsample strata toward a target distribution
+                         (feasible-total rule M = min_s(n_s/t_s)); one
+                         tiny count job, then a pure hash filter.
 
 Scale notes: the split/sample operators are pure column expressions (one
 md5 per row inside whole-stage codegen, no shuffle at all); decontamination
@@ -51,12 +54,14 @@ __all__ = [
     "repetition_stats",
     "redact_pii",
     "pack_sequences",
+    "target_mix",
     "hash_split_oracle_sql",
     "stratified_sample_oracle_sql",
     "decontaminate_oracle_sql",
     "repetition_stats_oracle_sql",
     "redact_pii_oracle_sql",
     "pack_sequences_oracle_sql",
+    "target_mix_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -552,4 +557,79 @@ SELECT {id_col}, bucket,
        CAST(FLOOR((cum + GREATEST(sz, 1) - 1) / {max_tokens})
             - FLOOR(cum / {max_tokens}) + 1 AS INT) AS spans
 FROM c
+"""
+
+
+def target_mix(
+    df: DataFrame,
+    target: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Resample the corpus toward a target stratum distribution (domain /
+    language mixing): keep the largest subset whose strata proportions
+    match ``target`` (shares summing to 1), downsampling only — the
+    feasible total is ``M = min_s(n_s / t_s)`` and stratum ``s`` keeps a
+    deterministic hash sample at rate ``t_s * M / n_s``.
+
+    Two Spark jobs: one count aggregation (tiny result, collected like
+    broadcast centroids) to derive the rates, then the pure-filter
+    deterministic sample — the corpus itself never shuffles.  Strata
+    missing from ``target`` are dropped; a target stratum missing from the
+    data makes the mix infeasible and raises.
+    """
+    total = sum(target.values())
+    if not 0.999999 <= total <= 1.000001:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    counts = {
+        r["s"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [s for s in target if s not in counts]
+    if missing:
+        raise ValueError(f"target strata absent from data: {missing}")
+    import math
+
+    m = min(counts[s] / t for s, t in target.items() if t > 0)
+    # quantize to whole hash buckets with floor: unambiguous in IEEE float64
+    # and identical in any engine (Python round is banker's, SQL's is
+    # half-away-from-zero — floor sidesteps the disagreement entirely)
+    rates = {
+        s: math.floor(min(1.0, t * m / counts[s]) * _BUCKETS) / _BUCKETS
+        for s, t in target.items()
+    }
+    return stratified_sample(df, rates, strata_col, id_col, salt)
+
+
+def target_mix_oracle_sql(
+    table: str,
+    target: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> str:
+    """Full twin of :func:`target_mix`: recomputes the feasible total and
+    per-stratum rates from exact counts *in SQL* with the same IEEE float64
+    operation order (t*m then /n, FLOOR to bucket units), then applies the
+    same hash filter."""
+    vals = ", ".join(f"('{s}', {t!r})" for s, t in sorted(target.items()))
+    b = _bucket_sql(id_col, salt)
+    return f"""
+WITH tt(s, t) AS (VALUES {vals}),
+cnt AS (
+  SELECT {strata_col} AS s, COUNT(*) AS n FROM {table} GROUP BY {strata_col}
+),
+m AS (
+  SELECT MIN(n / t) AS m FROM cnt JOIN tt USING (s) WHERE t > 0
+),
+thr AS (
+  SELECT s, CAST(FLOOR(LEAST(1.0, t * m.m / n) * {_BUCKETS}) AS BIGINT) AS lim
+  FROM cnt JOIN tt USING (s), m
+)
+SELECT d.* FROM {table} d
+JOIN thr ON thr.s = d.{strata_col}
+WHERE ({b}) < thr.lim
 """

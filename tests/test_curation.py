@@ -369,3 +369,51 @@ def test_pack_sequences_matches_duckdb(spark):
         ).fetchall())
     )
     assert got == duck
+
+
+# ----------------------------------------------------------------- target mix
+
+
+def test_target_mix_downsamples_to_target(spark):
+    from ddspark.pipeline.curation import target_mix
+
+    rows = (
+        [(i, "en") for i in range(8000)]
+        + [(i + 8000, "de") for i in range(1500)]
+        + [(i + 9500, "fr") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    target = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    kept = target_mix(df, target)
+    got = dict(kept.groupBy("lang").count().rdd.map(tuple).collect())
+    total = sum(got.values())
+    # fr is the binding stratum (500/0.2 = 2500 feasible total)
+    assert got["fr"] == pytest.approx(500, abs=60)
+    for s, t in target.items():
+        assert got[s] / total == pytest.approx(t, abs=0.05)
+
+
+def test_target_mix_validation(spark):
+    from ddspark.pipeline.curation import target_mix
+
+    df = spark.createDataFrame([(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError, match="sum to 1"):
+        target_mix(df, {"en": 0.5})
+    with pytest.raises(ValueError, match="absent"):
+        target_mix(df, {"en": 0.5, "xx": 0.5})
+
+
+def test_target_mix_matches_duckdb(spark, docs):
+    from ddspark.pipeline.curation import target_mix, target_mix_oracle_sql
+
+    target = {"en": 0.6, "es": 0.2, "de": 0.2}
+    kept = {r["doc_id"] for r in target_mix(docs, target).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({target_mix_oracle_sql('documents', target)})"
+        ).fetchall()
+    }
+    assert kept == duck
