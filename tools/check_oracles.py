@@ -103,6 +103,7 @@ def main() -> int:
     print(f"entry(): {n} rows")
     if n <= 0:
         failures += 1
+    print(f"SUMMARY: {len(qs)} queries, {failures} failures, sf_dir={sf_dir}")
     spark.stop()
     return 1 if failures else 0
 
