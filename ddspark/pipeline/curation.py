@@ -82,6 +82,19 @@ def split_bucket(id_col: Column | str, salt: str) -> Column:
     return portable_hash63(key) % _BUCKETS
 
 
+def _lit_sql(v) -> str:
+    """SQL literal for a stratum value: quote-escaped strings, bare
+    numerics — so oracle SQL survives quotes in data values and integer
+    strata compare as integers (matching the Spark side's typed ==)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    raise TypeError(f"unsupported stratum literal type: {type(v).__name__}")
+
+
 def _bucket_sql(id_expr: str, salt: str) -> str:
     return f"{portable_hash63_sql(f'CAST({id_expr} AS VARCHAR) || ' + repr(':' + salt))} % {_BUCKETS}"
 
@@ -133,7 +146,7 @@ def hash_split_oracle_sql(
     weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
     thresholds = _split_thresholds(weights)
     whens = " ".join(
-        f"WHEN b < {hi} THEN '{name}'" for name, hi in thresholds
+        f"WHEN b < {hi} THEN {_lit_sql(name)}" for name, hi in thresholds
     )
     return (
         f"SELECT *, CASE {whens} END AS split FROM "
@@ -182,7 +195,7 @@ def stratified_sample_oracle_sql(
     b = _bucket_sql(id_col, salt)
     if isinstance(fractions, dict):
         whens = " ".join(
-            f"WHEN {strata_col} = '{v}' THEN {round(r * _BUCKETS)}"
+            f"WHEN {strata_col} = {_lit_sql(v)} THEN {round(r * _BUCKETS)}"
             for v, r in sorted(fractions.items())
         )
         thr = f"CASE {whens} ELSE 0 END"
@@ -398,19 +411,11 @@ def repetition_stats(
             ).alias("dup_word_frac"),
         )
     )
-    idx = F.when(
-        F.size("t") >= ngram, F.sequence(F.lit(0), F.size("t") - ngram)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = base.select(
-        "id",
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at("t", (i + j + 1).cast("int")) for j in range(ngram)]
-                ),
-            )
-        ).alias("g"),
+    from .dedup import word_gram_array
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_gram_array(F.col(text_col), ngram)).alias("g"),
     )
     top = (
         grams.groupBy("id", "g")
@@ -615,7 +620,7 @@ def target_mix_oracle_sql(
     per-stratum rates from exact counts *in SQL* with the same IEEE float64
     operation order (t*m then /n, FLOOR to bucket units), then applies the
     same hash filter."""
-    vals = ", ".join(f"('{s}', {t!r})" for s, t in sorted(target.items()))
+    vals = ", ".join(f"({_lit_sql(s)}, {t!r})" for s, t in sorted(target.items()))
     b = _bucket_sql(id_col, salt)
     return f"""
 WITH tt(s, t) AS (VALUES {vals}),

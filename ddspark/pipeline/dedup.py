@@ -28,6 +28,7 @@ from .textops import fingerprint
 
 __all__ = [
     "exact_dedup",
+    "word_gram_array",
     "word_shingles",
     "jaccard_pairs",
     "minhash_coeffs",
@@ -67,18 +68,26 @@ def exact_dedup(
     )
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
-) -> DataFrame:
-    """Distinct word n-grams per document: ``(id, shingle)``."""
-    toks = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+def word_gram_array(text: Column, n: int) -> Column:
+    """Array of word ``n``-grams of the normalized text (repeats kept) —
+    the single tokenization/gram expression shared by every word-gram
+    operator (shingling, decontamination, repetition stats), so the
+    normalization rule and its ANSI twins can never diverge."""
+    toks = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     # NB: sequence(0, -1) descends in Spark — short docs need an empty array
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
+    return F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)])
     )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams per document: ``(id, shingle)``."""
+    sh = word_gram_array(F.col(text_col), n)
     return (
         df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
         .distinct()

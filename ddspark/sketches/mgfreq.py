@@ -198,7 +198,20 @@ def mg_check(
         .agg(F.sum(w).alias("true_cnt"))
     )
     summ = mg_summary(df, col, k, by, weight_col)
-    joined = exact.join(summ, [*by, "item"], "full")
+    # null-safe join keys: a NULL group value must still pair its exact
+    # rows with its summary rows (plain list-join EqualTo never matches
+    # NULL, which would make every item of a NULL group look missing)
+    ex, sm = exact.alias("ex"), summ.alias("sm")
+    cond = F.lit(True)
+    for c in [*by, "item"]:
+        cond = cond & F.col(f"ex.{c}").eqNullSafe(F.col(f"sm.{c}"))
+    joined = ex.join(sm, cond, "full").select(
+        *[F.coalesce(f"ex.{b}", f"sm.{b}").alias(b) for b in by],
+        F.coalesce("ex.item", "sm.item").alias("item"),
+        F.col("ex.true_cnt").alias("true_cnt"),
+        F.col("sm.est").alias("est"),
+        F.col("sm.err_bound").alias("err_bound"),
+    )
     grp = [F.col(b) for b in by]
     per_item_ok = F.when(
         F.col("est").isNotNull() & F.col("item").isNotNull(),

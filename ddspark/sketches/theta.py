@@ -145,9 +145,20 @@ def _clip(ks, theta: float) -> np.ndarray:
 
 
 def theta_estimate(ks, theta: float) -> float:
-    """Distinct estimate of a (possibly clipped) sample set."""
+    """Distinct estimate of a sample set under ``theta``.
+
+    Counts only values strictly below ``theta``: a truncated sketch's
+    retained set includes the k-th minimum (theta itself), which is the
+    order statistic that *defines* the sampling rate, not a sample drawn
+    below it — counting it would bias the estimate high by 1/theta.  For
+    ``ks`` of a truncated ``theta_summary``/``theta_union`` this yields
+    exactly the unbiased ``(k-1)/theta``; exact-mode sets (theta=1) count
+    fully.
+    """
     a = np.asarray(ks, dtype=np.float64)
-    return float(len(a)) if theta >= 1.0 else len(a) / theta
+    if theta >= 1.0:
+        return float(len(a))
+    return int((a < theta).sum()) / theta
 
 
 def theta_union(ks_a, theta_a: float, ks_b, theta_b: float, k: int):

@@ -163,8 +163,13 @@ def mg_stream_state(
     def update(key, pdfs, state: GroupState):
         if state.exists:
             items_s, counts_s, err, total = state.get
-            idx = items_s.split(SEP) if items_s else []
-            vals = [float(x) for x in counts_s.split(SEP)] if counts_s else []
+            # emptiness keys on counts_s: items_s == "" is ambiguous (it is
+            # also the encoding of the single empty-string item)
+            if counts_s:
+                idx = items_s.split(SEP)
+                vals = [float(x) for x in counts_s.split(SEP)]
+            else:
+                idx, vals = [], []
             counts = pd.Series(vals, index=idx, dtype=np.float64)
         else:
             counts, err, total = pd.Series(dtype=np.float64), 0.0, 0.0
@@ -267,8 +272,11 @@ def stream_dedup(
         )
         out = []
         for pdf in pdfs:
-            # across batches the first ARRIVAL wins (streaming semantics);
-            # within one micro-batch ties break deterministically by id
+            # the first ARRIVAL wins (streaming semantics); within one
+            # Arrow chunk ties break by id, but duplicates split across
+            # chunks of the same micro-batch still resolve by arrival
+            # order — the survivor id is not globally deterministic, only
+            # the dedup itself is (exactly one survivor per fingerprint)
             pdf = pdf.sort_values(id_col).drop_duplicates(
                 subset=["fingerprint"], keep="first"
             )

@@ -417,3 +417,40 @@ def test_target_mix_matches_duckdb(spark, docs):
         ).fetchall()
     }
     assert kept == duck
+
+
+# -------------------------------------------------------- review regressions
+
+
+def test_sample_oracle_escapes_quotes_and_ints(spark):
+    from ddspark.pipeline.curation import (
+        stratified_sample,
+        stratified_sample_oracle_sql,
+    )
+
+    rows = [(0, "l'az"), (1, "l'az"), (2, "en"), (3, "en"), (4, "de")]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    fr = {"l'az": 1.0, "en": 0.5}
+    kept = {r["doc_id"] for r in stratified_sample(df, fr, strata_col="lang").collect()}
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    sql = stratified_sample_oracle_sql("documents", fr, strata_col="lang")
+    duck = {r[0] for r in con.execute(f"SELECT doc_id FROM ({sql})").fetchall()}
+    assert kept == duck and {0, 1} <= kept
+    # integer strata compare as integers in both engines
+    idf = spark.createDataFrame([(i, i % 3) for i in range(60)], ["doc_id", "grp"])
+    fr2 = {0: 1.0, 2: 0.5}
+    kept2 = {r["doc_id"] for r in stratified_sample(idf, fr2, strata_col="grp").collect()}
+    con.register("it", idf.toPandas())
+    sql2 = stratified_sample_oracle_sql("it", fr2, strata_col="grp")
+    duck2 = {r[0] for r in con.execute(f"SELECT doc_id FROM ({sql2})").fetchall()}
+    assert kept2 == duck2
+    assert all(i % 3 == 0 for i in kept2 if i % 3 != 2)
+
+
+def test_repetition_stats_shares_gram_expression(spark, docs):
+    # after the refactor the counts must be unchanged vs the known values
+    from ddspark.pipeline.curation import repetition_stats
+
+    out = {r["doc_id"]: r["top_ngram_frac"] for r in repetition_stats(docs).collect()}
+    assert out[4] == pytest.approx(0.75)

@@ -474,3 +474,23 @@ class TestTheta:
         df = spark.createDataFrame(rows, "g string, item string")
         out = {r["g"]: r["est"] for r in theta_summary(df, "item", k=512, by=["g"]).collect()}
         assert out == {"g1": 50.0, "g2": 80.0}
+
+
+def test_mg_check_null_group_key(spark):
+    """A NULL group value must not fail the guarantee spuriously (null-safe
+    join regression)."""
+    from ddspark.sketches.mgfreq import mg_check
+
+    rows = [(None, "x")] * 40 + [(None, "y")] * 5 + [("g", "z")] * 10
+    df = spark.createDataFrame(rows, "grp string, item string")
+    out = {r["grp"]: r["guarantee_ok"] for r in mg_check(df, "item", k=4, by=["grp"]).collect()}
+    assert out[None] is True and out["g"] is True
+
+
+def test_theta_estimate_consistent_with_summary(spark):
+    from ddspark.sketches.theta import theta_estimate, theta_summary
+
+    df = spark.createDataFrame([(f"x{i}",) for i in range(30000)], "item string")
+    r = theta_summary(df, "item", k=512).first()
+    # the standalone estimator must agree exactly with the summary's est
+    assert theta_estimate(r["ks"], r["theta"]) == r["est"]

@@ -278,3 +278,31 @@ def test_stream_dedup_across_batches(spark, tmp_path):
     assert {1, 4, 6} <= kept
     assert len(kept) == 4  # 0-or... exactly: {0,1,4,6}
     assert 0 in kept
+
+
+def test_mg_stream_state_survives_empty_string_item(spark, tmp_path):
+    """Regression: a checkpointed state whose only item is '' must decode
+    (emptiness keys on counts, not the joined item string)."""
+    from ddspark.streaming import mg_stream_state
+
+    b1 = pd.DataFrame({"g": ["k"] * 3, "item": ["", "", ""]})
+    b2 = pd.DataFrame({"g": ["k"] * 2, "item": ["", "w"]})
+    src = str(tmp_path / "mg_empty_src")
+    for i, b in enumerate([b1, b2]):
+        spark.createDataFrame(b).write.parquet(f"{src}/f{i}.parquet")
+    sdf = spark.readStream.schema("g string, item string").parquet(src + "/*")
+    q = (
+        mg_stream_state(sdf, "item", ["g"], k=4, topn=3)
+        .writeStream.format("memory")
+        .queryName("mg_empty_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mg_empty_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql("SELECT * FROM mg_empty_test").toPandas()
+    final = res[res["total"] == res["total"].max()]
+    assert final["total"].iloc[0] == 5.0
+    ests = dict(zip(final["item"], final["est"]))
+    assert ests[""] == 4.0 and ests["w"] == 1.0
