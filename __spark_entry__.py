@@ -716,6 +716,26 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_check(ev, "user_id", k=64, by=["event_type"])
 
 
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull a typed field out of the JSON props
+    column (JVM get_json_object — predicate-pushdown-friendly, no Python)
+    and aggregate it per event type; oracle replays with DuckDB's JSON
+    extraction."""
+    ev = _read(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .where(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_events"),
+            F.sum("k").cast("double").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def _q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/KMV set algebra: estimated distinct word-3-gram overlap between
     language pairs, certified by the Poisson 5-sigma half-width
@@ -859,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_point_queries": wrap(_q_countmin_points),
         "mg_heavy_hitters_users": wrap(_q_mg_heavy_hitters),
         "theta_shingle_overlap": wrap(_q_theta_overlap),
+        "json_props_stats": wrap(_q_json_props_stats),
     }
 
 
@@ -1141,6 +1162,20 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
         "theta_shingle_overlap": _theta_overlap_oracle(),
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n_events,
+                   CAST(SUM(k) AS DOUBLE) AS sum_k,
+                   MIN(k) AS min_k,
+                   MAX(k) AS max_k
+            FROM (
+              SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events
+            )
+            WHERE k IS NOT NULL
+            GROUP BY event_type
+        """,
     }
 
 
