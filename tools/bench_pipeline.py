@@ -1,0 +1,84 @@
+"""Measure pipeline-operator throughput on a synthetic multi-million-row
+corpus (codegen source, no I/O in the loop) — the evidence that the
+curation/dedup/sketch operators, not just the flagship quantile pipeline,
+hold up at scale.  Appends nothing; prints a markdown table to paste into
+BENCH.md.
+
+Usage: python tools/bench_pipeline.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+from ddspark.session import get_spark
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench-pipeline", cores=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # synthetic documents: ~12 words each, zipf-ish repetition via modulo
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+    word_expr = "array({})".format(
+        ", ".join(f"'{w}'" for w in words)
+    )
+    docs = (
+        spark.range(N, numPartitions=64)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(0, 11), "
+                f"i -> element_at({word_expr}, cast(pmod(id * 7 + i * i, 10) + 1 as int))))"
+            ).alias("text"),
+            F.expr("element_at(array('en','de','fr','es','zh'), cast(pmod(id, 5) + 1 as int))").alias("lang"),
+            (F.pmod(F.col("id") * 37, 5000) + 10).alias("n_chars"),
+            F.pmod(F.col("id") * F.col("id"), 997).cast("string").alias("item"),
+        )
+        .persist()
+    )
+    docs.count()  # materialize
+
+    def timed(name, fn, warm=1):
+        for _ in range(warm):
+            fn()
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        print(f"| {name} | {dt:.2f} | {N / dt / 1e6:.1f} M |")
+
+    from ddspark.pipeline.curation import (
+        hash_split,
+        pack_sequences,
+        redact_pii,
+        repetition_stats,
+    )
+    from ddspark.pipeline.dedup import exact_dedup, minhash_signatures
+    from ddspark.sketches.mgfreq import mg_summary
+    from ddspark.sketches.theta import theta_summary
+
+    print(f"rows = {N}; local[32]; warm pass then timed pass")
+    print("| operator | sec | rows/s |")
+    print("|---|---|---|")
+    timed("hash_split (projection only)", lambda: hash_split(docs).agg(F.count(F.lit(1))).collect())
+    timed("redact_pii (3 regex passes + counts)", lambda: redact_pii(docs).agg(F.sum("n_email")).collect())
+    timed("pack_sequences (64 streams)", lambda: pack_sequences(docs, "n_chars").agg(F.max("pack_seq")).collect())
+    timed("exact_dedup (md5 groupBy)", lambda: exact_dedup(docs).agg(F.count(F.lit(1))).collect())
+    timed("repetition_stats (2 gram aggs)", lambda: repetition_stats(docs).agg(F.avg("dup_word_frac")).collect())
+    timed("minhash_signatures (64 perms)", lambda: minhash_signatures(docs, num_hashes=64).agg(F.count(F.lit(1))).collect())
+    timed("theta_summary (k=4096, global)", lambda: theta_summary(docs, "item", k=4096).collect())
+    timed("mg_summary (k=256, global)", lambda: mg_summary(docs, "item", k=256).collect())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
