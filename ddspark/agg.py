@@ -431,15 +431,23 @@ def finalize_cells_vec(
     mapping = cfg.key_mapping
     q_list = [float(q) for q in qs]
     q_cols = [quantile_label(q) for q in q_list]
-    schema = StructType(
-        _by_fields(cells, by)
-        + [
+    # lean cells (build_cells(..., stats=False)) carry no _s/_mn/_mx —
+    # emit count + quantiles only, mirroring finalize_cells_sql's branch
+    has_stats = "_s" in cells.columns
+    stat_fields = (
+        [
             StructField("count", DoubleType()),
             StructField("sum", DoubleType()),
             StructField("min", DoubleType()),
             StructField("max", DoubleType()),
             StructField("avg", DoubleType()),
         ]
+        if has_stats
+        else [StructField("count", DoubleType())]
+    )
+    schema = StructType(
+        _by_fields(cells, by)
+        + stat_fields
         + [StructField(c, DoubleType()) for c in q_cols]
     )
     out_cols = [f.name for f in schema.fields]
@@ -461,17 +469,19 @@ def finalize_cells_vec(
         c = pdf["_c"].to_numpy(np.float64)
         order = np.lexsort((k, sgn, gid))
         gid, sgn, k, c = gid[order], sgn[order], k[order], c[order]
-        s = pdf["_s"].to_numpy(np.float64)[order]
-        mn = pdf["_mn"].to_numpy(np.float64)[order]
-        mx = pdf["_mx"].to_numpy(np.float64)[order]
+        if has_stats:
+            s = pdf["_s"].to_numpy(np.float64)[order]
+            mn = pdf["_mn"].to_numpy(np.float64)[order]
+            mx = pdf["_mx"].to_numpy(np.float64)[order]
 
         g_start = np.flatnonzero(np.r_[True, gid[1:] != gid[:-1]])
         n_groups = len(g_start)
         g_of_row = np.repeat(np.arange(n_groups), np.diff(np.r_[g_start, n]))
         count = np.add.reduceat(c, g_start)
-        total_sum = np.add.reduceat(s, g_start)
-        g_min = np.minimum.reduceat(mn, g_start)
-        g_max = np.maximum.reduceat(mx, g_start)
+        if has_stats:
+            total_sum = np.add.reduceat(s, g_start)
+            g_min = np.minimum.reduceat(mn, g_start)
+            g_max = np.maximum.reduceat(mx, g_start)
         neg_count = np.bincount(g_of_row, weights=c * (sgn == -1), minlength=n_groups)
         zero_count = np.bincount(g_of_row, weights=c * (sgn == 0), minlength=n_groups)
 
@@ -499,10 +509,13 @@ def finalize_cells_vec(
             for col in by:
                 rec[col] = pdf[col].to_numpy()[order][g_start]
         rec["count"] = count
-        rec["sum"] = total_sum
-        rec["min"] = g_min
-        rec["max"] = g_max
-        rec["avg"] = np.where(count > 0, total_sum / np.where(count > 0, count, 1.0), np.nan)
+        if has_stats:
+            rec["sum"] = total_sum
+            rec["min"] = g_min
+            rec["max"] = g_max
+            rec["avg"] = np.where(
+                count > 0, total_sum / np.where(count > 0, count, 1.0), np.nan
+            )
 
         for q, q_col in zip(q_list, q_cols):
             rank = q * (count - 1.0)

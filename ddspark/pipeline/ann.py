@@ -108,6 +108,8 @@ def sparse_planes(dim: int, n_planes: int, seed: int) -> list[tuple[int, int]]:
     """Seeded coordinate pairs (i, j), i != j — hyperplanes with normal
     ``e_i - e_j``.  Shared with the ANSI-SQL oracle generator so both
     engines draw identical planes."""
+    if dim < 2:
+        raise ValueError(f"sparse planes need dim >= 2, got {dim}")
     rnd = random.Random(seed)
     out: list[tuple[int, int]] = []
     while len(out) < n_planes:
@@ -146,7 +148,20 @@ def lsh_topk(
     module docstring)."""
 
     def with_sigs(df: DataFrame, idname: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias("_vec"))
+        # fail fast on a dim mismatch: with wrong dim every dense projection
+        # zip_with-pads to NULL and every signature degenerates to bucket 0,
+        # silently turning the candidate join into a full cross product
+        vec_ok = F.when(
+            F.size(vec_col) == dim, F.col(vec_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"lsh_topk: dim={dim} but embedding length is "),
+                    F.size(vec_col).cast("string"),
+                )
+            )
+        )
+        out = df.select(F.col(id_col).alias(idname), vec_ok.alias("_vec"))
         for t in range(n_tables):
             tseed = seed + 7919 * t
             if plane_family == "sparse":

@@ -476,10 +476,27 @@ def session_sketch_state(
                 )
             return
         if carried is not None and islands and islands[0][0] - carried[1] < gap_us:
-            # first island continues the open session
+            # first island continues the open session.  The session's last
+            # event may still be the carried one: rows older than the
+            # carried last event (but above the watermark) are legal, so
+            # keep max(batch end, carried end) — and since that later
+            # timestamp can bridge gaps the batch-local splitting saw,
+            # re-merge following islands while they fall inside the gap.
             s0, e0, v0 = islands[0]
-            merged = carried[2].merge(Sketch.from_values(v0, cfg))
-            islands[0] = (carried[0], e0, merged)
+            cur = (
+                carried[0],
+                max(e0, carried[1]),
+                carried[2].merge(Sketch.from_values(v0, cfg)),
+            )
+            rest = islands[1:]
+            while rest and rest[0][0] - cur[1] < gap_us:
+                s1, e1, v1 = rest.pop(0)
+                cur = (
+                    cur[0],
+                    max(cur[1], e1),
+                    cur[2].merge(Sketch.from_values(v1, cfg)),
+                )
+            islands = [cur] + rest
             carried = None
         if carried is not None:
             # gap between state and everything new: close the old session

@@ -389,3 +389,28 @@ def test_quantile_sketch_exact_stats_false(spark, mixed_df):
     assert (full["count"].sort_index() == lean["count"].sort_index()).all()
     cells = build_cells(df, "v", ["g"], cfg, stats=False)
     assert set(cells.columns) == {"g", "_sgn", "_k", "_c", "_rc"}
+
+
+def test_finalize_cells_vec_lean_cells(spark):
+    """Regression: the vectorized finalizer must accept the quantiles-only
+    cell shape (stats=False) and agree with the SQL finalizer."""
+    import numpy as np
+
+    from ddspark.agg import build_cells, finalize_cells_sql, finalize_cells_vec
+    from ddspark.sketch import SketchConfig
+
+    rng = np.random.default_rng(3)
+    vals = np.abs(rng.lognormal(2.0, 1.0, 4000)) + 0.5
+    df = spark.createDataFrame(
+        [(("a" if i % 3 else "b"), float(v)) for i, v in enumerate(vals)],
+        "g string, v double",
+    )
+    cfg = SketchConfig(0.02)
+    lean = build_cells(df, "v", ["g"], cfg, stats=False)
+    vec = finalize_cells_vec(lean, [0.5, 0.95], ["g"], cfg).toPandas()
+    sql = finalize_cells_sql(lean, [0.5, 0.95], ["g"], cfg).toPandas()
+    assert "sum" not in vec.columns
+    key = lambda d: sorted(
+        map(tuple, d[sorted(d.columns)].round(9).itertuples(index=False))
+    )
+    assert key(vec) == key(sql[sorted(vec.columns)])

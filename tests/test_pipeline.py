@@ -610,3 +610,19 @@ def test_dedup_keepers_end_to_end(spark, dup_docs):
         assert sum(1 for _, k in members if k) == 1
         assert (c, True) in members  # the component minimum is the keeper
     assert len(keepers) < dup_docs.count()  # planted dups were clustered
+
+
+def test_sparse_planes_rejects_tiny_dim():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim >= 2"):
+        ann.sparse_planes(1, 4, 42)
+
+
+def test_lsh_topk_dim_mismatch_fails_fast(spark):
+    import pytest as _pytest
+
+    rows = [(i, [float(i), float(i + 1)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(Exception, match="embedding length"):
+        ann.lsh_topk(df, df.limit(2), k=2, dim=64).collect()

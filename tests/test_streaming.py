@@ -306,3 +306,44 @@ def test_mg_stream_state_survives_empty_string_item(spark, tmp_path):
     assert final["total"].iloc[0] == 5.0
     ests = dict(zip(final["item"], final["est"]))
     assert ests[""] == 4.0 and ests["w"] == 1.0
+
+
+def test_session_state_out_of_order_above_watermark(spark, tmp_path):
+    """Regression: an above-watermark event OLDER than the carried session's
+    last event must not regress the session's last-event timestamp — the
+    next event within the true gap must extend, not split, the session."""
+    from ddspark.streaming import session_sketch_state
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    mk = lambda secs: pd.DataFrame(
+        {"ts": [base + pd.Timedelta(seconds=s) for s in secs],
+         "g": ["k"] * len(secs),
+         "v": [float(10 + s) for s in secs]}
+    )
+    src = str(tmp_path / "ooo_src")
+    # batch1: t=100; batch2: t=30 (older, legal under a 1h watermark);
+    # batch3: t=150 — true gap from last event (100) is 50s < 120s gap
+    for i, b in enumerate([mk([100]), mk([30]), mk([150])]):
+        spark.createDataFrame(b).write.parquet(f"{src}/f{i}.parquet")
+    sdf = (
+        spark.readStream.schema("ts timestamp, g string, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = session_sketch_state(
+        sdf, "ts", "v", ["g"], gap="2 minutes", watermark="1 hour",
+        qs=[0.5],
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ooo_session_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ooo_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("SELECT * FROM ooo_session_test").toPandas()
+    # no session may close mid-stream: all three events belong to one
+    # still-open session (closed rows would appear here)
+    assert len(res) == 0, res.to_string()
