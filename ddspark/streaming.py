@@ -50,6 +50,7 @@ __all__ = [
     "session_sketch_state",
     "finalize_cells_batch",
     "mg_stream_state",
+    "mg_stream_tws",
     "stream_dedup",
 ]
 
@@ -213,6 +214,113 @@ def mg_stream_state(
             stateStructType=state_schema,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def mg_stream_tws(
+    sdf: DataFrame,
+    item_col: str,
+    by: list[str],
+    k: int = 64,
+    topn: int = 10,
+) -> DataFrame:
+    """:func:`mg_stream_state` on Spark 4's ``transformWithStateInPandas``
+    (the Arbitrary Stateful Processing v2 API): the same running
+    Misra-Gries summary per key, held in a typed ``ValueState`` instead of
+    the legacy ``GroupState`` tuple.  Same output and certificate; the new
+    API additionally supports state TTL and multiple typed state variables
+    per key, which is the forward path for composite per-key state.
+
+    Runtime requirement: Spark's v2 state protocol talks protobuf between
+    the JVM and the Python worker, so this operator needs the ``protobuf``
+    package (an optional Spark dependency not present in every
+    environment); it raises a clear ImportError up front instead of a deep
+    mid-query failure.  :func:`mg_stream_state` is the dependency-free
+    equivalent on the legacy ``applyInPandasWithState`` API.
+    """
+    try:
+        from google.protobuf import descriptor as _descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(Spark's v2 state protocol); use mg_stream_state instead"
+        ) from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from .sketches.mgfreq import mg_compress
+
+    out_schema = StructType(
+        _by_fields(sdf, by)
+        + [
+            StructField("rank", LongType()),
+            StructField("item", StringType()),
+            StructField("est", DoubleType()),
+            StructField("err_bound", DoubleType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+    SEP = "\x1f"
+    state_schema = "items string, counts string, err double, total double"
+
+    class MGProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._mg = handle.getValueState("mg", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._mg.exists():
+                items_s, counts_s, err, total = self._mg.get()
+                if counts_s:
+                    counts = pd.Series(
+                        [float(x) for x in counts_s.split(SEP)],
+                        index=items_s.split(SEP),
+                        dtype=np.float64,
+                    )
+                else:
+                    counts = pd.Series(dtype=np.float64)
+            else:
+                counts, err, total = pd.Series(dtype=np.float64), 0.0, 0.0
+            for pdf in rows:
+                items = pdf[item_col].dropna().astype(str)
+                if not len(items):
+                    continue
+                batch = items.value_counts().astype(np.float64)
+                counts = counts.add(batch, fill_value=0.0)
+                counts, e = mg_compress(counts, k)
+                err += e
+                total += float(len(items))
+            self._mg.update(
+                (
+                    SEP.join(counts.index),
+                    SEP.join(repr(float(c)) for c in counts),
+                    float(err),
+                    float(total),
+                )
+            )
+            top = counts.sort_values(ascending=False).head(topn)
+            recs = [
+                dict(zip(by, key))
+                | {"rank": r + 1, "item": it, "est": float(c),
+                   "err_bound": float(err), "total": float(total)}
+                for r, (it, c) in enumerate(top.items())
+            ]
+            yield pd.DataFrame(recs, columns=names)
+
+        def close(self) -> None:
+            pass
+
+    return (
+        sdf.select(*by, item_col)
+        .groupBy(*by)
+        .transformWithStateInPandas(
+            statefulProcessor=MGProcessor(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
         )
     )
 

@@ -347,3 +347,51 @@ def test_session_state_out_of_order_above_watermark(spark, tmp_path):
     # no session may close mid-stream: all three events belong to one
     # still-open session (closed rows would appear here)
     assert len(res) == 0, res.to_string()
+
+
+def test_mg_stream_tws_matches_legacy_state(spark, tmp_path):
+    """The transformWithStateInPandas variant carries state across
+    micro-batches and honors the same certificate as the legacy-API MG.
+    Skipped where Spark's v2 state protocol dependency (protobuf) is
+    absent; the operator itself then raises a clear ImportError."""
+    from ddspark.streaming import mg_stream_tws
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="protobuf"):
+            mg_stream_tws(
+                spark.readStream.format("rate").load(), "value", ["value"]
+            )
+        pytest.skip("protobuf not available: TWS v2 state protocol unusable")
+
+    rng = np.random.default_rng(19)
+    items = rng.zipf(1.5, 4000).clip(max=500)
+    rows = pd.DataFrame({"g": ["k"] * len(items), "item": items.astype(str)})
+    src = str(tmp_path / "tws_src")
+    for i, part in enumerate(np.array_split(np.arange(len(rows)), 2)):
+        spark.createDataFrame(rows.iloc[part]).write.parquet(f"{src}/f{i}.parquet")
+    sdf = (
+        spark.readStream.schema("g string, item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    out = mg_stream_tws(sdf, "item", ["g"], k=32, topn=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mg_tws_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tws_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    res = spark.sql("SELECT * FROM mg_tws_test").toPandas()
+    final = res[res["total"] == res["total"].max()]
+    assert final["total"].iloc[0] == len(items)  # cross-batch state carried
+    exact = rows["item"].value_counts()
+    bound = final["err_bound"].iloc[0]
+    for _, r in final.iterrows():
+        true = exact[r["item"]]
+        assert r["est"] <= true <= r["est"] + bound
+    assert exact.index[0] in set(final["item"])
