@@ -716,6 +716,22 @@ def _q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mg_check(ev, "user_id", k=64, by=["event_type"])
 
 
+_CDF_PROBES = [1000.0, 20000.0, 60000.0, 100000.0]
+
+
+def _q_cdf_probes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank/CDF queries — the inverse of the quantile query: the fraction
+    of prices at or below each probe's bucket, with the certified value
+    bracket exact_cdf(x/gamma) <= est <= exact_cdf(x*gamma) emitted as a
+    boolean both engines verify independently."""
+    from ddspark.sqlpath import sql_cdf_probe
+
+    li = _read(spark, sf_dir, "lineitem")
+    return sql_cdf_probe(
+        li, "l_extendedprice", _CDF_PROBES, by=["l_returnflag"], alpha=ALPHA
+    )
+
+
 def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: pull a typed field out of the JSON props
     column (JVM get_json_object — predicate-pushdown-friendly, no Python)
@@ -880,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters_users": wrap(_q_mg_heavy_hitters),
         "theta_shingle_overlap": wrap(_q_theta_overlap),
         "json_props_stats": wrap(_q_json_props_stats),
+        "ddsketch_cdf_probes": wrap(_q_cdf_probes),
     }
 
 
@@ -1162,6 +1179,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
         "theta_shingle_overlap": _theta_overlap_oracle(),
+        "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n_events,
@@ -1391,3 +1409,12 @@ def _target_mix_oracle_q() -> str:
         "documents", {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
     )
     return f"SELECT doc_id, lang FROM ({inner})"
+
+
+def _cdf_probe_oracle() -> str:
+    from ddspark.sqlpath import ansi_sql_cdf_probe
+
+    return ansi_sql_cdf_probe(
+        "lineitem", "l_extendedprice", _CDF_PROBES, by=["l_returnflag"],
+        alpha=ALPHA,
+    )

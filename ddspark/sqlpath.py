@@ -37,7 +37,12 @@ from .sketch import SketchConfig
 from .store import COLLAPSE_HIGHEST, COLLAPSE_LOWEST
 from .agg import quantile_label
 
-__all__ = ["sql_quantile_sketch", "ansi_sql_quantile_sketch"]
+__all__ = [
+    "sql_quantile_sketch",
+    "ansi_sql_quantile_sketch",
+    "sql_cdf_probe",
+    "ansi_sql_cdf_probe",
+]
 
 
 def sql_quantile_sketch(
@@ -272,3 +277,126 @@ SELECT {by_sel}count,
        {v_sel}
 FROM sel
 """.strip()
+
+
+def _probe_keys(xs: list[float], alpha: float) -> tuple[float, float, list[int]]:
+    """(multiplier, gamma, bucket key per probe) — the key is computed once
+    in Python with the same correctly-rounded log2 the engines use, and
+    inlined as a literal into BOTH the Spark plan and the ANSI oracle, so
+    the two engines can never disagree on the probe's bucket."""
+    import math
+
+    mapping = LogarithmicMapping(alpha)
+    m = mapping._multiplier
+    keys = [int(math.ceil(math.log2(float(x)) * m)) for x in xs]
+    return m, mapping.gamma, keys
+
+
+def sql_cdf_probe(
+    df: DataFrame,
+    value_col: str,
+    xs: list[float],
+    by: list[str] | None = None,
+    alpha: float = 0.01,
+    weight_col: str | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate CDF (rank) queries over positive values — the inverse of
+    the quantile query: for each probe ``x``, the weighted fraction of
+    values in buckets at or below ``x``'s bucket.
+
+    **Certified bracket** (emitted as a boolean, exact sides computed in
+    the same pass): every value the estimate counts satisfies
+    ``v <= x * gamma`` and every value ``v <= x / gamma`` is counted, so
+    ``exact_cdf(x/gamma) <= est_cdf(x) <= exact_cdf(x*gamma)`` — the CDF
+    analogue of DDSketch's relative-value quantile guarantee.
+
+    Output: ``by... | x | est_cdf | within_bracket``; one scan, one hash
+    aggregation (all probes as parallel aggregate expressions), then a
+    probe explode over the tiny per-group result.
+    """
+    by = list(by or [])
+    m, gamma, keys = _probe_keys(xs, alpha)
+    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    base = df.where(F.col(value_col) > 0).select(
+        *by,
+        F.col(value_col).cast("double").alias("v"),
+        w.alias("w"),
+        F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k"),
+    )
+    aggs = [F.sum("w").alias("_n")]
+    for i, (x, kx) in enumerate(zip(xs, keys)):
+        aggs.append(F.sum(F.when(F.col("k") <= kx, F.col("w"))).alias(f"_e{i}"))
+        aggs.append(
+            F.sum(F.when(F.col("v") <= float(x) / gamma, F.col("w"))).alias(f"_lo{i}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col("v") <= float(x) * gamma, F.col("w"))).alias(f"_hi{i}")
+        )
+    grouped = (base.groupBy(*by) if by else base.groupBy()).agg(*aggs)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(float(x)).alias("x"),
+                (F.coalesce(F.col(f"_e{i}"), F.lit(0.0)) / F.col("_n")).alias("est"),
+                (F.coalesce(F.col(f"_lo{i}"), F.lit(0.0)) / F.col("_n")).alias("lo"),
+                (F.coalesce(F.col(f"_hi{i}"), F.lit(0.0)) / F.col("_n")).alias("hi"),
+            )
+            for i, x in enumerate(xs)
+        ]
+    )
+    out = grouped.select(*by, F.explode(probes).alias("p"))
+    return out.select(
+        *by,
+        F.col("p.x").alias("x"),
+        F.round(F.col("p.est"), round_digits).alias("est_cdf"),
+        (
+            (F.col("p.lo") <= F.col("p.est")) & (F.col("p.est") <= F.col("p.hi"))
+        ).alias("within_bracket"),
+    )
+
+
+def ansi_sql_cdf_probe(
+    table: str,
+    value_expr: str,
+    xs: list[float],
+    by: list[str] | None = None,
+    alpha: float = 0.01,
+    round_digits: int = 6,
+) -> str:
+    """DuckDB twin of :func:`sql_cdf_probe` (unit weights)."""
+    by = list(by or [])
+    m, gamma, keys = _probe_keys(xs, alpha)
+    by_sel = ", ".join(by) + ", " if by else ""
+    by_grp = f"GROUP BY {', '.join(by)}" if by else ""
+    agg_cols = ["SUM(1.0) AS n"]
+    for i, (x, kx) in enumerate(zip(xs, keys)):
+        agg_cols.append(f"SUM(CASE WHEN k <= {kx} THEN 1.0 END) AS e{i}")
+        agg_cols.append(
+            f"SUM(CASE WHEN v <= {float(x) / gamma!r} THEN 1.0 END) AS lo{i}"
+        )
+        agg_cols.append(
+            f"SUM(CASE WHEN v <= {float(x) * gamma!r} THEN 1.0 END) AS hi{i}"
+        )
+    rows = []
+    for i, x in enumerate(xs):
+        est = f"COALESCE(e{i}, 0.0) / n"
+        lo = f"COALESCE(lo{i}, 0.0) / n"
+        hi = f"COALESCE(hi{i}, 0.0) / n"
+        rows.append(
+            f"SELECT {by_sel}CAST({float(x)!r} AS DOUBLE) AS x, "
+            f"ROUND({est}, {round_digits}) AS est_cdf, "
+            f"({lo} <= {est} AND {est} <= {hi}) AS within_bracket FROM agg"
+        )
+    union = "\nUNION ALL\n".join(rows)
+    return f"""
+WITH base AS (
+  SELECT {by_sel}CAST({value_expr} AS DOUBLE) AS v,
+         CAST(CEIL(LOG2(CAST({value_expr} AS DOUBLE)) * {m!r}) AS BIGINT) AS k
+  FROM {table} WHERE {value_expr} > 0
+),
+agg AS (
+  SELECT {by_sel}{', '.join(agg_cols)} FROM base {by_grp}
+)
+{union}
+"""

@@ -145,3 +145,53 @@ def test_sql_path_plan_is_jvm_only(spark, lineitem):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+
+
+def test_cdf_probe_bracket_and_values(spark):
+    import numpy as np
+
+    from ddspark.sqlpath import sql_cdf_probe
+
+    rng = np.random.default_rng(23)
+    vals = np.abs(rng.lognormal(3.0, 1.0, 8000)) + 0.1
+    df = spark.createDataFrame(
+        [("a" if i % 2 else "b", float(v)) for i, v in enumerate(vals)],
+        "g string, v double",
+    )
+    xs = [5.0, 20.0, 60.0, 200.0]
+    out = sql_cdf_probe(df, "v", xs, by=["g"], alpha=0.01)
+    rows = out.collect()
+    assert len(rows) == 8  # 2 groups x 4 probes
+    assert all(r["within_bracket"] for r in rows)
+    # spot-check: estimate near the true CDF for each group
+    for g in ("a", "b"):
+        gv = np.sort(vals[(np.arange(len(vals)) % 2) == (1 if g == "a" else 0)])
+        for r in rows:
+            if r["g"] != g:
+                continue
+            exact = np.searchsorted(gv, r["x"], side="right") / len(gv)
+            assert abs(r["est_cdf"] - exact) < 0.05
+
+
+def test_cdf_probe_matches_duckdb(spark):
+    import duckdb
+    import numpy as np
+
+    from ddspark.sqlpath import ansi_sql_cdf_probe, sql_cdf_probe
+
+    rng = np.random.default_rng(7)
+    vals = np.abs(rng.lognormal(2.0, 1.2, 3000)) + 0.01
+    pdf = __import__("pandas").DataFrame(
+        {"g": ["x" if i % 3 else "y" for i in range(len(vals))], "v": vals}
+    )
+    df = spark.createDataFrame(pdf)
+    xs = [1.0, 7.5, 40.0]
+    got = sorted(
+        map(tuple, sql_cdf_probe(df, "v", xs, by=["g"]).collect())
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    duck = sorted(
+        map(tuple, con.execute(ansi_sql_cdf_probe("t", "v", xs, by=["g"])).fetchall())
+    )
+    assert got == duck
