@@ -302,6 +302,14 @@ def _q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_boilerplate_lines(docs, sep=" ", max_doc_freq=390)
 
 
+def _q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exactly-50-row deterministic uniform sample (bottom-k by hash)
+    from ddspark.pipeline.curation import exact_k_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return exact_k_sample(docs, 50).select("doc_id", "lang")
+
+
 def _q_target_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # language rebalancing toward a fixed mix; the oracle recomputes the
     # feasible total + per-stratum rates from exact counts in SQL
@@ -869,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pii_redaction": wrap(_q_pii_redaction),
         "curation_pack_sequences": wrap(_q_pack_sequences),
         "curation_target_mix": wrap(_q_target_mix),
+        "curation_exact_k_sample": wrap(_q_exact_k_sample),
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
@@ -1014,6 +1023,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pii_redaction": _pii_oracle(),
         "curation_pack_sequences": _pack_oracle(),
         "curation_target_mix": _target_mix_oracle_q(),
+        "curation_exact_k_sample": _exact_k_oracle(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1418,3 +1428,10 @@ def _cdf_probe_oracle() -> str:
         "lineitem", "l_extendedprice", _CDF_PROBES, by=["l_returnflag"],
         alpha=ALPHA,
     )
+
+
+def _exact_k_oracle() -> str:
+    from ddspark.pipeline.curation import exact_k_sample_oracle_sql
+
+    inner = exact_k_sample_oracle_sql("documents", 50)
+    return f"SELECT doc_id, lang FROM ({inner})"

@@ -55,6 +55,7 @@ __all__ = [
     "redact_pii",
     "pack_sequences",
     "target_mix",
+    "exact_k_sample",
     "hash_split_oracle_sql",
     "stratified_sample_oracle_sql",
     "decontaminate_oracle_sql",
@@ -62,6 +63,7 @@ __all__ = [
     "redact_pii_oracle_sql",
     "pack_sequences_oracle_sql",
     "target_mix_oracle_sql",
+    "exact_k_sample_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -638,3 +640,37 @@ SELECT d.* FROM {table} d
 JOIN thr ON thr.s = d.{strata_col}
 WHERE ({b}) < thr.lim
 """
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ksample",
+) -> DataFrame:
+    """Exactly ``k`` rows, uniformly at random, deterministically: the
+    bottom-``k`` rows by hash bucket (ties by id).  Unlike a Bernoulli
+    rate (row count only approximate) or ``DataFrame.sample`` (partition-
+    order dependent), this yields the same exact-size sample on any run,
+    any engine, any parallelism — Spark executes it as a distributed
+    TakeOrdered (per-partition top-k, then a k-row merge on the driver
+    side of the final reduce), never a full sort.
+    """
+    b = split_bucket(id_col, salt)
+    return (
+        df.withColumn("_b", b)
+        .orderBy("_b", id_col)
+        .limit(k)
+        .drop("_b")
+    )
+
+
+def exact_k_sample_oracle_sql(
+    table: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ksample",
+) -> str:
+    """Twin of :func:`exact_k_sample`."""
+    b = _bucket_sql(id_col, salt)
+    return f"SELECT * EXCLUDE (_b) FROM (SELECT *, {b} AS _b FROM {table}) ORDER BY _b, {id_col} LIMIT {k}"

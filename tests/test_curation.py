@@ -454,3 +454,28 @@ def test_repetition_stats_shares_gram_expression(spark, docs):
 
     out = {r["doc_id"]: r["top_ngram_frac"] for r in repetition_stats(docs).collect()}
     assert out[4] == pytest.approx(0.75)
+
+
+def test_exact_k_sample(spark):
+    from ddspark.pipeline.curation import (
+        exact_k_sample,
+        exact_k_sample_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], ["doc_id", "text"]
+    )
+    a = {r["doc_id"] for r in exact_k_sample(df, 37).collect()}
+    b = {r["doc_id"] for r in exact_k_sample(df.repartition(11), 37).collect()}
+    assert len(a) == 37 and a == b  # exact size, parallelism-invariant
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    duck = {
+        r[0]
+        for r in con.execute(
+            f"SELECT doc_id FROM ({exact_k_sample_oracle_sql('t', 37)})"
+        ).fetchall()
+    }
+    assert a == duck
+    # roughly uniform: the sample is not the first 37 ids
+    assert max(a) > 500
