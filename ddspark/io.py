@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 __all__ = [
     "read_corpus",
     "read_corpus_jsonl",
+    "read_corpus_csv",
     "write_state_table",
     "read_state_table",
     "write_results",
@@ -76,6 +77,38 @@ def read_corpus_jsonl(
     df = (
         spark.read.format("json")
         .schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(path)
+    )
+    return df.select(*columns) if columns else df
+
+
+def read_corpus_csv(
+    spark: SparkSession,
+    path: str,
+    schema=None,
+    columns: list[str] | None = None,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """Read a CSV corpus with the same contract as
+    :func:`read_corpus_jsonl`: explicit schema (no inference scan),
+    PERMISSIVE mode with malformed lines routed to ``_corrupt_record``
+    (same caveat: ``cache()`` before querying only that column), and
+    multiline quoted fields enabled — text corpora embed newlines."""
+    if schema is None:
+        from .corpus import corpus_schema
+        from pyspark.sql.types import StringType, StructField
+
+        schema = corpus_schema().add(StructField("_corrupt_record", StringType(), True))
+    df = (
+        spark.read.format("csv")
+        .schema(schema)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("multiLine", "true")
+        .option("escape", '"')
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .load(path)

@@ -189,3 +189,25 @@ def test_read_corpus_jsonl(spark, tmp_path):
     # column pruning arg
     two = dio.read_corpus_jsonl(spark, str(p), columns=["lang", "content"])
     assert two.columns == ["lang", "content"]
+
+
+def test_read_corpus_csv(spark, tmp_path):
+    from ddspark import io as dio
+    from ddspark.corpus import generate_corpus
+
+    pdf = generate_corpus(spark, n_rows=30, parts=2).toPandas()
+    p = tmp_path / "corpus.csv"
+    pdf.to_csv(p, index=False)
+    df = dio.read_corpus_csv(spark, str(p)).cache()
+    good = df.where(df["_corrupt_record"].isNull())
+    assert good.count() == 30
+    assert dict(df.dtypes)["lang"] == "string"
+    # sha256 invariant survives the CSV roundtrip (quoted multiline content)
+    from pyspark.sql import functions as F
+
+    bad = good.where(
+        F.sha2(F.col("content").cast("binary"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+    two = dio.read_corpus_csv(spark, str(p), columns=["lang", "content"])
+    assert two.columns == ["lang", "content"]
