@@ -125,8 +125,11 @@ def _q_exact_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "count",
         F.col("sum").alias("sum_chars"),
-        F.col("min").alias("min_chars"),
-        F.col("max").alias("max_chars"),
+        # the cells engine keeps min/max in the source column's type (LONG
+        # here); the oracle emits DOUBLE — cast so the driver's dtype-strict
+        # hash sees identical schemas (VERDICT r2 item #1).
+        F.col("min").cast("double").alias("min_chars"),
+        F.col("max").cast("double").alias("max_chars"),
         F.col("avg").alias("avg_chars"),
     )
 
@@ -389,6 +392,38 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     fr = sample_frames(with_blob(docs), n_frames=4, frame_bytes=16)
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
+
+
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pixel-level decode path (no codec libs): synthesize a
+    deterministic 7x5 24-bpp BMP per document (RGB raster byte ``i`` is
+    ``(doc_id + i) % 256``, encoded bottom-up BGR with 21-byte rows padded
+    to 24), decode it with the dependency-free BMP parser, then
+    nearest-neighbor resize to 3x2 and decode again.  The oracle replays
+    the closed form pixel-for-pixel, so a decoder bug (row order, BGR swap,
+    padding, resize index) is a value mismatch, not just a crash."""
+    from ddspark.pipeline.multimodal import decode_stats, resize_images, synth_images
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = synth_images(docs, "doc_id", width=7, height=5)
+    full = decode_stats(imgs, "doc_id", "img")
+    small = decode_stats(resize_images(imgs, 3, 2, "doc_id", "img"), "doc_id", "img")
+    return full.select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).join(
+        small.select(
+            "doc_id",
+            F.col("width").alias("r_width"),
+            F.col("height").alias("r_height"),
+            F.col("sum_r").alias("r_sum_r"),
+            F.col("sum_g").alias("r_sum_g"),
+            F.col("sum_b").alias("r_sum_b"),
+        ),
+        "doc_id",
+    )
 
 
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -881,6 +916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": wrap(_q_ann_topk),
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
+        "multimodal_decode_stats": wrap(_q_multimodal_decode),
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
@@ -1046,6 +1082,46 @@ def oracle_sql() -> dict[str, str]:
               FROM p
             )
             SELECT qid, nid, rank, cosine FROM r WHERE rank <= 5
+        """,
+        # pixel-for-pixel replay of the BMP decode+resize path: full image
+        # is 7x5x3 raster bytes (doc_id + idx) % 256 with channel idx%3
+        # (row stride 21 is divisible by 3); the 3x2 nearest-neighbor
+        # resize samples src = ((y*5)//2, (x*7)//3).
+        "multimodal_decode_stats": """
+            WITH px AS (
+              SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
+              FROM documents d, UNNEST(generate_series(0, 104)) AS u(i)
+            ),
+            full_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+                     CAST(SUM(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+                     CAST(SUM(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+                     ROUND(AVG(CASE WHEN idx % 3 = 0 THEN CAST(v AS DOUBLE) END), 6) AS mean_r,
+                     ROUND(AVG(CASE WHEN idx % 3 = 1 THEN CAST(v AS DOUBLE) END), 6) AS mean_g,
+                     ROUND(AVG(CASE WHEN idx % 3 = 2 THEN CAST(v AS DOUBLE) END), 6) AS mean_b
+              FROM px GROUP BY doc_id
+            ),
+            rpx AS (
+              SELECT d.doc_id, c.c AS ch,
+                     (d.doc_id + ((y.y * 5) // 2) * 21
+                               + ((x.x * 7) // 3) * 3 + c.c) % 256 AS v
+              FROM documents d,
+                   UNNEST(generate_series(0, 1)) AS y(y),
+                   UNNEST(generate_series(0, 2)) AS x(x),
+                   UNNEST(generate_series(0, 2)) AS c(c)
+            ),
+            small_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum_r,
+                     CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_sum_g,
+                     CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS r_sum_b
+              FROM rpx GROUP BY doc_id
+            )
+            SELECT f.doc_id, 7 AS width, 5 AS height,
+                   sum_r, sum_g, sum_b, mean_r, mean_g, mean_b,
+                   3 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
+            FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id
         """,
         "multimodal_byte_plumbing": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

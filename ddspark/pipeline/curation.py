@@ -560,7 +560,7 @@ c AS (
 )
 SELECT {id_col}, bucket,
        CAST(FLOOR(cum / {max_tokens}) AS BIGINT) AS pack_seq,
-       cum % {max_tokens} AS pack_offset,
+       CAST(cum % {max_tokens} AS BIGINT) AS pack_offset,
        CAST(FLOOR((cum + GREATEST(sz, 1) - 1) / {max_tokens})
             - FLOOR(cum / {max_tokens}) + 1 AS INT) AS spans
 FROM c

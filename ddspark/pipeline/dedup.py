@@ -137,8 +137,12 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b")), "id_b")
+        # No broadcast hint on `sizes`: it is one row per *document*, so a
+        # forced broadcast OOMs executors at 10^8+ docs.  `inter` is already
+        # keyed by id — a shuffle hash join is the safe plan, and AQE will
+        # still pick broadcast at runtime when the size side actually fits.
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
@@ -409,11 +413,30 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_rows: int | None = 1_000_000,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine similarity (exact; for the bucketed
-    scale path see :func:`ddspark.pipeline.ann.lsh_topk`)."""
+    """Near-duplicate pairs by cosine similarity — **exact, all-pairs
+    O(n²) self-join**: the small-corpus ground-truth tool, not a scale path.
+
+    ``max_rows`` is a fail-fast guard: if the input exceeds it, raise and
+    point at the sub-quadratic alternatives instead of silently launching an
+    n² shuffle (at 10^8 docs that join is 5·10^15 candidate rows).  Pass
+    ``max_rows=None`` only when you have sized the cluster for the quadratic
+    cost deliberately.  Scale paths: :func:`ddspark.pipeline.ann.semantic_dedup_pairs`
+    (cluster-bucketed) or :func:`ddspark.pipeline.ann.lsh_topk` (hash-bucketed).
+    """
     from .ann import _dot, normalize_vecs
 
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_neardup_pairs is an exact all-pairs O(n^2) join; "
+                f"input has {n} rows > max_rows={max_rows}. Use "
+                "ddspark.pipeline.ann.semantic_dedup_pairs (cluster-bucketed) "
+                "or ann.lsh_topk (LSH-bucketed) at corpus scale, or pass "
+                "max_rows=None to override deliberately."
+            )
     v = normalize_vecs(df, id_col, vec_col)
     a = v.alias("a")
     b = v.alias("b")

@@ -288,6 +288,15 @@ def mg_stream_tws(
                 items = pdf[item_col].dropna().astype(str)
                 if not len(items):
                     continue
+                if items.str.contains(SEP).any():
+                    # same guard as mg_stream_state: an item holding the
+                    # unit separator would corrupt the checkpointed
+                    # items/counts encoding and surface only as an opaque
+                    # length mismatch on the NEXT batch's decode
+                    raise ValueError(
+                        "items containing the \\x1f unit separator are not "
+                        "representable in the checkpoint encoding"
+                    )
                 batch = items.value_counts().astype(np.float64)
                 counts = counts.add(batch, fill_value=0.0)
                 counts, e = mg_compress(counts, k)

@@ -161,6 +161,27 @@ def test_embedding_neardup(spark):
     assert got == {(0, 1)}
 
 
+def test_embedding_neardup_guards_quadratic_blowup(spark):
+    """The all-pairs tool fails fast past max_rows and routes the caller to
+    the sub-quadratic alternatives instead of launching an n^2 shuffle."""
+    rows = [(i, [float(i), 1.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="semantic_dedup_pairs"):
+        dedup.embedding_neardup_pairs(df, max_rows=5)
+    # explicit override still works
+    out = dedup.embedding_neardup_pairs(df, threshold=2.0, max_rows=None)
+    assert out.count() == 0
+
+
+def test_jaccard_plan_does_not_broadcast_sizes(dup_docs):
+    """`sizes` is one row per document — a forced broadcast of it OOMs at
+    corpus scale.  The plan must leave the join strategy to Catalyst/AQE
+    (no ResolvedHint on the sizes relation in the analyzed plan)."""
+    out = dedup.jaccard_pairs(dup_docs, threshold=0.5)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
 # -------------------------------------------------------------------- ann
 
 
@@ -219,9 +240,73 @@ def test_multimodal_plumbing(docs):
     assert (merged["n_bytes"] == merged["n"]).all()
 
 
-def test_decode_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_decode_unsupported_format_raises():
+    # compressed formats (no codec lib in container) fail loud, naming the magic
+    with pytest.raises(ValueError, match="unsupported image magic"):
+        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_bmp_ppm_roundtrip_all_padding_widths():
+    rng = np.random.RandomState(11)
+    for w in (1, 2, 3, 4, 5, 7, 16):  # covers every row-padding residue class
+        a = rng.randint(0, 256, size=(3, w, 3), dtype=np.uint8)
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_bmp(a)), a)
+        assert np.array_equal(
+            multimodal.decode_image(multimodal.encode_bmp(a, top_down=True)), a
+        )
+        assert np.array_equal(multimodal.decode_image(multimodal.encode_ppm(a)), a)
+
+
+def test_ppm_header_comments_and_truncation():
+    blob = b"P6\n# comment\n3 2\n# more\n255\n" + bytes(range(18))
+    assert multimodal.decode_image(blob).shape == (2, 3, 3)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(blob[:-1])
+    with pytest.raises(ValueError, match="maxval"):
+        multimodal.decode_image(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_bmp_rejects_compressed_and_truncated():
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = multimodal.encode_bmp(a)
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_image(good[:-1])
+    bad = bytearray(good)
+    bad[30] = 1  # biCompression = BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        multimodal.decode_image(bytes(bad))
+
+
+def test_resize_nearest_neighbor_closed_form():
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    out = multimodal.decode_image(multimodal.resize_image(multimodal.encode_bmp(a), 3, 2))
+    ys = (np.arange(2) * 5) // 2
+    xs = (np.arange(3) * 7) // 3
+    assert np.array_equal(out, a[ys][:, xs])
+    # PPM input re-encodes as PPM; upscale works too
+    up = multimodal.resize_image(multimodal.encode_ppm(a), 14, 10)
+    assert up[:2] == b"P6"
+    assert multimodal.decode_image(up).shape == (10, 14, 3)
+
+
+def test_synth_decode_stats_distributed(spark):
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    imgs = multimodal.synth_images(ids, "doc_id", width=7, height=5)
+    stats = multimodal.decode_stats(imgs, "doc_id", "img").toPandas()
+    assert len(stats) == 20
+    assert (stats["width"] == 7).all() and (stats["height"] == 5).all()
+    # closed form: channel c sum over raster = sum_{idx%3==c} (id+idx)%256
+    idx = np.arange(105)
+    for _, r in stats.iterrows():
+        v = (int(r["doc_id"]) + idx) % 256
+        assert r["sum_r"] == v[idx % 3 == 0].sum()
+        assert r["sum_g"] == v[idx % 3 == 1].sum()
+        assert r["sum_b"] == v[idx % 3 == 2].sum()
+    small = multimodal.decode_stats(
+        multimodal.resize_images(imgs, 3, 2, "doc_id", "img"), "doc_id", "img"
+    ).toPandas()
+    assert (small["width"] == 3).all() and (small["height"] == 2).all()
 
 
 def test_marker_hits_counts_adjacent_stopwords(spark):
@@ -459,9 +544,11 @@ def test_sample_frames_uniform_and_short(spark):
     assert len(res[res["doc_id"] == 3]) == 1
 
 
-def test_resize_stub_raises():
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_image(b"\x89PNG", 64, 64)
+def test_resize_unsupported_format_raises():
+    with pytest.raises(ValueError, match="unsupported image magic"):
+        multimodal.resize_image(b"\x89PNG\r\n\x1a\n", 64, 64)
+    with pytest.raises(ValueError, match="positive"):
+        multimodal.resize_image(multimodal.encode_ppm(np.zeros((1, 1, 3), np.uint8)), 0, 4)
 
 
 def test_lsh_max_bucket_drops_mega_clusters(spark):

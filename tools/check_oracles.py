@@ -42,6 +42,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for col in a.columns:
         av, bv = a[col].to_numpy(), b[col].to_numpy()
+        # The driver's hash is dtype-sensitive (BIGINT 42 != DOUBLE 42.0), so
+        # an int-vs-float drift must fail here too, not be coerced away
+        # (VERDICT r2: exact_stats + pack_sequences slipped through this gap).
+        kind = lambda k: {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "other")
+        if kind(av.dtype.kind) != kind(bv.dtype.kind):
+            problems.append(
+                f"col {col!r}: dtype kind differs: spark={av.dtype} duck={bv.dtype} "
+                "(driver hash is dtype-sensitive — align casts on both sides)"
+            )
+            continue
+        if av.dtype != bv.dtype and kind(av.dtype.kind) != "other":
+            print(f"    warn {name} col {col!r}: same kind, width differs: "
+                  f"spark={av.dtype} duck={bv.dtype}")
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
             av = av.astype(np.float64)
             bv = bv.astype(np.float64)
