@@ -594,33 +594,32 @@ def finalize_cells_sql(
 
     has_stats = "_s" in cells.columns
     df = cells
+    part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
     if cfg.mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and cfg.bin_limit:
-        wg = Window.partitionBy(*(by + ["_sgn"])) if by else Window.partitionBy("_sgn")
-        if cfg.mode == COLLAPSE_LOWEST:
-            clamped = F.greatest(
-                F.col("_k"), F.max("_k").over(wg) - F.lit(cfg.bin_limit - 1)
-            )
-        else:
-            clamped = F.least(
-                F.col("_k"), F.min("_k").over(wg) + F.lit(cfg.bin_limit - 1)
-            )
-        re_aggs = [F.sum("_c").alias("_c")]
-        if has_stats:
-            re_aggs += [
-                F.sum("_s").alias("_s"),
-                F.min("_mn").alias("_mn"),
-                F.max("_mx").alias("_mx"),
-            ]
-        re_aggs.append(F.sum("_rc").alias("_rc"))
-        df = (
-            df.withColumn(
-                "_k", F.when(F.col("_sgn") == 0, F.col("_k")).otherwise(clamped)
-            )
-            .groupBy(*by, "_sgn", "_k")
-            .agg(*re_aggs)
+        # Clamp bounds come from per-sign conditional extremes over the SAME
+        # window partition as the cumulative pass below (``by``, not
+        # ``by + _sgn``), so the whole finalize costs ONE exchange instead of
+        # two — the clamp is then just a local column expression before the
+        # partition-local sort.  Rows whose keys collapse onto the same
+        # clamped key are NOT re-aggregated: the rank walk crosses ``rank``
+        # at block granularity (equal clamped keys are adjacent in the sort
+        # and share one representative value), so duplicate keys change
+        # nothing, and count/sum/min/max are key-independent.
+        def bound(sgn: int):
+            ext = F.max if cfg.mode == COLLAPSE_LOWEST else F.min
+            e = ext(F.when(F.col("_sgn") == sgn, F.col("_k"))).over(part)
+            off = F.lit(cfg.bin_limit - 1)
+            return (e - off) if cfg.mode == COLLAPSE_LOWEST else (e + off)
+
+        lim = F.when(F.col("_sgn") == 1, bound(1)).otherwise(bound(-1))
+        clamp = F.greatest if cfg.mode == COLLAPSE_LOWEST else F.least
+        df = df.withColumn(
+            "_k",
+            F.when(F.col("_sgn") == 0, F.col("_k")).otherwise(
+                clamp(F.col("_k"), lim)
+            ),
         )
 
-    part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
     w_cum = part.orderBy(
         F.col("_sgn").asc(), (F.col("_sgn") * F.col("_k")).asc()
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)

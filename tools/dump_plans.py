@@ -70,6 +70,28 @@ def main() -> None:
         )
     )
 
+    from ddspark.store import COLLAPSE_LOWEST
+
+    coll = quantile_sketch(
+        li.where(F.col("l_extendedprice") > 0),
+        "l_extendedprice",
+        ["l_returnflag"],
+        [0.5, 0.99],
+        SketchConfig(0.05, mode=COLLAPSE_LOWEST, bin_limit=128),
+    )
+    sections.append(
+        (
+            "Collapsing store finalize (round 3: one exchange, not two)",
+            "The bucket-limit clamp bounds are per-sign conditional extremes "
+            "computed inside the SAME group-partitioned window as the rank "
+            "walk, so collapsing adds zero exchanges over the plain plan: "
+            "exactly one cells exchange + one window exchange, same as "
+            "non-collapsing.  (Until r3 the clamp ran its own (group, sign) "
+            "window pass plus a re-aggregation — a third exchange.)",
+            formatted(coll),
+        )
+    )
+
     sql = sql_quantile_sketch(li, "l_quantity", ["l_linestatus"], [0.5, 0.99], 0.05)
     sections.append(
         (
