@@ -22,6 +22,8 @@ __all__ = [
     "write_state_table",
     "read_state_table",
     "write_results",
+    "write_bucketed",
+    "read_bucketed",
 ]
 
 
@@ -137,3 +139,47 @@ def write_results(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Small result tables (quantiles per group): coalesce to avoid a
     thousand 2-row files."""
     df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 256,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> str:
+    """Write ``df`` as a bucketed (hash-clustered, optionally sorted) table.
+
+    This is the co-located-join primitive at 100 TB: a scan of a bucketed
+    table reports ``HashPartitioning(bucket_cols, num_buckets)`` to Catalyst,
+    so a join or aggregation keyed on the bucket columns between tables
+    bucketed the same way needs **no exchange at all** — the single biggest
+    shuffle you can delete from a repeated dedup/join pipeline (e.g. bucket
+    the corpus and its embedding/fingerprint side tables by ``doc_id`` once,
+    then every per-document join is partition-local; with ``sort_cols`` the
+    sort-merge join also skips its sort).  Size ``num_buckets`` so one
+    bucket of the *largest* co-bucketed table fits an executor core's task
+    comfortably (~128-512 MB compressed).
+
+    Returns ``name`` (read back with :func:`read_bucketed`).  Bucket file
+    layout follows Spark's hash (Murmur3 of the bucket columns), so any
+    Spark cluster — not just this session — reads it co-located.
+    """
+    w = df.write.format(fmt).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(name)
+    return name
+
+
+def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
+    """Scan a table written by :func:`write_bucketed`; the scan carries the
+    bucket spec, so downstream joins/aggs on the bucket columns are
+    exchange-free (verify with ``.explain()`` — no Exchange above the
+    scans)."""
+    return spark.table(name)

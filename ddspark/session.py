@@ -61,6 +61,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("DDSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # bucketed tables (io.write_bucketed) land here, not in the repo cwd
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "DDSPARK_WAREHOUSE", "/tmp/ddspark_warehouse"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

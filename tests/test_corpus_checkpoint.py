@@ -211,3 +211,46 @@ def test_read_corpus_csv(spark, tmp_path):
     assert bad == 0
     two = dio.read_corpus_csv(spark, str(p), columns=["lang", "content"])
     assert two.columns == ["lang", "content"]
+
+
+# ------------------------------------------------------------ bucketed tables
+
+
+def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path):
+    """Co-bucketed tables join and aggregate on the bucket key with ZERO
+    exchanges — the co-located-join primitive for repeated per-document
+    joins at corpus scale."""
+    from ddspark.io import read_bucketed, write_bucketed
+
+    a = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("x", F.col("doc_id") % 7)
+    )
+    b = (
+        spark.range(0, 1000)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn("y", F.col("doc_id") % 5)
+    )
+    write_bucketed(a, "t_bkt_a", ["doc_id"], num_buckets=4,
+                   sort_cols=["doc_id"], path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bkt_b", ["doc_id"], num_buckets=4,
+                   sort_cols=["doc_id"], path=str(tmp_path / "b"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = read_bucketed(spark, "t_bkt_a"), read_bucketed(spark, "t_bkt_b")
+        j = ta.join(tb, "doc_id")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+        got = j.where(F.col("doc_id") == 13).collect()[0]
+        assert (got["x"], got["y"]) == (13 % 7, 13 % 5)
+        g = ta.groupBy("doc_id").agg(F.sum("x").alias("sx"))
+        gplan = g._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in gplan, gplan
+        assert g.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_b")

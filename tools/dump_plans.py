@@ -163,6 +163,35 @@ def main() -> None:
         )
     )
 
+    import tempfile
+
+    from ddspark.io import read_bucketed, write_bucketed
+
+    with tempfile.TemporaryDirectory() as td:
+        write_bucketed(docs.select("doc_id", "lang"), "plans_bkt_a", ["doc_id"],
+                       num_buckets=8, sort_cols=["doc_id"], path=f"{td}/a")
+        write_bucketed(docs.select("doc_id", "n_chars"), "plans_bkt_b", ["doc_id"],
+                       num_buckets=8, sort_cols=["doc_id"], path=f"{td}/b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = read_bucketed(spark, "plans_bkt_a").join(
+            read_bucketed(spark, "plans_bkt_b"), "doc_id"
+        )
+        sections.append(
+            (
+                "Co-bucketed join (round 3)",
+                "Things to check: ZERO Exchange nodes — both scans report "
+                "the bucket spec as HashPartitioning(doc_id, 8), so the "
+                "sort-merge join runs partition-local.  At 100 TB this is "
+                "the shape for every repeated per-document join: bucket the "
+                "corpus and its side tables by doc_id once, never shuffle "
+                "them again.",
+                formatted(j),
+            )
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS plans_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS plans_bkt_b")
+
     out = ["# PLANS — formatted physical plans of the flagship pipelines\n"]
     out.append("Generated by `python tools/dump_plans.py` against " + SF_DIR + ".\n")
     for title, note, plan in sections:
