@@ -394,6 +394,21 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dolma-style corpus-wide exact paragraph dedup: each paragraph keeps
+    only its first (id, position) occurrence; the oracle replays the same
+    first-occurrence selection on exact strings and both sides compare the
+    md5 of every rebuilt document.  The synthetic documents carry no
+    paragraph breaks, so the gate runs the operator at word granularity
+    (sep=" ") — thousands of cross-document repeats, heavy dedup action —
+    while real corpora use the default "\\n\\n"."""
+    from ddspark.pipeline.dedup import dedup_paragraphs
+
+    docs = _read(spark, sf_dir, "documents")
+    out = dedup_paragraphs(docs, sep=" ")
+    return out.select("doc_id", F.md5("text").alias("clean_md5"))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real pixel-level decode path (no codec libs): synthesize a
     deterministic 7x5 24-bpp BMP per document (RGB raster byte ``i`` is
@@ -917,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
+        "dedup_paragraph_first": wrap(_q_paragraph_dedup),
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
@@ -950,6 +966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from ddspark.pipeline.dedup import dedup_paragraphs_oracle_sql
     from ddspark.pipeline.oracles import (
         ann_lsh_sparse_oracle_sql,
         bloom_membership_oracle_sql,
@@ -1083,6 +1100,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT qid, nid, rank, cosine FROM r WHERE rank <= 5
         """,
+        "dedup_paragraph_first": dedup_paragraphs_oracle_sql(
+            "documents", sep=" ", project="md5"
+        ),
         # pixel-for-pixel replay of the BMP decode+resize path: full image
         # is 7x5x3 raster bytes (doc_id + idx) % 256 with channel idx%3
         # (row stride 21 is divisible by 3); the 3x2 nearest-neighbor

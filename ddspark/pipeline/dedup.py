@@ -41,6 +41,8 @@ __all__ = [
     "embedding_neardup_pairs",
     "connected_components",
     "dedup_keepers",
+    "dedup_paragraphs",
+    "dedup_paragraphs_oracle_sql",
 ]
 
 # 2^31-1: products of two residues fit in int64 (no overflow under ANSI mode)
@@ -538,3 +540,106 @@ def dedup_keepers(
         F.coalesce("component", "id").alias("component"),
         (F.coalesce("component", "id") == F.col("id")).alias("keep"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (the Dolma/RefinedWeb paragraph
+    step): every paragraph keeps only its FIRST occurrence over the whole
+    corpus — ordered by ``(id, position)`` — and later repeats are removed
+    from their documents; remaining paragraphs rejoin with ``sep`` in
+    original order.  Distinct from :func:`ddspark.pipeline.textops.
+    drop_boilerplate_lines`, which removes *frequent* lines everywhere —
+    here even a twice-repeated paragraph loses its second copy, but the
+    first survives.  Paragraphs shorter than ``min_chars`` (structural
+    blanks) are never deduplicated.
+
+    Output: ``(id_col, text)``; docs whose every paragraph was a repeat
+    keep an empty string.
+
+    **Scale**: paragraphs travel as ``xxhash64`` keys.  First-occurrence
+    selection is a ``min(struct(id, pos))`` *aggregation* — map-side
+    combine absorbs a mega-duplicated paragraph (no single-partition
+    window sort on the hot hash) — and the keep decision is a left-semi
+    join on ``(hash, id, pos)``, which is perfectly spread even when one
+    paragraph dominates.  Reassembly groups on the unique id.  As with the
+    line op, the DuckDB oracle replays on exact strings, so an xxhash64
+    collision would surface as a gate mismatch rather than hide.
+    """
+    import re
+
+    ex = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
+    ).withColumn("ph", F.xxhash64("para"))
+    long = ex.where(F.length("para") >= min_chars)
+    firsts = long.groupBy("ph").agg(F.min(F.struct("id", "pos")).alias("m")).select(
+        "ph", F.col("m.id").alias("id"), F.col("m.pos").alias("pos")
+    )
+    kept = long.join(firsts, ["ph", "id", "pos"], "left_semi").unionByName(
+        ex.where(F.length("para") < min_chars)
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text")
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(rebuilt, "id", "left").select(
+        F.col("id").alias(id_col), F.coalesce("text", F.lit("")).alias("text")
+    )
+
+
+def dedup_paragraphs_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    project: str = "text",
+) -> str:
+    """ANSI/DuckDB twin of :func:`dedup_paragraphs`, replayed on exact
+    paragraph strings (see the collision note there).  ``project`` controls
+    the output: ``"text"`` emits the cleaned text, ``"md5"`` emits
+    ``md5(text)``."""
+    proj = (
+        f"cleaned AS {text_col}"
+        if project == "text"
+        else "md5(cleaned) AS clean_md5"
+    )
+    sep_sql = "E'" + (
+        sep.replace("\\", "\\\\").replace("'", "''")
+        .replace("\n", "\\n").replace("\t", "\\t")
+    ) + "'"
+    return f"""
+WITH ex AS (
+  SELECT t.{id_col} AS id, u.i AS pos, t.paras[u.i + 1] AS para
+  FROM (SELECT {id_col}, string_split({text_col}, {sep_sql}) AS paras
+        FROM {table}) t,
+       UNNEST(generate_series(0, len(t.paras) - 1)) AS u(i)
+),
+k AS (
+  SELECT id, pos, para,
+         CASE WHEN length(para) < {min_chars} THEN 1
+              WHEN ROW_NUMBER() OVER (PARTITION BY para ORDER BY id, pos) = 1
+                THEN 1 ELSE 0 END AS keep
+  FROM ex
+),
+reb AS (
+  SELECT id,
+         COALESCE(string_agg(para, {sep_sql} ORDER BY pos)
+                    FILTER (WHERE keep = 1), '') AS cleaned,
+         COUNT(*) FILTER (WHERE keep = 1) AS n_kept
+  FROM k GROUP BY id
+)
+SELECT id AS {id_col}, {proj} FROM reb
+"""

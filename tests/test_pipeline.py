@@ -173,6 +173,41 @@ def test_embedding_neardup_guards_quadratic_blowup(spark):
     assert out.count() == 0
 
 
+def test_dedup_paragraphs_first_occurrence(spark):
+    """Corpus-wide first-occurrence paragraph dedup: later repeats vanish,
+    originals and structural blanks survive, order is preserved."""
+    rows = [
+        (1, "A\n\nB\n\nC"),
+        (2, "B\n\nD"),        # B first seen in doc 1 -> removed here
+        (3, "A\n\nB"),        # everything a repeat -> ""
+        (4, ""),               # empty doc stays empty
+        (5, "C\n\n\n\nE"),    # C repeat dropped; empty para kept; E kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(df).collect()
+    }
+    assert out[1] == "A\n\nB\n\nC"
+    assert out[2] == "D"
+    assert out[3] == ""
+    assert out[4] == ""
+    assert out[5] == "\n\nE"
+
+
+def test_dedup_paragraphs_within_doc_and_determinism(spark):
+    # a paragraph repeated inside ONE doc also keeps only its first position,
+    # and the result is invariant to input partitioning
+    df = spark.createDataFrame(
+        [(7, "X\n\nX\n\nY"), (8, "Y\n\nX")], "doc_id long, text string"
+    )
+    out1 = {r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(df).collect()}
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in dedup.dedup_paragraphs(df.repartition(7)).collect()
+    }
+    assert out1 == {7: "X\n\nY", 8: ""} and out1 == out2
+
+
 def test_jaccard_plan_does_not_broadcast_sizes(dup_docs):
     """`sizes` is one row per document — a forced broadcast of it OOMs at
     corpus scale.  The plan must leave the join strategy to Catalyst/AQE
