@@ -254,3 +254,35 @@ def test_bucketed_join_and_agg_are_exchange_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_bkt_a")
         spark.sql("DROP TABLE IF EXISTS t_bkt_b")
+
+
+def test_quantile_sketch_over_bucketed_table_is_exchange_free(spark, tmp_path):
+    """A corpus bucketed by the grouping key turns the ENTIRE sketch
+    pipeline shuffle-free: the bucketed scan's HashPartitioning(lang)
+    clusters (lang, _sgn, _k) for the cells aggregation AND (lang) for the
+    rank-walk window, so Catalyst inserts zero Exchange nodes.  (Bucket by
+    a high-cardinality key in production — lang here only demos the
+    mechanics on the test corpus.)"""
+    from ddspark.agg import quantile_sketch
+    from ddspark.io import read_bucketed, write_bucketed
+    from ddspark.sketch import SketchConfig
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    write_bucketed(docs.select("doc_id", "lang", "n_chars"), "t_bkt_sketch",
+                   ["lang"], num_buckets=4, path=str(tmp_path / "bs"))
+    try:
+        t = read_bucketed(spark, "t_bkt_sketch")
+        q = quantile_sketch(t, "n_chars", by=["lang"], qs=[0.5, 0.99],
+                            cfg=SketchConfig(0.01))
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # values must match the plain parquet path exactly
+        plain = quantile_sketch(docs, "n_chars", by=["lang"], qs=[0.5, 0.99],
+                                cfg=SketchConfig(0.01))
+        got = {r["lang"]: r for r in q.collect()}
+        want = {r["lang"]: r for r in plain.collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            assert got[k] == want[k]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_sketch")

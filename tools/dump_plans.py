@@ -189,8 +189,28 @@ def main() -> None:
             )
         )
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        write_bucketed(docs.select("doc_id", "lang", "n_chars"), "plans_bkt_s",
+                       ["lang"], num_buckets=8, path=f"{td}/s")
+        bq = quantile_sketch(
+            read_bucketed(spark, "plans_bkt_s"), "n_chars", ["lang"],
+            [0.5, 0.99], SketchConfig(0.01),
+        )
+        sections.append(
+            (
+                "Quantile sketch over a bucketed corpus (round 3): ZERO exchanges",
+                "Bucket the corpus by the grouping key once and the entire "
+                "sketch pipeline is shuffle-free: the scan's "
+                "HashPartitioning(lang, 8) clusters (lang, sgn, k) for the "
+                "cells aggregation and (lang) for the rank-walk window, so "
+                "no Exchange node appears anywhere.  In production bucket "
+                "by a high-cardinality key (repo, domain); this demos the "
+                "mechanics.",
+                formatted(bq),
+            )
+        )
         spark.sql("DROP TABLE IF EXISTS plans_bkt_a")
         spark.sql("DROP TABLE IF EXISTS plans_bkt_b")
+        spark.sql("DROP TABLE IF EXISTS plans_bkt_s")
 
     out = ["# PLANS — formatted physical plans of the flagship pipelines\n"]
     out.append("Generated by `python tools/dump_plans.py` against " + SF_DIR + ".\n")
