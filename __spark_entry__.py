@@ -441,6 +441,24 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode path (no codec libs): synthesize a deterministic
+    480-sample 16 kHz PCM-16 WAV per document (sample i is
+    ``((doc_id*7 + i*13) % 65536) - 32768``), decode it with the
+    dependency-free RIFF parser, and emit exact integer statistics the
+    oracle replays in closed form — a header/endianness/chunk-walk bug is a
+    value mismatch, not just a crash."""
+    from ddspark.pipeline.multimodal import audio_stats, synth_audio
+
+    docs = _read(spark, sf_dir, "documents")
+    wavs = synth_audio(docs, "doc_id", n_samples=480, sample_rate=16000)
+    return audio_stats(wavs, "doc_id", "wav").select(
+        "doc_id", "n_samples", "channels", "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        "sum_abs", "sum_sq", "peak",
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable hashing: the whole signature/band pipeline is replayed
     # bit-for-bit by the DuckDB oracle (ddspark/pipeline/oracles.py)
@@ -933,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": wrap(_q_frame_sample),
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
         "dedup_paragraph_first": wrap(_q_paragraph_dedup),
+        "multimodal_audio_stats": wrap(_q_multimodal_audio),
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
         "ann_lsh_topk": wrap(_q_ann_lsh),
@@ -1103,6 +1122,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraph_first": dedup_paragraphs_oracle_sql(
             "documents", sep=" ", project="md5"
         ),
+        # sample-for-sample replay of the WAV decode path: sample i of doc d
+        # is ((d*7 + i*13) % 65536) - 32768, 480 samples, mono PCM-16 @16kHz
+        "multimodal_audio_stats": """
+            WITH s AS (
+              SELECT d.doc_id,
+                     ((d.doc_id * 7 + u.i * 13) % 65536) - 32768 AS v
+              FROM documents d, UNNEST(generate_series(0, 479)) AS u(i)
+            )
+            SELECT doc_id,
+                   COUNT(*) AS n_samples,
+                   1 AS channels,
+                   16000 AS sample_rate,
+                   ROUND(CAST(COUNT(*) AS DOUBLE) / 16000, 6) AS duration_s,
+                   CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+                   CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+                   CAST(MAX(ABS(v)) AS INT) AS peak
+            FROM s GROUP BY doc_id
+        """,
         # pixel-for-pixel replay of the BMP decode+resize path: full image
         # is 7x5x3 raster bytes (doc_id + idx) % 256 with channel idx%3
         # (row stride 21 is divisible by 3); the 3x2 nearest-neighbor

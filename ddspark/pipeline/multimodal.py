@@ -2,12 +2,12 @@
 columns with typed metadata.
 
 The container has no codec *libraries* (PIL/opencv/ffmpeg), so this module
-carries its own dependency-free decoders for the two uncompressed formats a
-parser can own end-to-end — **BMP (24/32-bpp BITMAPINFOHEADER)** and **PPM
-(binary P6)** — plus a nearest-neighbor resize and a BMP/PPM encoder used to
-synthesize deterministic test images.  Compressed formats (JPEG/PNG/video)
-would slot into the exact same ``mapInPandas`` stages; their codec import is
-the only missing piece.
+carries its own dependency-free decoders for the uncompressed formats a
+parser can own end-to-end — **BMP (24/32-bpp BITMAPINFOHEADER)**, **PPM
+(binary P6)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor resize
+and encoders used to synthesize deterministic test media.  Compressed
+formats (JPEG/PNG/MP3/video) would slot into the exact same ``mapInPandas``
+stages; their codec import is the only missing piece.
 
 At 100 TB the pattern is: blobs stay in their own column (parquet stores
 them page-compressed), metadata is pruned-scannable without touching blob
@@ -41,6 +41,11 @@ __all__ = [
     "resize_image",
     "synth_images",
     "decode_stats",
+    "resize_images",
+    "encode_wav",
+    "decode_audio",
+    "synth_audio",
+    "audio_stats",
     "byte_features",
     "extract_features",
     "sample_frames",
@@ -375,5 +380,121 @@ def extract_features(
             feats = byte_features(pdf[blob_col])
             feats.insert(0, id_col, pdf[id_col].to_numpy())
             yield feats
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode an int16 PCM array — shape ``(n,)`` mono or ``(n, ch)`` — as a
+    RIFF/WAVE file (format tag 1 = PCM, 16-bit)."""
+    a = np.asarray(samples, dtype="<i2")
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2:
+        raise ValueError(f"expected (n,) or (n, ch) samples, got shape {a.shape}")
+    n, ch = a.shape
+    data = a.tobytes()
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM-16 blob: walks the chunk list (tolerating
+    extra chunks like LIST/INFO), returns ``(samples (n, ch) int16,
+    sample_rate)``.  Compressed format tags raise with the tag value."""
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE stream (magic {b[:4]!r})")
+    pos, end = 12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
+    rate, ch, bits, data = None, None, None, None
+    while pos + 8 <= end:
+        cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        body = b[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if tag != 1:
+                raise ValueError(f"unsupported WAV format tag {tag} (PCM=1 only)")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16:
+        raise ValueError(f"unsupported WAV bit depth {bits} (16 only)")
+    n = len(data) // (2 * ch)
+    a = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+    return a.copy(), int(rate)
+
+
+def synth_audio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 480,
+    sample_rate: int = 16000,
+) -> DataFrame:
+    """Deterministic synthetic WAV per row: sample ``i`` is
+    ``((id*7 + i*13) % 65536) - 32768`` (int16), encoded through the real
+    RIFF writer — closed-form, so per-blob statistics are DuckDB-replayable
+    exactly."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("wav", BinaryType())]
+    )
+
+    def gen(batches):
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            wavs = [
+                encode_wav(
+                    (((int(i) * 7 + idx * 13) % 65536) - 32768).astype(np.int16),
+                    sample_rate,
+                )
+                for i in ids
+            ]
+            yield pd.DataFrame({id_col: ids, "wav": wavs})
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+def audio_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "wav"
+) -> DataFrame:
+    """Decode each WAV and emit exact integer statistics per blob:
+    ``(id, n_samples, channels, sample_rate, duration_s, sum_abs BIGINT,
+    sum_sq BIGINT, peak INT)`` — integer sums so the oracle comparison is
+    exact, no float accumulation order to worry about."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_samples", LongType()),
+            StructField("channels", IntegerType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("duration_s", DoubleType()),
+            StructField("sum_abs", LongType()),
+            StructField("sum_sq", LongType()),
+            StructField("peak", IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                a, rate = decode_audio(bytes(b))
+                x = a.astype(np.int64)
+                recs.append(
+                    (
+                        rid, a.shape[0], a.shape[1], rate,
+                        a.shape[0] / rate,
+                        int(np.abs(x).sum()), int((x * x).sum()),
+                        int(np.abs(x).max(initial=0)),
+                    )
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)

@@ -325,6 +325,42 @@ def test_resize_nearest_neighbor_closed_form():
     assert multimodal.decode_image(up).shape == (10, 14, 3)
 
 
+def test_wav_roundtrip_and_chunk_walk():
+    rng = np.random.RandomState(3)
+    for ch in (1, 2):
+        a = rng.randint(-32768, 32768, size=(100, ch)).astype(np.int16)
+        out, rate = multimodal.decode_audio(multimodal.encode_wav(a, 8000))
+        assert rate == 8000 and np.array_equal(out, a)
+    mono = rng.randint(-32768, 32768, size=50).astype(np.int16)
+    blob = multimodal.encode_wav(mono)
+    # decoder walks past extra chunks (LIST/INFO) before data
+    extra = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    patched = blob[:12] + extra + blob[12:]
+    patched = patched[:4] + (len(patched) - 8).to_bytes(4, "little") + patched[8:]
+    out, _ = multimodal.decode_audio(patched)
+    assert np.array_equal(out[:, 0], mono)
+    with pytest.raises(ValueError, match="RIFF"):
+        multimodal.decode_audio(b"RIFX" + blob[4:])
+    with pytest.raises(ValueError, match="format tag"):
+        multimodal.decode_audio(blob[:20] + b"\x02" + blob[21:])
+
+
+def test_synth_audio_stats_distributed(spark):
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    stats = multimodal.audio_stats(
+        multimodal.synth_audio(ids, "doc_id", n_samples=480, sample_rate=16000),
+        "doc_id", "wav",
+    ).toPandas()
+    assert len(stats) == 10
+    idx = np.arange(480, dtype=np.int64)
+    for _, r in stats.iterrows():
+        v = ((int(r["doc_id"]) * 7 + idx * 13) % 65536) - 32768
+        assert r["sum_abs"] == np.abs(v).sum()
+        assert r["sum_sq"] == (v * v).sum()
+        assert r["peak"] == np.abs(v).max()
+        assert r["duration_s"] == 480 / 16000
+
+
 def test_synth_decode_stats_distributed(spark):
     ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
     imgs = multimodal.synth_images(ids, "doc_id", width=7, height=5)
