@@ -784,3 +784,29 @@ def test_lsh_topk_dim_mismatch_fails_fast(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with _pytest.raises(Exception, match="embedding length"):
         ann.lsh_topk(df, df.limit(2), k=2, dim=64).collect()
+
+
+def test_compression_ratio_signal(spark):
+    """Repetitive text compresses far better than high-entropy text; values
+    agree exactly with local zlib at the same level."""
+    import hashlib
+    import zlib
+
+    # genuinely incompressible text: chained sha256 digests, mapped to ASCII
+    chunks, h = [], b"seed"
+    for _ in range(100):
+        h = hashlib.sha256(h).digest()
+        chunks.append("".join(chr(33 + b % 90) for b in h))
+    rows = [
+        (1, "spam spam spam " * 200),   # degenerate repeat
+        (2, "".join(chunks)),            # high-entropy
+        (3, ""),                          # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in textops.compression_ratio(df).collect()}
+    for rid, t in rows:
+        raw = t.encode()
+        assert out[rid]["raw_bytes"] == len(raw)
+        assert out[rid]["zlib_bytes"] == (len(zlib.compress(raw, 6)) if raw else 0)
+    assert out[1]["ratio"] > 10 > out[2]["ratio"] > 0.5
+    assert out[3]["ratio"] == 0.0
