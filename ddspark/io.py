@@ -35,10 +35,13 @@ def read_corpus(
 ) -> DataFrame:
     """Read the corpus table.
 
-    ``source`` is an Iceberg table name (``catalog.db.table``) or a parquet
-    path.  Select ``columns`` early so the scan prunes to them (at 100 TB the
-    difference between reading ``(lang, content)`` and reading every column
-    is the job).
+    ``source`` is an Iceberg table name (``catalog.db.table``) or a path;
+    ``fmt`` accepts any V2 file source — ``parquet`` (default for paths) and
+    ``orc`` both ship with Spark and both get predicate pushdown + column
+    pruning (pytest proves the ORC roundtrip keeps the sha256 invariant and
+    pushes filters).  Select ``columns`` early so the scan prunes to them
+    (at 100 TB the difference between reading ``(lang, content)`` and
+    reading every column is the job).
     """
     if fmt is None:
         fmt = "parquet" if "/" in source else "iceberg"

@@ -286,3 +286,23 @@ def test_quantile_sketch_over_bucketed_table_is_exchange_free(spark, tmp_path):
             assert got[k] == want[k]
     finally:
         spark.sql("DROP TABLE IF EXISTS t_bkt_sketch")
+
+
+def test_orc_source_roundtrip_and_pushdown(spark, tmp_path, corpus_pdf):
+    """ORC as a second columnar source (jars ship with Spark): byte-exact
+    roundtrip of the corpus (sha256 invariant) and predicate pushdown into
+    the ORC scan."""
+    from ddspark.io import read_corpus
+
+    df = spark.createDataFrame(corpus_pdf)
+    path = str(tmp_path / "corpus_orc")
+    df.write.orc(path)
+    back = read_corpus(spark, path, fmt="orc")
+    assert back.count() == len(corpus_pdf)
+    bad = back.where(
+        F.sha2(F.col("content").cast("binary"), 256) != F.col("content_sha256")
+    ).count()
+    assert bad == 0
+    q = back.where(F.col("lang") == "python").select("lang", "content")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:120]
