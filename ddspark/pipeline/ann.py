@@ -43,6 +43,10 @@ __all__ = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "ivf_build",
+    "ivf_search",
+    "save_ivf_index",
+    "load_ivf_index",
     "semantic_dedup_pairs",
 ]
 
@@ -307,6 +311,26 @@ def ivf_topk(
     renormalize), entirely as distributed aggregates — only the
     ``n_centroids``-row result is ever broadcast; better-balanced lists
     mean fewer candidates per probe at the same recall."""
+    cents, c_assigned = ivf_build(
+        corpus, id_col, vec_col, n_centroids, seed, portable, lloyd_steps
+    )
+    return ivf_search(cents, c_assigned, queries, k, id_col, vec_col, nprobe)
+
+
+def ivf_build(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+    lloyd_steps: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the IVF index once: returns ``(centroids (cid, cu),
+    assignments (nid, u, cid))``.  Both are plain DataFrames — persist them
+    with :func:`save_ivf_index` and serve many query batches against the
+    same build (at 10^9 vectors the build is the expensive scan; searches
+    touch only ``nprobe`` inverted lists)."""
     c = normalize_vecs(corpus, id_col, vec_col).withColumnRenamed("id", "nid")
     cents = _seed_centroids(c, n_centroids, seed, portable)
 
@@ -328,12 +352,28 @@ def ivf_topk(
             )
         )
 
-    c_assigned = _assign_nearest(c, cents, "nid", "u", "cid", 1)
+    return cents, _assign_nearest(c, cents, "nid", "u", "cid", 1)
+
+
+def ivf_search(
+    cents: DataFrame,
+    assignments: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve a query batch against a prebuilt IVF index (from
+    :func:`ivf_build` or :func:`load_ivf_index`): queries score only the
+    vectors in their ``nprobe`` nearest centroid lists.  Centroids are
+    ``n_centroids`` rows and the assigned query batch is small — both
+    broadcast; the corpus-side assignments never reshuffle."""
     q = normalize_vecs(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), F.col("u").alias("qu")
     )
-    q_assigned = _assign_nearest(q, cents, "qid", "qu", "cid", nprobe)
-    cand = c_assigned.join(F.broadcast(q_assigned), "cid").where(
+    q_assigned = _assign_nearest(q, F.broadcast(cents), "qid", "qu", "cid", nprobe)
+    cand = assignments.join(F.broadcast(q_assigned), "cid").where(
         F.col("qid") != F.col("nid")
     )
     scored = cand.select(
@@ -344,4 +384,23 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("qid", "nid", "rank", "cosine")
+    )
+
+
+def save_ivf_index(cents: DataFrame, assignments: DataFrame, path: str) -> None:
+    """Persist an IVF index as two parquet tables under ``path``
+    (``centroids/`` tiny, ``assignments/`` partitioned by inverted list so
+    a search scans only its probed lists)."""
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    assignments.write.mode("overwrite").partitionBy("cid").parquet(
+        f"{path}/assignments"
+    )
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Read back a :func:`save_ivf_index` index; partition pruning on
+    ``cid`` keeps each search to its probed inverted lists."""
+    return (
+        spark.read.parquet(f"{path}/centroids"),
+        spark.read.parquet(f"{path}/assignments"),
     )

@@ -810,3 +810,26 @@ def test_compression_ratio_signal(spark):
         assert out[rid]["zlib_bytes"] == (len(zlib.compress(raw, 6)) if raw else 0)
     assert out[1]["ratio"] > 10 > out[2]["ratio"] > 0.5
     assert out[3]["ratio"] == 0.0
+
+
+def test_ivf_index_persist_and_search(spark, emb, tmp_path):
+    """Build-once/search-many IVF: a saved+reloaded index returns exactly
+    what the one-shot ivf_topk returns, and the assignments table is
+    partitioned by inverted list (partition pruning per probe)."""
+    import os
+
+    corpus = emb.limit(200)
+    queries = emb.limit(8)
+    direct = ann.ivf_topk(
+        corpus, queries, k=3, n_centroids=8, nprobe=3, lloyd_steps=1
+    ).toPandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+
+    cents, assigned = ann.ivf_build(corpus, n_centroids=8, lloyd_steps=1)
+    path = str(tmp_path / "ivf_idx")
+    ann.save_ivf_index(cents, assigned, path)
+    lc, la = ann.load_ivf_index(spark, path)
+    served = ann.ivf_search(lc, la, queries, k=3, nprobe=3).toPandas()
+    served = served.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert direct.equals(served), (direct, served)
+    # inverted-list layout on disk
+    assert any(d.startswith("cid=") for d in os.listdir(f"{path}/assignments"))
