@@ -833,3 +833,38 @@ def test_ivf_index_persist_and_search(spark, emb, tmp_path):
     assert direct.equals(served), (direct, served)
     # inverted-list layout on disk
     assert any(d.startswith("cid=") for d in os.listdir(f"{path}/assignments"))
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting is pure partitioning: results match the unsalted join exactly
+    (inner and left), the physical join keys carry the salt column, and
+    disallowed outer modes fail fast."""
+    from ddspark.pipeline.joins import salted_join
+
+    # 90% of big rows on one hot key
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7)).otherwise(F.col("id") % 100)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for how in ("inner", "left"):
+            want = (
+                big.join(small, "k", how).orderBy("k", "payload").collect()
+            )
+            got = (
+                salted_join(big, small, "k", n_salts=8, how=how)
+                .orderBy("k", "payload").collect()
+            )
+            assert got == want, how
+        plan = salted_join(big, small, "k", n_salts=8)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "_salt" in plan
+        with pytest.raises(ValueError, match="outer"):
+            salted_join(big, small, "k", how="full")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
