@@ -77,6 +77,34 @@ def main() -> None:
     timed("minhash_signatures (64 perms)", lambda: minhash_signatures(docs, num_hashes=64).agg(F.count(F.lit(1))).collect())
     timed("theta_summary (k=4096, global)", lambda: theta_summary(docs, "item", k=4096).collect())
     timed("mg_summary (k=256, global)", lambda: mg_summary(docs, "item", k=256).collect())
+
+    from ddspark.pipeline.dedup import dedup_paragraphs
+    from ddspark.pipeline.multimodal import (
+        audio_stats,
+        decode_stats,
+        synth_audio,
+        synth_images,
+    )
+    from ddspark.pipeline.textops import compression_ratio
+
+    ids = docs.select("doc_id").persist()
+    ids.count()
+    timed(
+        "dedup_paragraphs (word granularity, r3)",
+        lambda: dedup_paragraphs(docs, sep=" ").agg(F.sum(F.length("text"))).collect(),
+    )
+    timed(
+        "compression_ratio (zlib via Arrow, r3)",
+        lambda: compression_ratio(docs).agg(F.avg("ratio")).collect(),
+    )
+    timed(
+        "image synth+decode (7x5 BMP codec, r3)",
+        lambda: decode_stats(synth_images(ids)).agg(F.sum("sum_r")).collect(),
+    )
+    timed(
+        "audio synth+decode (480-sample WAV, r3)",
+        lambda: audio_stats(synth_audio(ids)).agg(F.sum("sum_sq")).collect(),
+    )
     spark.stop()
 
 
