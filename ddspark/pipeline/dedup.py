@@ -579,10 +579,18 @@ def dedup_paragraphs(
     ).withColumn("ph", F.xxhash64("para"))
     long = ex.where(F.length("para") >= min_chars)
     firsts = long.groupBy("ph").agg(F.min(F.struct("id", "pos")).alias("m")).select(
-        "ph", F.col("m.id").alias("id"), F.col("m.pos").alias("pos")
+        "ph",
+        F.col("m.id").alias("id"),
+        F.col("m.pos").alias("pos"),
+        F.lit(True).alias("_first"),
     )
-    kept = long.join(firsts, ["ph", "id", "pos"], "left_semi").unionByName(
-        ex.where(F.length("para") < min_chars)
+    # one left join carries the keep decision for both cases (first
+    # occurrence, or structurally short) — a semi-join + union would
+    # re-evaluate the explode a third time for the short branch
+    kept = (
+        ex.join(firsts, ["ph", "id", "pos"], "left")
+        .where((F.length("para") < min_chars) | F.col("_first").isNotNull())
+        .drop("_first")
     )
     rebuilt = kept.groupBy("id").agg(
         F.concat_ws(
