@@ -868,3 +868,27 @@ def test_salted_join_equals_plain_join(spark):
             salted_join(big, small, "k", how="full")
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_dedup_paragraphs_matches_python_model(spark):
+    """Randomized (seeded) cross-check against a direct Python model of the
+    first-occurrence rule over many docs/paragraph shapes."""
+    rng = np.random.default_rng(23)
+    vocab = ["aa", "bb", "cc", "dd", "ee", ""]
+    rows = []
+    for i in range(60):
+        paras = [vocab[j] for j in rng.integers(0, len(vocab), rng.integers(1, 6))]
+        rows.append((i, "\n\n".join(paras)))
+    seen, want = set(), {}
+    for i, text in rows:
+        kept = []
+        for para in text.split("\n\n"):
+            if len(para) < 1:
+                kept.append(para)
+            elif para not in seen:
+                seen.add(para)
+                kept.append(para)
+        want[i] = "\n\n".join(kept)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(df).collect()}
+    assert got == want

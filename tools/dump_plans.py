@@ -163,6 +163,21 @@ def main() -> None:
         )
     )
 
+    from ddspark.pipeline.dedup import dedup_paragraphs
+
+    para = dedup_paragraphs(docs, sep=" ")
+    sections.append(
+        (
+            "Corpus-wide paragraph dedup (round 3)",
+            "Things to check: paragraphs shuffle as xxhash64 longs, never "
+            "strings, into a partial+final HashAggregate (map-side combine "
+            "absorbs a mega-duplicated paragraph — no window over the hot "
+            "hash); ONE join carries the keep decision; the only other "
+            "exchanges key on the unique doc id for the ordered rebuild.",
+            formatted(para),
+        )
+    )
+
     import tempfile
 
     from ddspark.io import read_bucketed, write_bucketed
