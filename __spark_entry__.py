@@ -394,6 +394,29 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
+def _q_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two metrics sketched in ONE corpus scan (the north-star's
+    content-length AND line-count shape): quantile_sketch_multi explodes a
+    tagged value per metric inside the scan stage and runs the fused cells
+    pipeline with the metric tag as an extra group key.  The oracle is the
+    UNION ALL of the two per-metric ANSI replays."""
+    from ddspark.agg import quantile_sketch_multi
+
+    li = _read(spark, sf_dir, "lineitem").where(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    res = quantile_sketch_multi(
+        li, ["l_extendedprice", "l_quantity"], by=["l_returnflag"],
+        qs=QS, cfg=SketchConfig(0.05),
+    )
+    return _round_quantiles(
+        res.select(
+            "metric", "l_returnflag", "count",
+            *[quantile_label(q) for q in QS],
+        )
+    )
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dolma-style corpus-wide exact paragraph dedup: each paragraph keeps
     only its first (id, position) occurrence; the oracle replays the same
@@ -951,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": wrap(_q_frame_sample),
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
         "dedup_paragraph_first": wrap(_q_paragraph_dedup),
+        "ddsketch_multi_metric": wrap(_q_multi_metric),
         "multimodal_audio_stats": wrap(_q_multimodal_audio),
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
@@ -1121,6 +1145,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_paragraph_first": dedup_paragraphs_oracle_sql(
             "documents", sep=" ", project="md5"
+        ),
+        "ddsketch_multi_metric": (
+            "SELECT 'l_extendedprice' AS metric, * FROM ("
+            + ansi_sql_quantile_sketch(
+                "lineitem", "l_extendedprice", ["l_returnflag"], QS, 0.05,
+                round_digits=ROUND, where="l_quantity > 0",
+            )
+            + ") UNION ALL SELECT 'l_quantity' AS metric, * FROM ("
+            + ansi_sql_quantile_sketch(
+                "lineitem", "l_quantity", ["l_returnflag"], QS, 0.05,
+                round_digits=ROUND, where="l_extendedprice > 0",
+            )
+            + ")"
         ),
         # sample-for-sample replay of the WAV decode path: sample i of doc d
         # is ((d*7 + i*13) % 65536) - 32768, 480 samples, mono PCM-16 @16kHz

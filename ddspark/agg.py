@@ -52,6 +52,8 @@ __all__ = [
     "finalize_cells_vec",
     "finalize_quantiles",
     "quantile_sketch",
+    "quantile_sketch_multi",
+    "quantile_sketch_rollup",
     "quantile_sketch_collect",
     "sketch_to_driver",
     "quantile_label",
@@ -865,6 +867,55 @@ def quantile_sketch(
     merged = sketch_agg(df, value_col, by, cfg, weight_col, fanin=fanin, engine=engine)
     out = finalize_quantiles(merged, list(qs), cfg, by, keep_state=keep_state)
     return out.drop("_g") if not by and "_g" in out.columns else out
+
+
+def quantile_sketch_multi(
+    df: DataFrame,
+    value_cols: list[str],
+    by: list[str] | None = None,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    cfg: SketchConfig | None = None,
+    metric_col: str = "metric",
+    exact_stats: bool = True,
+) -> DataFrame:
+    """Sketch SEVERAL value columns in ONE scan: one output row per
+    ``(metric, group)``, where ``metric`` names the sketched column.
+
+    At 100 TB this is the difference between N full corpus scans and one:
+    ``quantile_sketch_multi(corpus, ["content_length", "line_count"],
+    by=["lang"])`` reads the table once, explodes each row into one tagged
+    value per metric *inside the scan stage* (whole-stage codegen — no
+    extra pass, no cache), and runs the normal fused cells pipeline with
+    the metric tag as an extra group key.  Identical results to calling
+    :func:`quantile_sketch` per column (pytest-enforced); the cells
+    shuffle grows to ``metrics x groups x live-buckets`` — still KBs per
+    group.
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    by = list(by or [])
+    tagged = df.select(
+        *by,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("_metric"),
+                        F.col(c).cast("double").alias("_v"),
+                    )
+                    for c in value_cols
+                ]
+            )
+        ).alias("_m"),
+    ).select(
+        *by,
+        F.col("_m._metric").alias(metric_col),
+        F.col("_m._v").alias("_v"),
+    )
+    return quantile_sketch(
+        tagged, "_v", by=[metric_col] + by, qs=qs, cfg=cfg,
+        exact_stats=exact_stats,
+    )
 
 
 def sketch_to_driver(

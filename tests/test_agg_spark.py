@@ -234,3 +234,33 @@ def test_cross_check_vs_spark_builtins(spark):
     assert abs(builtin["p95"] - exact95) <= 0.02 * exact95
     # HLL++ vs our exact count field
     assert abs(builtin["acd"] - r["count"]) <= 0.05 * r["count"]
+
+
+def test_quantile_sketch_multi_one_scan_matches_per_column(spark):
+    """Multi-metric sketch reads the table once and returns exactly what
+    per-column quantile_sketch calls return."""
+    from ddspark.agg import quantile_sketch, quantile_sketch_multi
+    from ddspark.sketch import SketchConfig
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").where(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    cfg = SketchConfig(0.02)
+    multi = quantile_sketch_multi(
+        li, ["l_extendedprice", "l_quantity"], by=["l_returnflag"],
+        qs=[0.5, 0.99], cfg=cfg,
+    )
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1  # ONE scan for both metrics
+    got = {(r["metric"], r["l_returnflag"]): r for r in multi.collect()}
+    for col in ("l_extendedprice", "l_quantity"):
+        single = quantile_sketch(li, col, by=["l_returnflag"], qs=[0.5, 0.99], cfg=cfg)
+        for r in single.collect():
+            m = got[(col, r["l_returnflag"])]
+            for field in ("count", "sum", "min", "max", "p50", "p99"):
+                assert m[field] == r[field], (col, field)
+    from ddspark.agg import quantile_sketch_multi as qm
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="non-empty"):
+        qm(li, [], by=["l_returnflag"])
