@@ -68,3 +68,38 @@ def test_corpus_line_count_quantiles(spark):
             assert abs(rec[quantile_label(q)] - exact) <= ALPHA * abs(exact) + 1e-15
     # zero-length docs land in zero_count, not in a log bucket
     assert (pdf["line_count"] == 0).sum() >= 0
+
+
+def test_north_star_multi_metric_single_scan(spark):
+    """The full north-star query shape: content_length AND line_count
+    percentiles per (lang, repo) from ONE corpus scan, every estimate
+    within alpha of the exact rank value."""
+    from ddspark.agg import quantile_sketch_multi
+
+    corpus = generate_corpus(spark, 4000, parts=8)
+    df = corpus.select(
+        "lang",
+        "repo",
+        F.length("content").cast("double").alias("content_length"),
+        F.when(F.length("content") == 0, F.lit(0.0))
+        .otherwise(F.size(F.split("content", "\n", -1)).cast("double"))
+        .alias("line_count"),
+    )
+    cfg = SketchConfig(ALPHA)
+    res = quantile_sketch_multi(
+        df, ["content_length", "line_count"], by=["lang", "repo"],
+        qs=[0.5, 0.95], cfg=cfg,
+    ).toPandas()
+    pdf = df.toPandas()
+    assert res["count"].sum() == 2 * 4000  # one tagged row per metric
+    # spot-check the 10 biggest (metric, lang, repo) groups vs exact
+    top = res.sort_values("count", ascending=False).head(10)
+    for rec in top.to_dict("records"):
+        sub = pdf[(pdf["lang"] == rec["lang"]) & (pdf["repo"] == rec["repo"])]
+        vals = sub[rec["metric"]].to_numpy(np.float64)
+        vals = vals[vals > 0]  # zero values land in zero_count
+        assert rec["count"] == len(sub)
+        for q in [0.5, 0.95]:
+            exact = exact_quantile(sub[rec["metric"]].to_numpy(np.float64), q)
+            got = rec[quantile_label(q)]
+            assert abs(got - exact) <= ALPHA * abs(exact) + 1e-15
