@@ -876,6 +876,7 @@ def quantile_sketch_multi(
     qs: list[float] = (0.5, 0.95, 0.99),
     cfg: SketchConfig | None = None,
     metric_col: str = "metric",
+    weight_col: str | None = None,
     exact_stats: bool = True,
 ) -> DataFrame:
     """Sketch SEVERAL value columns in ONE scan: one output row per
@@ -894,8 +895,10 @@ def quantile_sketch_multi(
     if not value_cols:
         raise ValueError("value_cols must be non-empty")
     by = list(by or [])
+    extra = [weight_col] if weight_col else []
     tagged = df.select(
         *by,
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -909,12 +912,13 @@ def quantile_sketch_multi(
         ).alias("_m"),
     ).select(
         *by,
+        *extra,
         F.col("_m._metric").alias(metric_col),
         F.col("_m._v").alias("_v"),
     )
     return quantile_sketch(
         tagged, "_v", by=[metric_col] + by, qs=qs, cfg=cfg,
-        exact_stats=exact_stats,
+        weight_col=weight_col, exact_stats=exact_stats,
     )
 
 

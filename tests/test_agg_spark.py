@@ -264,3 +264,29 @@ def test_quantile_sketch_multi_one_scan_matches_per_column(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="non-empty"):
         qm(li, [], by=["l_returnflag"])
+
+
+def test_quantile_sketch_multi_weighted(spark):
+    from ddspark.agg import quantile_sketch, quantile_sketch_multi
+    from ddspark.sketch import SketchConfig
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").where(
+        (F.col("l_extendedprice") > 0) & (F.col("l_quantity") > 0)
+    )
+    cfg = SketchConfig(0.02)
+    multi = {
+        (r["metric"], r["l_returnflag"]): r
+        for r in quantile_sketch_multi(
+            li, ["l_extendedprice", "l_quantity"], by=["l_returnflag"],
+            qs=[0.5], cfg=cfg, weight_col="l_linenumber",
+        ).collect()
+    }
+    for col in ("l_extendedprice", "l_quantity"):
+        single = quantile_sketch(
+            li, col, by=["l_returnflag"], qs=[0.5], cfg=cfg,
+            weight_col="l_linenumber",
+        )
+        for r in single.collect():
+            assert multi[(col, r["l_returnflag"])]["p50"] == r["p50"]
+            assert multi[(col, r["l_returnflag"])]["count"] == r["count"]
