@@ -163,6 +163,27 @@ def main() -> None:
         )
     )
 
+    from ddspark.agg import quantile_sketch_multi
+
+    multi = quantile_sketch_multi(
+        li.where(F.col("l_extendedprice") > 0),
+        ["l_extendedprice", "l_quantity"],
+        ["l_returnflag"],
+        [0.5, 0.99],
+        SketchConfig(0.05),
+    )
+    sections.append(
+        (
+            "Multi-metric single-scan sketch (round 3)",
+            "Things to check: exactly ONE parquet scan feeds both metrics "
+            "(the tagged explode runs inside the scan's WholeStageCodegen); "
+            "the rest is the normal fused cells pipeline with the metric "
+            "tag as an extra group key — at 100 TB this halves corpus I/O "
+            "for every extra metric.",
+            formatted(multi),
+        )
+    )
+
     from ddspark.pipeline.dedup import dedup_paragraphs
 
     para = dedup_paragraphs(docs, sep=" ")
