@@ -29,6 +29,8 @@ __all__ = [
     "bloom_bits",
     "bloom_agg",
     "bloom_contains_df",
+    "bloom_words",
+    "bloom_prefilter",
     "contains",
     "merge_bitmaps",
     "false_positive_rate",
@@ -193,3 +195,72 @@ def merge_bitmaps(a: bytes, b: bytes) -> bytes:
 def false_positive_rate(n_bits_set: int, m: int, k: int) -> float:
     """Observed-load FPR estimate: (bits_set/m)^k."""
     return float((n_bits_set / m) ** k)
+
+
+def bloom_words(
+    keys: DataFrame, col: str, m: int = 1 << 22, k: int = 5
+) -> DataFrame:
+    """Dense 64-bit-word form of the global Bloom filter over ``keys[col]``:
+    a ONE-row DataFrame ``(_bw ARRAY<BIGINT>[m/64], _bm INT, _bk INT)``.
+
+    The sparse ``(word, bits)`` rows aggregate distributedly (``bit_or`` —
+    map-side combined); only the bounded word list (``m/64`` longs, e.g.
+    64 KB at m=2^22) ever reaches the driver.  ``m`` must be a multiple of
+    64 and at most 2^27 (16 MB of words) — the point of the dense form is
+    to be broadcastable."""
+    if m % 64 or m > (1 << 27):
+        raise ValueError(f"m must be a multiple of 64 and <= 2^27, got {m}")
+    spark = keys.sparkSession
+    sparse = (
+        bloom_bits(keys, col, None, m, k)
+        .select(
+            (F.col("_bit") / 64).cast("int").alias("w"),
+            # pyspark's shiftleft() only takes a Python-int amount; the SQL
+            # form accepts a column expression
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(_bit, 64) AS INT))").alias("v"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("v").alias("v"))
+    )
+    words = [0] * (m // 64)
+    for r in sparse.collect():  # bounded: <= m/64 rows by construction
+        words[r["w"]] = r["v"]
+    return spark.createDataFrame([(words, m, k)], "_bw array<bigint>, _bm int, _bk int")
+
+
+def bloom_prefilter(
+    big: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    big_col: str | None = None,
+    m: int = 1 << 22,
+    k: int = 5,
+) -> DataFrame:
+    """Semi-join reduction for shuffle-bound joins: drop ``big`` rows whose
+    join key cannot appear in ``keys[key_col]`` BEFORE the join shuffles
+    the big side.
+
+    When the key side's distinct set is too large to broadcast exactly but
+    its Bloom filter is not (10^8 keys -> ~5 MB of words at 10 bits/key),
+    this is the classic distributed-join optimization: the dense word array
+    (:func:`bloom_words`) rides a one-row broadcast nested-loop join and
+    the k probes are pure shift/mask Catalyst expressions — the big side is
+    filtered at scan speed with NO shuffle, no Python, and no false drops
+    (Bloom filters have no false negatives); ~``(bits_set/m)^k`` of
+    non-matching rows survive as false positives for the real join to
+    discard.  Rows with a NULL key are dropped (they cannot match an inner
+    join).  Returns ``big`` filtered, same schema.
+    """
+    big_col = big_col or key_col
+    words = F.broadcast(bloom_words(keys, key_col, m, k))
+    joined = big.crossJoin(words)
+    h1 = f"pmod(xxhash64(`{big_col}`), {m})"
+    h2 = f"(pmod(xxhash64(`{big_col}`, 1), {m - 1}) + 1)"
+    tests = []
+    for i in range(k):
+        pos = f"pmod({h1} + {i} * {h2}, {m})"
+        word = f"element_at(_bw, CAST({pos} / 64 AS INT) + 1)"
+        tests.append(
+            f"(shiftright({word}, CAST(pmod({pos}, 64) AS INT)) & 1) = 1"
+        )
+    return joined.where(F.expr(" AND ".join(tests))).drop("_bw", "_bm", "_bk")

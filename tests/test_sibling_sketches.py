@@ -494,3 +494,35 @@ def test_theta_estimate_consistent_with_summary(spark):
     r = theta_summary(df, "item", k=512).first()
     # the standalone estimator must agree exactly with the summary's est
     assert theta_estimate(r["ks"], r["theta"]) == r["est"]
+
+
+def test_bloom_prefilter_semi_join_reduction(spark):
+    """bloom_prefilter drops non-joinable big-side rows with NO shuffle and
+    NO false drops: the prefiltered inner join equals the plain inner join,
+    and the plan is a one-row broadcast nested-loop + pure expressions."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(0, 100_000).select(
+        (F.col("id") % 20_000).alias("key"), F.col("id").alias("payload")
+    )
+    keys = spark.range(0, 500).select((F.col("id") * 11).alias("key"))
+    pre = bloom.bloom_prefilter(big, keys, "key", m=1 << 16, k=5)
+    want = big.join(keys.distinct(), "key").orderBy("key", "payload").collect()
+    got = pre.join(keys.distinct(), "key").orderBy("key", "payload").collect()
+    assert got == want and len(got) > 0
+    # strong reduction: most non-matching rows dropped (FP rate ~ (load)^k)
+    n_pre = pre.count()
+    assert n_pre < big.count() * 0.1
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Python" not in plan
+    # null keys cannot match an inner join -> dropped
+    with_null = big.unionByName(
+        spark.createDataFrame([(None, -1)], "key bigint, payload bigint")
+    )
+    assert bloom.bloom_prefilter(with_null, keys, "key", m=1 << 16).where(
+        F.col("payload") == -1
+    ).count() == 0
+    with pytest.raises(ValueError, match="multiple of 64"):
+        bloom.bloom_words(keys, "key", m=100)
