@@ -163,6 +163,28 @@ def main() -> None:
         )
     )
 
+    from ddspark.sketches.bloom import bloom_prefilter
+
+    bp = bloom_prefilter(
+        li.select("l_orderkey", "l_extendedprice"),
+        docs.select((F.col("doc_id") * 13).alias("l_orderkey")),
+        "l_orderkey",
+        m=1 << 18,
+    )
+    sections.append(
+        (
+            "Bloom semi-join reduction (round 3)",
+            "Things to check: the big side carries ZERO hash exchanges and "
+            "zero Python stages — the dense Bloom word array enters through "
+            "a one-row BroadcastNestedLoopJoin (its source is the driver's "
+            "one-row local relation; the applySchemaToPythonRDD line below "
+            "is that single row, not a per-row stage) and the k probes are "
+            "pure shift/mask expressions inside WholeStageCodegen, so the "
+            "prefilter runs at scan speed before any join shuffle.",
+            formatted(bp),
+        )
+    )
+
     from ddspark.agg import quantile_sketch_multi
 
     multi = quantile_sketch_multi(
