@@ -252,6 +252,16 @@ def bloom_prefilter(
     join).  Returns ``big`` filtered, same schema.
     """
     big_col = big_col or key_col
+    # xxhash64 hashes by Spark type: INT 42 and BIGINT 42 have different
+    # hashes, so a silent type mismatch would drop EVERY matching row.
+    bt = dict(big.dtypes)[big_col]
+    kt = dict(keys.dtypes)[key_col]
+    if bt != kt:
+        raise ValueError(
+            f"bloom_prefilter key types must match exactly (xxhash64 is "
+            f"type-sensitive): big[{big_col}]={bt} vs keys[{key_col}]={kt}; "
+            "cast one side first"
+        )
     words = F.broadcast(bloom_words(keys, key_col, m, k))
     joined = big.crossJoin(words)
     h1 = f"pmod(xxhash64(`{big_col}`), {m})"

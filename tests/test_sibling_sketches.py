@@ -526,3 +526,14 @@ def test_bloom_prefilter_semi_join_reduction(spark):
     ).count() == 0
     with pytest.raises(ValueError, match="multiple of 64"):
         bloom.bloom_words(keys, "key", m=100)
+
+
+def test_bloom_prefilter_rejects_type_mismatch(spark):
+    """xxhash64 is type-sensitive: an INT-vs-BIGINT key mismatch would drop
+    every matching row silently — the guard makes it loud."""
+    from pyspark.sql import functions as F
+
+    big = spark.range(10).select(F.col("id").cast("int").alias("key"))
+    keys = spark.range(10).select(F.col("id").alias("key"))
+    with pytest.raises(ValueError, match="type-sensitive"):
+        bloom.bloom_prefilter(big, keys, "key")
