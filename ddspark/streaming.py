@@ -52,6 +52,8 @@ __all__ = [
     "mg_stream_state",
     "mg_stream_tws",
     "stream_dedup",
+    "incremental_cells_sink",
+    "read_sketch_state",
 ]
 
 _STATE_SCHEMA = StructType(STATE_FIELDS)
@@ -666,3 +668,87 @@ def finalize_cells_batch(
 
     cfg = cfg or SketchConfig()
     return finalize_cells(cells_batch, list(qs), ["win"] + list(by), cfg)
+
+
+def _state_versions(state_dir: str) -> list[tuple[int, str]]:
+    import os
+
+    if not os.path.isdir(state_dir):
+        return []
+    out = []
+    for d in os.listdir(state_dir):
+        if d.startswith("v_") and os.path.exists(
+            os.path.join(state_dir, d, "_SUCCESS")
+        ):
+            out.append((int(d[2:]), os.path.join(state_dir, d)))
+    return sorted(out)
+
+
+def incremental_cells_sink(
+    state_dir: str,
+    value_col: str,
+    by: list[str] | None = None,
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+    retain_versions: int = 2,
+):
+    """``foreachBatch`` sink maintaining a DURABLE sketch state table:
+    every micro-batch's rows are reduced to bucket cells and merged into a
+    versioned parquet state dir, queryable at any moment with
+    :func:`read_sketch_state` + ``agg.finalize_cells_sql``.
+
+    Exactly-once across retries: each version dir ``v_<batch_id>`` is the
+    FULL merged state after that batch, committed atomically by the
+    parquet ``_SUCCESS`` marker; a replayed ``batch_id`` (foreachBatch
+    retries after failures) is skipped because a committed version with
+    the same or later id already exists.  State size is bounded at
+    ``groups x live-buckets`` cells regardless of stream length, so the
+    per-batch merge cost never grows with history — the streaming twin of
+    :mod:`ddspark.checkpoint`'s file-granular batch resume.  Only the
+    newest ``retain_versions`` versions are kept.
+
+    Usage::
+
+        q = (events.writeStream.outputMode("update")
+             .foreachBatch(incremental_cells_sink("/state/dir", "value",
+                                                  ["event_type"]))
+             .start())
+        # any time, from any session:
+        cells = read_sketch_state(spark, "/state/dir")
+        finalize_cells_sql(cells, [0.5, 0.99], ["event_type"], cfg).show()
+    """
+    import os
+    import shutil
+
+    from .agg import _reaggregate_cells, build_cells
+
+    by = list(by or [])
+    cfg = cfg or SketchConfig()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _state_versions(state_dir)
+        if versions and versions[-1][0] >= batch_id:
+            return  # retry of an already-committed batch
+        new_cells = build_cells(batch_df, value_col, by, cfg, weight_col)
+        if versions:
+            old = batch_df.sparkSession.read.parquet(versions[-1][1])
+            merged = _reaggregate_cells(old.unionByName(new_cells), by)
+        else:
+            merged = new_cells
+        os.makedirs(state_dir, exist_ok=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{batch_id:020d}")
+        )
+        for _, path in _state_versions(state_dir)[:-retain_versions]:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return sink
+
+
+def read_sketch_state(spark, state_dir: str) -> DataFrame:
+    """Latest committed cells state written by :func:`incremental_cells_sink`
+    (finalize with ``agg.finalize_cells_sql``; mergeable with more cells)."""
+    versions = _state_versions(state_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed sketch state under {state_dir}")
+    return spark.read.parquet(versions[-1][1])

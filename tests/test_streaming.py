@@ -395,3 +395,95 @@ def test_mg_stream_tws_matches_legacy_state(spark, tmp_path):
         true = exact[r["item"]]
         assert r["est"] <= true <= r["est"] + bound
     assert exact.index[0] in set(final["item"])
+
+
+def test_incremental_cells_sink_exactly_once_and_queryable(spark, tmp_path):
+    """The foreachBatch state sink: durable versioned cells, exactly-once on
+    batch replay, and the finalized quantiles equal a one-shot batch sketch
+    over the same rows."""
+    from ddspark.agg import finalize_cells_sql, quantile_sketch
+    from ddspark.streaming import incremental_cells_sink, read_sketch_state
+
+    cfg = SketchConfig(0.02)
+    state = str(tmp_path / "cells_state")
+    sink = incremental_cells_sink(state, "v", ["g"], cfg)
+    rng = np.random.default_rng(31)
+    batches = [
+        pd.DataFrame({
+            "g": rng.choice(["a", "b"], 5000),
+            "v": np.round(rng.lognormal(3, 1, 5000), 2),
+        })
+        for _ in range(3)
+    ]
+    for i, pdf in enumerate(batches):
+        sink(spark.createDataFrame(pdf), i)
+    # replay of an already-committed batch must be a no-op (exactly-once)
+    before = read_sketch_state(spark, state).orderBy("g", "_sgn", "_k").collect()
+    sink(spark.createDataFrame(batches[1]), 1)
+    after = read_sketch_state(spark, state).orderBy("g", "_sgn", "_k").collect()
+    assert before == after
+    # the durable state finalizes to the same answer as one batch sketch
+    got = {
+        r["g"]: r
+        for r in finalize_cells_sql(
+            read_sketch_state(spark, state), [0.5, 0.99], ["g"], cfg
+        ).collect()
+    }
+    whole = spark.createDataFrame(pd.concat(batches, ignore_index=True))
+    want = {
+        r["g"]: r
+        for r in quantile_sketch(whole, "v", ["g"], [0.5, 0.99], cfg).collect()
+    }
+    assert got.keys() == want.keys()
+    for k_ in want:
+        g, w = got[k_].asDict(), want[k_].asDict()
+        for field in ("count", "min", "max", "p50", "p99"):
+            assert g[field] == w[field], (k_, field)
+        # float addition is not associative: the incremental merge adds the
+        # partial sums in a different order than the one-shot agg
+        assert g["sum"] == pytest.approx(w["sum"], rel=1e-12)
+        assert g["avg"] == pytest.approx(w["avg"], rel=1e-12)
+    # retention: only the newest 2 versions remain
+    import os
+
+    vs = [d for d in os.listdir(state) if d.startswith("v_")]
+    assert len(vs) == 2
+
+
+def test_incremental_cells_sink_with_real_stream(spark, tmp_path):
+    """Drive the sink through an actual file-source stream."""
+    from ddspark.agg import finalize_cells_sql, quantile_sketch
+    from ddspark.streaming import incremental_cells_sink, read_sketch_state
+
+    cfg = SketchConfig(0.02)
+    src = str(tmp_path / "src")
+    rng = np.random.default_rng(7)
+    pdfs = [
+        pd.DataFrame({"g": ["x"] * 2000, "v": np.round(rng.lognormal(2, 1, 2000), 2)})
+        for _ in range(2)
+    ]
+    for i, pdf in enumerate(pdfs):
+        spark.createDataFrame(pdf).write.parquet(f"{src}/f{i}.parquet")
+    sdf = spark.readStream.schema("g string, v double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    state = str(tmp_path / "stream_state")
+    q = (
+        sdf.writeStream.outputMode("update")
+        .foreachBatch(incremental_cells_sink(state, "v", ["g"], cfg))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = finalize_cells_sql(
+        read_sketch_state(spark, state), [0.5, 0.95], ["g"], cfg
+    ).collect()
+    whole = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
+    want = quantile_sketch(whole, "v", ["g"], [0.5, 0.95], cfg).collect()
+    assert len(got) == len(want) == 1
+    g, w = got[0].asDict(), want[0].asDict()
+    for field in ("g", "count", "min", "max", "p50", "p95"):
+        assert g[field] == w[field], field
+    assert g["sum"] == pytest.approx(w["sum"], rel=1e-12)  # non-assoc fp adds
+    assert g["avg"] == pytest.approx(w["avg"], rel=1e-12)
