@@ -30,7 +30,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["hll_cells", "hll_agg", "estimate_from_registers", "merge_registers"]
+__all__ = [
+    "hll_cells",
+    "hll_agg",
+    "hll_from_cells",
+    "estimate_from_registers",
+    "merge_registers",
+]
 
 _LONG_MIN = -(1 << 63)
 
@@ -104,7 +110,15 @@ def hll_agg(
     """Distinct-count estimate per group:
     ``by... | hll_estimate DOUBLE | registers ARRAY<INT>``."""
     by = list(by or [])
-    cells = hll_cells(df, col, by, p)
+    return hll_from_cells(hll_cells(df, col, by, p), by, p)
+
+
+def hll_from_cells(
+    cells: DataFrame, by: list[str] | None = None, p: int = 12
+) -> DataFrame:
+    """Finalize ``(group, bucket, rmin)`` cells (from :func:`hll_cells` or a
+    streaming windowed variant) into per-group estimates + registers."""
+    by = list(by or [])
     by_fields = [
         StructField(f.name, f.dataType, True)
         for f in cells.schema.fields

@@ -54,6 +54,8 @@ __all__ = [
     "stream_dedup",
     "incremental_cells_sink",
     "read_sketch_state",
+    "windowed_hll_cells",
+    "finalize_hll_batch",
 ]
 
 _STATE_SCHEMA = StructType(STATE_FIELDS)
@@ -752,3 +754,41 @@ def read_sketch_state(spark, state_dir: str) -> DataFrame:
     if not versions:
         raise FileNotFoundError(f"no committed sketch state under {state_dir}")
     return spark.read.parquet(versions[-1][1])
+
+
+def windowed_hll_cells(
+    sdf: DataFrame,
+    ts_col: str,
+    col: str,
+    by: list[str],
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+    p: int = 12,
+) -> DataFrame:
+    """Streaming distinct-count state per (event-time window, keys): the
+    HLL bucket cells as a NATIVE streaming min-aggregation — watermark →
+    window groupBy → min, nothing custom in the loop, at most ``2^p`` state
+    rows per (window, key).  Finalize emitted cells with
+    :func:`finalize_hll_batch` inside ``foreachBatch``."""
+    from .sketches.hll import _LONG_MIN
+
+    h = F.xxhash64(F.col(col))
+    bucket = F.shiftrightunsigned(h, 64 - p)
+    flipped = F.shiftleft(h, p).bitwiseXOR(F.lit(_LONG_MIN))
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .where(F.col(col).isNotNull())
+        .select(ts_col, *by, bucket.alias("_b"), flipped.alias("_r"))
+        .groupBy(F.window(ts_col, window_duration).alias("win"), *by, "_b")
+        .agg(F.min("_r").alias("_rmin"))
+    )
+
+
+def finalize_hll_batch(
+    cells_batch: DataFrame, by: list[str], p: int = 12
+) -> DataFrame:
+    """Batch finalizer for :func:`windowed_hll_cells` (use inside
+    ``foreachBatch``): per-(window, keys) distinct-count estimates."""
+    from .sketches.hll import hll_from_cells
+
+    return hll_from_cells(cells_batch, ["win"] + list(by), p)

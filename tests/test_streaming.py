@@ -487,3 +487,53 @@ def test_incremental_cells_sink_with_real_stream(spark, tmp_path):
         assert g[field] == w[field], field
     assert g["sum"] == pytest.approx(w["sum"], rel=1e-12)  # non-assoc fp adds
     assert g["avg"] == pytest.approx(w["avg"], rel=1e-12)
+
+
+def test_windowed_hll_distinct_counts(spark, tmp_path):
+    """Per-window distinct counts as a native streaming min-agg; estimates
+    land within the HLL error envelope of the exact per-window distincts."""
+    from ddspark.streaming import finalize_hll_batch, windowed_hll_cells
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for w, base in [(0, 0), (1, 60)]:  # two 1-minute windows
+        # window 0: ~800 distinct users; window 1: ~300
+        n_dist = 800 if w == 0 else 300
+        for _ in range(3000):
+            rows.append(
+                (
+                    pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=base + int(rng.integers(0, 60))),
+                    f"u{int(rng.integers(0, n_dist))}_{w}",
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["ts", "user"])
+    src = str(tmp_path / "hll_src")
+    spark.createDataFrame(pdf).write.parquet(f"{src}/data.parquet")
+    # sentinel far ahead: advances the watermark so both real windows close
+    # (append mode emits only finalized windows)
+    sentinel = pd.DataFrame(
+        {"ts": [pd.Timestamp("2026-01-01 01:00:00")], "user": ["zz"]}
+    )
+    spark.createDataFrame(sentinel).write.parquet(f"{src}/sentinel.parquet")
+    src = f"{src}/*"
+    sdf = spark.readStream.schema("ts timestamp, user string").parquet(src)
+    cells = windowed_hll_cells(sdf, "ts", "user", [], "1 minute", "2 minutes", p=12)
+    out = []
+    q = (
+        cells.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: out.append(finalize_hll_batch(b, [], 12).toPandas()))
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = pd.concat([o for o in out if len(o)], ignore_index=True)
+    got = got[got["hll_estimate"] > 1.5]  # drop the 1-user sentinel window
+    exact = (
+        pdf.assign(win=pdf["ts"].dt.floor("1min"))
+        .groupby("win")["user"].nunique()
+    )
+    assert len(got) == len(exact) == 2
+    for rec in got.to_dict("records"):
+        want = exact[pd.Timestamp(rec["win"]["start"])]
+        assert abs(rec["hll_estimate"] - want) / want < 0.05, (rec, want)
