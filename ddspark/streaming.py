@@ -709,6 +709,12 @@ def incremental_cells_sink(
     :mod:`ddspark.checkpoint`'s file-granular batch resume.  Only the
     newest ``retain_versions`` versions are kept.
 
+    Version discovery walks the state dir with ``os`` (same contract as
+    :mod:`ddspark.checkpoint`), so ``state_dir`` must be a driver-visible
+    path (local disk / NFS / fuse mount); on object storage swap
+    ``_state_versions`` for a Hadoop-FS listing — the commit protocol
+    (version dir + ``_SUCCESS``) is storage-agnostic.
+
     Usage::
 
         q = (events.writeStream.outputMode("update")
