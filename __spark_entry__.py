@@ -394,6 +394,17 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fr.select("doc_id", "frame_idx", F.hex("frame").alias("frame_hex"))
 
 
+def _q_stratified_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum exact-k quota sampling: exactly min(k, n_s) docs per
+    language, deterministically (bottom-k by salted hash within stratum)."""
+    from ddspark.pipeline.curation import stratified_exact_k_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    return stratified_exact_k_sample(docs, 12, "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
 def _q_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two metrics sketched in ONE corpus scan (the north-star's
     content-length AND line-count shape): quantile_sketch_multi explodes a
@@ -975,6 +986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
         "dedup_paragraph_first": wrap(_q_paragraph_dedup),
         "ddsketch_multi_metric": wrap(_q_multi_metric),
+        "curation_stratified_exact_k": wrap(_q_stratified_exact_k),
         "multimodal_audio_stats": wrap(_q_multimodal_audio),
         "dedup_minhash_lsh": wrap(_q_minhash_lsh),
         "dedup_simhash_pairs": wrap(_q_simhash_pairs),
@@ -1120,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pack_sequences": _pack_oracle(),
         "curation_target_mix": _target_mix_oracle_q(),
         "curation_exact_k_sample": _exact_k_oracle(),
+        "curation_stratified_exact_k": _stratified_exact_k_oracle(),
         "ann_cosine_topk": r"""
             WITH v AS (
               SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1604,4 +1617,11 @@ def _exact_k_oracle() -> str:
     from ddspark.pipeline.curation import exact_k_sample_oracle_sql
 
     inner = exact_k_sample_oracle_sql("documents", 50)
+    return f"SELECT doc_id, lang FROM ({inner})"
+
+
+def _stratified_exact_k_oracle() -> str:
+    from ddspark.pipeline.curation import stratified_exact_k_sample_oracle_sql
+
+    inner = stratified_exact_k_sample_oracle_sql("documents", 12, "lang")
     return f"SELECT doc_id, lang FROM ({inner})"

@@ -56,6 +56,7 @@ __all__ = [
     "pack_sequences",
     "target_mix",
     "exact_k_sample",
+    "stratified_exact_k_sample",
     "hash_split_oracle_sql",
     "stratified_sample_oracle_sql",
     "decontaminate_oracle_sql",
@@ -64,6 +65,7 @@ __all__ = [
     "pack_sequences_oracle_sql",
     "target_mix_oracle_sql",
     "exact_k_sample_oracle_sql",
+    "stratified_exact_k_sample_oracle_sql",
     "PII_PATTERNS",
 ]
 
@@ -674,3 +676,55 @@ def exact_k_sample_oracle_sql(
     """Twin of :func:`exact_k_sample`."""
     b = _bucket_sql(id_col, salt)
     return f"SELECT * EXCLUDE (_b) FROM (SELECT *, {b} AS _b FROM {table}) ORDER BY _b, {id_col} LIMIT {k}"
+
+
+def stratified_exact_k_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "ksample",
+) -> DataFrame:
+    """Exactly ``min(k, n_s)`` rows per stratum, uniformly at random,
+    deterministically — the per-stratum quota twin of
+    :func:`exact_k_sample` (which is global) and of
+    :func:`stratified_sample` (which is rate-based, so per-stratum counts
+    are only approximate).
+
+    Each stratum keeps its bottom-``k`` rows by hash bucket (ties by id):
+    one shuffle keyed on the stratum and a per-stratum sort inside the
+    ``row_number`` window.  **Scale**: the window sorts each stratum's
+    full partition, so a mega-stratum (45% of a web corpus in one
+    language) pays a large single-partition sort — for those, either
+    pre-filter with a bucket threshold from a first counting pass, or use
+    rate-based :func:`stratified_sample` when exact quotas aren't
+    required.  Fine up to strata of ~10^8 rows.
+    """
+    from pyspark.sql import Window
+
+    b = split_bucket(id_col, salt)
+    w = Window.partitionBy(strata_col).orderBy("_b", id_col)
+    return (
+        df.withColumn("_b", b)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_b", "_rn")
+    )
+
+
+def stratified_exact_k_sample_oracle_sql(
+    table: str,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "ksample",
+) -> str:
+    """Twin of :func:`stratified_exact_k_sample`."""
+    b = _bucket_sql(id_col, salt)
+    return f"""
+SELECT * EXCLUDE (_b, _rn) FROM (
+  SELECT *, {b} AS _b,
+         ROW_NUMBER() OVER (PARTITION BY {strata_col} ORDER BY {b}, {id_col}) AS _rn
+  FROM {table}
+) WHERE _rn <= {k}
+"""

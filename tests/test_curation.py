@@ -479,3 +479,20 @@ def test_exact_k_sample(spark):
     assert a == duck
     # roughly uniform: the sample is not the first 37 ids
     assert max(a) > 500
+
+
+def test_stratified_exact_k_sample_quotas(spark):
+    """Exactly min(k, n_s) rows per stratum, parallelism-invariant, a
+    subset of the input."""
+    from ddspark.pipeline.curation import stratified_exact_k_sample
+
+    rows = [(i, "big" if i < 200 else "tiny") for i in range(205)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_exact_k_sample(df, 10, "lang", "doc_id").toPandas()
+    sizes = out.groupby("lang").size().to_dict()
+    assert sizes == {"big": 10, "tiny": 5}  # tiny has only 5 rows
+    out2 = stratified_exact_k_sample(
+        df.repartition(7), 10, "lang", "doc_id"
+    ).toPandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+    assert set(out["doc_id"]).issubset({r[0] for r in rows})
