@@ -299,6 +299,39 @@ def _stress_section() -> dict:
         spark.stop()
 
 
+def _burn_worker(seconds: float) -> int:
+    t0 = time.perf_counter()
+    x = 0
+    while time.perf_counter() - t0 < seconds:
+        x += 1
+    return x
+
+
+def _host_check(seconds: float = 2.0) -> dict:
+    """Measure host contention around the scaling runs: burn every core
+    briefly and report the /proc/stat steal/idle shares.  On this shared
+    physical host, high steal (or idle that the burner could not claim)
+    explains depressed 4N throughput — recording it turns the variance
+    story into per-run evidence instead of an anecdote."""
+    import multiprocessing as mp
+
+    def _read():
+        with open("/proc/stat") as fh:
+            return list(map(int, fh.readline().split()[1:9]))
+
+    a = _read()
+    n = os.cpu_count() or 8
+    with mp.Pool(n) as pool:
+        pool.map(_burn_worker, [seconds] * n)
+    b = _read()
+    d = [y - x for x, y in zip(a, b)]
+    total = sum(d) or 1
+    return {
+        "steal_pct": round(100 * d[7] / total, 2),
+        "unclaimed_idle_pct": round(100 * (d[3] + d[4]) / total, 2),
+    }
+
+
 def _scaling_section() -> dict:
     """Two cluster sizes, INTERLEAVED in time.
 
@@ -312,6 +345,7 @@ def _scaling_section() -> dict:
     efficiencies are reported alongside for the variance story.
     """
     ensure_corpus(BENCH_ROWS)
+    host_before = _host_check()
     rounds = []
     for r in range(2):
         w = 2 if r == 0 else 1  # page cache + executor JIT warm after round 0
@@ -327,6 +361,7 @@ def _scaling_section() -> dict:
         "4n_executors_rows_per_sec": round(hi),
         "scaling_efficiency": round(hi / (4.0 * lo), 3),
         "efficiency_per_round": [round(h / (4.0 * l), 3) for l, h in rounds],
+        "host_contention": {"before": host_before, "after": _host_check()},
         "method": "local-cluster[1,4] vs local-cluster[4,4] (separate "
         "executor JVMs), flagship per-lang quantile sketch, 2 interleaved "
         f"rounds, best of {BEST_OF}/{2 * BEST_OF} runs per round",
