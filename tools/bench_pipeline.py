@@ -105,6 +105,19 @@ def main() -> None:
         "audio synth+decode (480-sample WAV, r3)",
         lambda: audio_stats(synth_audio(ids)).agg(F.sum("sum_sq")).collect(),
     )
+
+    from ddspark.sketches.bloom import bloom_prefilter
+
+    big = spark.range(N, numPartitions=64).select(
+        (F.col("id") % 10_000_000).alias("key"), F.col("id").alias("payload")
+    )
+    keys = spark.range(0, 100_000).select((F.col("id") * 97).alias("key"))
+    timed(
+        "bloom_prefilter (m=2^22, k=5, 100k-key side, r3)",
+        lambda: bloom_prefilter(big, keys, "key", m=1 << 22, k=5)
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
     spark.stop()
 
 
