@@ -573,9 +573,14 @@ def dedup_paragraphs(
     """
     import re
 
+    # NULL text coalesces to '' so a NULL-text doc behaves exactly like an
+    # empty one on both sides of the gate (split(NULL) would explode to no
+    # rows here while the SQL twin's string_split(NULL) drops the doc).
     ex = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), re.escape(sep))
+        ).alias("pos", "para"),
     ).withColumn("ph", F.xxhash64("para"))
     long = ex.where(F.length("para") >= min_chars)
     firsts = long.groupBy("ph").agg(F.min(F.struct("id", "pos")).alias("m")).select(
@@ -631,7 +636,8 @@ def dedup_paragraphs_oracle_sql(
     return f"""
 WITH ex AS (
   SELECT t.{id_col} AS id, u.i AS pos, t.paras[u.i + 1] AS para
-  FROM (SELECT {id_col}, string_split({text_col}, {sep_sql}) AS paras
+  FROM (SELECT {id_col},
+               string_split(COALESCE({text_col}, ''), {sep_sql}) AS paras
         FROM {table}) t,
        UNNEST(generate_series(0, len(t.paras) - 1)) AS u(i)
 ),

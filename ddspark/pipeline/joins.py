@@ -46,6 +46,15 @@ def salted_join(
             f"salted_join supports how='inner'/'left', got {how!r}: an outer "
             "join would emit unmatched small-side rows once per salt replica"
         )
+    # Retry-safety: monotonically_increasing_id is NOT deterministic across
+    # task retries (a re-run partition can hand the same row a different
+    # id), but that cannot change the join's VALUES — the small side
+    # carries every salt in [0, n_salts), so a big-side row matches exactly
+    # the same small-side rows whichever salt it lands on; the salt only
+    # picks which replica (i.e. which shuffle partition) serves the match.
+    # Do not "fix" this to a deterministic hash of the join key: bit-equal
+    # hot-key rows would then all hash to ONE salt and the skew returns —
+    # the whole point is that identical rows spread by position, not value.
     salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
     big_s = big.withColumn("_salt", salt.cast("int"))
     small_s = small.withColumn(

@@ -248,8 +248,11 @@ def bloom_prefilter(
     filtered at scan speed with NO shuffle, no Python, and no false drops
     (Bloom filters have no false negatives); ~``(bits_set/m)^k`` of
     non-matching rows survive as false positives for the real join to
-    discard.  Rows with a NULL key are dropped (they cannot match an inner
-    join).  Returns ``big`` filtered, same schema.
+    discard.  Rows with a NULL key are dropped explicitly (they cannot
+    match an inner join; without the explicit filter they would NOT be —
+    ``xxhash64`` ignores NULL children and returns the seed, so NULL rows
+    would probe k fixed positions and leak through whenever those bits
+    happen to be set).  Returns ``big`` filtered, same schema.
     """
     big_col = big_col or key_col
     # xxhash64 hashes by Spark type: INT 42 and BIGINT 42 have different
@@ -263,7 +266,7 @@ def bloom_prefilter(
             "cast one side first"
         )
     words = F.broadcast(bloom_words(keys, key_col, m, k))
-    joined = big.crossJoin(words)
+    joined = big.where(F.col(big_col).isNotNull()).crossJoin(words)
     h1 = f"pmod(xxhash64(`{big_col}`), {m})"
     h2 = f"(pmod(xxhash64(`{big_col}`, 1), {m - 1}) + 1)"
     tests = []

@@ -702,8 +702,13 @@ def incremental_cells_sink(
     Exactly-once across retries: each version dir ``v_<batch_id>`` is the
     FULL merged state after that batch, committed atomically by the
     parquet ``_SUCCESS`` marker; a replayed ``batch_id`` (foreachBatch
-    retries after failures) is skipped because a committed version with
-    the same or later id already exists.  State size is bounded at
+    only ever retries the MOST RECENT batch) is skipped because a
+    committed version with the same id already exists.  A ``batch_id``
+    STRICTLY BELOW the latest committed version is impossible under
+    retries — it means the stream was restarted with a fresh
+    ``checkpointLocation`` against an existing ``state_dir``, and
+    silently skipping those batches would drop data forever — so that
+    case raises instead.  State size is bounded at
     ``groups x live-buckets`` cells regardless of stream length, so the
     per-batch merge cost never grows with history — the streaming twin of
     :mod:`ddspark.checkpoint`'s file-granular batch resume.  Only the
@@ -735,8 +740,20 @@ def incremental_cells_sink(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         versions = _state_versions(state_dir)
-        if versions and versions[-1][0] >= batch_id:
-            return  # retry of an already-committed batch
+        if versions and versions[-1][0] == batch_id:
+            return  # retry of the already-committed most-recent batch
+        if versions and versions[-1][0] > batch_id:
+            # foreachBatch only retries the latest batch, so a LOWER id
+            # means a fresh checkpointLocation was pointed at an existing
+            # state_dir — skipping would silently discard every batch
+            # until ids catch up.  Surface the mismatch instead.
+            raise RuntimeError(
+                f"incremental_cells_sink: batch_id {batch_id} is below the "
+                f"latest committed version {versions[-1][0]} in {state_dir}; "
+                "the stream checkpoint and the state dir are out of sync "
+                "(restarted with a fresh checkpointLocation?). Use a new "
+                "state_dir or restore the matching checkpoint."
+            )
         new_cells = build_cells(batch_df, value_col, by, cfg, weight_col)
         if versions:
             old = batch_df.sparkSession.read.parquet(versions[-1][1])

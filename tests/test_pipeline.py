@@ -892,3 +892,56 @@ def test_dedup_paragraphs_matches_python_model(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(df).collect()}
     assert got == want
+
+
+def test_dedup_paragraphs_null_text_matches_oracle(spark):
+    """A NULL-text document behaves exactly like an empty one on BOTH sides
+    of the gate (Spark coalesces to '', the oracle COALESCEs to '') — no
+    spurious row-count mismatch, the doc survives with text ''."""
+    import duckdb
+
+    rows = [(0, "aa\n\nbb"), (1, None), (2, "aa\n\ncc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(df).collect()}
+    assert got == {0: "aa\n\nbb", 1: "", 2: "cc"}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (doc_id BIGINT, text VARCHAR);"
+        "INSERT INTO t VALUES (0, 'aa' || chr(10) || chr(10) || 'bb'),"
+        "(1, NULL), (2, 'aa' || chr(10) || chr(10) || 'cc')"
+    )
+    sql = dedup.dedup_paragraphs_oracle_sql("t")
+    want = dict(con.execute(sql).fetchall())
+    assert got == want
+
+
+def test_salted_join_spreads_constant_key_evenly(spark):
+    """The salt derives from row POSITION, not key value: a frame whose
+    every row carries one identical key still spreads across all salts
+    (the reason `monotonically_increasing_id` must not be \"fixed\" into a
+    hash of the join key — see the comment in joins.py)."""
+    from ddspark.pipeline.joins import salted_join
+
+    n_salts = 8
+    big = spark.range(0, 4000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    ).repartition(8)
+    # the exact salt expression used by salted_join
+    salts = (
+        big.withColumn(
+            "_salt",
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()),
+                   F.lit(n_salts)).cast("int"),
+        )
+        .groupBy("_salt").count().collect()
+    )
+    counts = {r["_salt"]: r["count"] for r in salts}
+    assert len(counts) == n_salts  # every salt occupied
+    assert max(counts.values()) < 2.0 * min(counts.values())
+    # and the values are still exactly the plain join's values
+    small = spark.createDataFrame([(7, "hot"), (9, "cold")], "k int, v string")
+    got = salted_join(big, small, "k", n_salts=n_salts).orderBy("payload")
+    assert got.count() == 4000 and got.select("v").distinct().collect() == [
+        ("hot",)
+    ]

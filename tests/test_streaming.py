@@ -417,9 +417,10 @@ def test_incremental_cells_sink_exactly_once_and_queryable(spark, tmp_path):
     ]
     for i, pdf in enumerate(batches):
         sink(spark.createDataFrame(pdf), i)
-    # replay of an already-committed batch must be a no-op (exactly-once)
+    # replay of the most recent committed batch (the only batch foreachBatch
+    # ever retries) must be a no-op (exactly-once)
     before = read_sketch_state(spark, state).orderBy("g", "_sgn", "_k").collect()
-    sink(spark.createDataFrame(batches[1]), 1)
+    sink(spark.createDataFrame(batches[2]), 2)
     after = read_sketch_state(spark, state).orderBy("g", "_sgn", "_k").collect()
     assert before == after
     # the durable state finalizes to the same answer as one batch sketch
@@ -537,3 +538,27 @@ def test_windowed_hll_distinct_counts(spark, tmp_path):
     for rec in got.to_dict("records"):
         want = exact[pd.Timestamp(rec["win"]["start"])]
         assert abs(rec["hll_estimate"] - want) / want < 0.05, (rec, want)
+
+
+def test_incremental_cells_sink_rejects_stale_batch_id(spark, tmp_path):
+    """A batch_id BELOW the latest committed version means a fresh stream
+    checkpoint was pointed at an old state_dir — silently skipping would
+    drop every batch until ids catch up, so the sink raises instead."""
+    from ddspark.streaming import incremental_cells_sink, read_sketch_state
+
+    state = str(tmp_path / "stale_state")
+    sink = incremental_cells_sink(state, "v", ["g"], SketchConfig(0.02))
+    pdf = pd.DataFrame({"g": ["a"] * 100, "v": np.arange(100.0)})
+    sink(spark.createDataFrame(pdf), 5)
+    before = read_sketch_state(spark, state).orderBy("g", "_sgn", "_k").collect()
+    # genuine retry of the most recent batch: still a silent no-op
+    sink(spark.createDataFrame(pdf), 5)
+    assert read_sketch_state(spark, state).orderBy(
+        "g", "_sgn", "_k"
+    ).collect() == before
+    # restart-with-fresh-checkpoint (lower id): loud, state untouched
+    with pytest.raises(RuntimeError, match="out of sync"):
+        sink(spark.createDataFrame(pdf), 2)
+    assert read_sketch_state(spark, state).orderBy(
+        "g", "_sgn", "_k"
+    ).collect() == before
