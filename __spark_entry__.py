@@ -475,6 +475,39 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real compressed-image decode path (stdlib zlib, no codec libs):
+    synthesize a deterministic 6x4 8-bit RGB PNG per document (raster byte
+    ``i`` is ``(doc_id + i) % 256``, scanline ``y`` deflate-encoded with
+    filter type ``y % 5`` — so decoding runs every unfilter: None, Sub,
+    Up, Average, Paeth), decode it with the dependency-free PNG parser,
+    then nearest-neighbor resize to 3x2 (PNG -> PNG re-encode) and decode
+    again.  The oracle replays the closed form pixel-for-pixel, so an
+    inflate/unfilter/CRC bug is a value mismatch, not just a crash."""
+    from ddspark.pipeline.multimodal import decode_stats, resize_images, synth_images
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = synth_images(docs, "doc_id", width=6, height=4, fmt="png")
+    full = decode_stats(imgs, "doc_id", "img")
+    small = decode_stats(resize_images(imgs, 3, 2, "doc_id", "img"), "doc_id", "img")
+    return full.select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).join(
+        small.select(
+            "doc_id",
+            F.col("width").alias("r_width"),
+            F.col("height").alias("r_height"),
+            F.col("sum_r").alias("r_sum_r"),
+            F.col("sum_g").alias("r_sum_g"),
+            F.col("sum_b").alias("r_sum_b"),
+        ),
+        "doc_id",
+    )
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode path (no codec libs): synthesize a deterministic
     480-sample 16 kHz PCM-16 WAV per document (sample i is
@@ -984,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_byte_plumbing": wrap(_q_multimodal_bytes),
         "multimodal_frame_sample": wrap(_q_frame_sample),
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
+        "multimodal_png_stats": wrap(_q_multimodal_png),
         "dedup_paragraph_first": wrap(_q_paragraph_dedup),
         "ddsketch_multi_metric": wrap(_q_multi_metric),
         "curation_stratified_exact_k": wrap(_q_stratified_exact_k),
@@ -1226,6 +1260,48 @@ def oracle_sql() -> dict[str, str]:
               FROM rpx GROUP BY doc_id
             )
             SELECT f.doc_id, 7 AS width, 5 AS height,
+                   sum_r, sum_g, sum_b, mean_r, mean_g, mean_b,
+                   3 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
+            FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id
+        """,
+        # pixel-for-pixel replay of the PNG decode+resize path: 6x4 RGB
+        # raster bytes (doc_id + idx) % 256, channel idx%3, row stride 18
+        # (no padding in PNG rasters); the 3x2 nearest-neighbor resize
+        # samples src = ((y*4)//2, (x*6)//3).  The deflate/unfilter work
+        # happens only on the Spark side — a codec bug lands here as a
+        # value mismatch.
+        "multimodal_png_stats": """
+            WITH px AS (
+              SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
+              FROM documents d, UNNEST(generate_series(0, 71)) AS u(i)
+            ),
+            full_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+                     CAST(SUM(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+                     CAST(SUM(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+                     ROUND(AVG(CASE WHEN idx % 3 = 0 THEN CAST(v AS DOUBLE) END), 6) AS mean_r,
+                     ROUND(AVG(CASE WHEN idx % 3 = 1 THEN CAST(v AS DOUBLE) END), 6) AS mean_g,
+                     ROUND(AVG(CASE WHEN idx % 3 = 2 THEN CAST(v AS DOUBLE) END), 6) AS mean_b
+              FROM px GROUP BY doc_id
+            ),
+            rpx AS (
+              SELECT d.doc_id, c.c AS ch,
+                     (d.doc_id + ((y.y * 4) // 2) * 18
+                               + ((x.x * 6) // 3) * 3 + c.c) % 256 AS v
+              FROM documents d,
+                   UNNEST(generate_series(0, 1)) AS y(y),
+                   UNNEST(generate_series(0, 2)) AS x(x),
+                   UNNEST(generate_series(0, 2)) AS c(c)
+            ),
+            small_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum_r,
+                     CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_sum_g,
+                     CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS r_sum_b
+              FROM rpx GROUP BY doc_id
+            )
+            SELECT f.doc_id, 6 AS width, 4 AS height,
                    sum_r, sum_g, sum_b, mean_r, mean_g, mean_b,
                    3 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
             FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id

@@ -2,12 +2,13 @@
 columns with typed metadata.
 
 The container has no codec *libraries* (PIL/opencv/ffmpeg), so this module
-carries its own dependency-free decoders for the uncompressed formats a
-parser can own end-to-end — **BMP (24/32-bpp BITMAPINFOHEADER)**, **PPM
-(binary P6)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor resize
-and encoders used to synthesize deterministic test media.  Compressed
-formats (JPEG/PNG/MP3/video) would slot into the exact same ``mapInPandas``
-stages; their codec import is the only missing piece.
+carries its own dependency-free decoders for the formats a parser can own
+end-to-end — **BMP (24/32-bpp BITMAPINFOHEADER)**, **PPM (binary P6)**,
+**PNG (8-bit gray/RGB/RGBA, all five scanline filters, stdlib ``zlib``
+inflate)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor resize and
+encoders used to synthesize deterministic test media.  The remaining
+compressed formats (JPEG/MP3/video) would slot into the exact same
+``mapInPandas`` stages; their codec import is the only missing piece.
 
 At 100 TB the pattern is: blobs stay in their own column (parquet stores
 them page-compressed), metadata is pruned-scannable without touching blob
@@ -37,6 +38,7 @@ __all__ = [
     "with_blob",
     "encode_bmp",
     "encode_ppm",
+    "encode_png",
     "decode_image",
     "resize_image",
     "synth_images",
@@ -94,6 +96,189 @@ def encode_ppm(arr: np.ndarray) -> bytes:
         raise ValueError(f"expected (H, W, 3) RGB array, got shape {a.shape}")
     h, w = a.shape[:2]
     return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> samples per pixel (8-bit depth only; type 3 = palette
+# unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    # a=left, b=up, c=upper-left (PNG spec §9.4)
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
+    """Encode a ``uint8`` array — ``(H, W)``/``(H, W, 1)`` gray,
+    ``(H, W, 2)`` gray+alpha, ``(H, W, 3)`` RGB, or ``(H, W, 4)`` RGBA — as
+    a non-interlaced 8-bit PNG (stdlib ``zlib`` deflate).  With
+    ``filter_cycle`` each scanline uses filter type ``row % 5``, so a
+    roundtrip exercises every unfilter path (None/Sub/Up/Average/Paeth);
+    with ``filter_cycle=False`` every row uses filter 0."""
+    import zlib
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (H, W[, 1/2/3/4]) uint8 array, got {a.shape}")
+    h, w, ch = a.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = a.reshape(h, w * ch).astype(np.int16)
+    prior = np.zeros(w * ch, dtype=np.int16)
+    out = bytearray()
+    for y in range(h):
+        row = raw[y]
+        ft = (y % 5) if filter_cycle else 0
+        left = np.zeros_like(row)
+        left[ch:] = row[:-ch]
+        if ft == 0:
+            filt = row
+        elif ft == 1:  # Sub
+            filt = row - left
+        elif ft == 2:  # Up
+            filt = row - prior
+        elif ft == 3:  # Average
+            filt = row - (left + prior) // 2
+        else:  # Paeth
+            ul = np.zeros_like(prior)
+            ul[ch:] = prior[:-ch]
+            pred = np.fromiter(
+                (
+                    _paeth(int(left[i]), int(prior[i]), int(ul[i]))
+                    for i in range(w * ch)
+                ),
+                dtype=np.int16,
+                count=w * ch,
+            )
+            filt = row - pred
+        out.append(ft)
+        out += (filt % 256).astype(np.uint8).tobytes()
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(blob: bytes) -> np.ndarray:
+    """PNG decoder: chunk walk (CRC-checked), stdlib ``zlib`` inflate, all
+    five scanline unfilters (None/Sub/Up/Average/Paeth).  8-bit depth,
+    color types 0/2/4/6 (gray / RGB / gray+alpha / RGBA), non-interlaced.
+    Sub unfilters as a per-lane mod-256 cumulative sum and Up as one
+    vectorized add; Average/Paeth walk pixels (previous-row AND
+    previous-pixel dependency).  Returns ``(H, W, 3) uint8`` RGB — gray
+    replicated, alpha dropped."""
+    import zlib
+
+    b = bytes(blob)
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG stream")
+    pos, idat, hdr = 8, [], None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        tag = b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if hdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    w, h, depth, color_type, comp, filt_method, interlace = hdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG color type {color_type} (palette needs a PLTE "
+            "decoder; gray/RGB/gray+alpha/RGBA supported)"
+        )
+    if comp != 0 or filt_method != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("unsupported PNG interlacing (Adam7)")
+    ch = _PNG_CHANNELS[color_type]
+    rowbytes = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (rowbytes + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowbytes + 1)
+    fts, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
+    rec = np.zeros((h, rowbytes), dtype=np.int16)
+    prior = np.zeros(rowbytes, dtype=np.int16)
+    for y in range(h):
+        ft, row = int(fts[y]), rows[y]
+        if ft == 0:
+            r = row
+        elif ft == 1:  # Sub: per-lane prefix sum mod 256
+            r = row.copy()
+            for lane in range(ch):
+                r[lane::ch] = np.cumsum(row[lane::ch], dtype=np.int64) % 256
+        elif ft == 2:  # Up
+            r = (row + prior) % 256
+        elif ft == 3:  # Average
+            r = np.zeros(rowbytes, dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            for x in range(0, rowbytes, ch):
+                px = (row[x : x + ch] + (left + prior[x : x + ch]) // 2) % 256
+                r[x : x + ch] = px
+                left = px
+        elif ft == 4:  # Paeth
+            r = np.zeros(rowbytes, dtype=np.int16)
+            left = np.zeros(ch, dtype=np.int16)
+            ul = np.zeros(ch, dtype=np.int16)
+            for x in range(0, rowbytes, ch):
+                up = prior[x : x + ch]
+                pred = np.fromiter(
+                    (
+                        _paeth(int(left[i]), int(up[i]), int(ul[i]))
+                        for i in range(ch)
+                    ),
+                    dtype=np.int16,
+                    count=ch,
+                )
+                px = (row[x : x + ch] + pred) % 256
+                r[x : x + ch] = px
+                left, ul = px, up.copy()
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        rec[y] = r
+        prior = r
+    a = rec.astype(np.uint8).reshape(h, w, ch)
+    if color_type == 0:
+        return np.repeat(a, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(a[:, :, :1], 3, axis=2)
+    if color_type == 6:
+        return np.ascontiguousarray(a[:, :, :3])
+    return a
 
 
 def _decode_bmp(blob: bytes) -> np.ndarray:
@@ -155,22 +340,27 @@ def _decode_ppm(blob: bytes) -> np.ndarray:
 
 
 def decode_image(blob: bytes) -> np.ndarray:
-    """Decode a BMP (24/32-bpp uncompressed) or binary PPM (P6) blob to an
-    ``(H, W, 3) uint8`` RGB array.  Dependency-free — this is the real
-    decoder for the formats a parser can own; compressed formats raise with
-    the format name so callers can route to a codec-backed path."""
+    """Decode a BMP (24/32-bpp uncompressed), binary PPM (P6), or PNG
+    (8-bit gray/RGB/RGBA, stdlib zlib) blob to an ``(H, W, 3) uint8`` RGB
+    array.  Dependency-free — these are real decoders for the formats a
+    parser can own; other formats raise with the magic bytes so callers can
+    route to a codec-backed path."""
     b = bytes(blob)
+    if b[:8] == _PNG_SIG:
+        return _decode_png(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] == b"P6":
         return _decode_ppm(b)
-    raise ValueError(f"unsupported image magic {b[:2]!r} (BMP/PPM supported)")
+    raise ValueError(
+        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG supported)"
+    )
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize: decode, sample ``src = floor(dst * in/out)``
     on each axis, re-encode in the input's own format (BMP -> BMP,
-    PPM -> PPM)."""
+    PPM -> PPM, PNG -> PNG)."""
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
     a = decode_image(blob)
@@ -178,7 +368,10 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
     ys = (np.arange(height) * h) // height
     xs = (np.arange(width) * w) // width
     out = a[ys][:, xs]
-    return encode_ppm(out) if bytes(blob)[:2] == b"P6" else encode_bmp(out)
+    b = bytes(blob)
+    if b[:8] == _PNG_SIG:
+        return encode_png(out)
+    return encode_ppm(out) if b[:2] == b"P6" else encode_bmp(out)
 
 
 def synth_images(
@@ -191,9 +384,11 @@ def synth_images(
     """Deterministic synthetic image per row: raster byte ``i`` (RGB
     row-major) is ``(id + i) % 256``, encoded through the *real* encoder —
     so a decode downstream exercises BMP's bottom-up BGR row order and
-    4-byte padding (width 7 -> 21-byte rows padded to 24), and the closed
-    form keeps every pixel DuckDB-replayable."""
-    enc = encode_bmp if fmt == "bmp" else encode_ppm
+    4-byte padding (width 7 -> 21-byte rows padded to 24), or PNG's
+    filter-cycled deflate scanlines (``fmt="png"`` filters row ``y % 5`` —
+    every unfilter path runs on decode), and the closed form keeps every
+    pixel DuckDB-replayable."""
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[fmt]
     n = width * height * 3
     schema = StructType(
         [StructField(id_col, LongType()), StructField("img", BinaryType())]

@@ -276,9 +276,137 @@ def test_multimodal_plumbing(docs):
 
 
 def test_decode_unsupported_format_raises():
-    # compressed formats (no codec lib in container) fail loud, naming the magic
+    # formats without a codec here (JPEG) fail loud, naming the magic
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.decode_image(b"\x89PNG\r\n\x1a\n")
+        multimodal.decode_image(b"\xff\xd8\xff\xe0stub-jfif")
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    rng = np.random.RandomState(17)
+    # >=5 rows cycles all five filters (row y uses filter y % 5)
+    for shape, want3 in [
+        ((5, 7, 3), None),          # RGB
+        ((9, 4, 3), None),
+        ((1, 1, 3), None),
+        ((6, 5, 4), None),          # RGBA: alpha dropped on decode
+        ((7, 3, 1), None),          # gray: replicated
+        ((5, 6, 2), None),          # gray+alpha
+    ]:
+        a = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        got = multimodal.decode_image(multimodal.encode_png(a))
+        ch = shape[2]
+        if ch == 3:
+            want = a
+        elif ch == 4:
+            want = a[:, :, :3]
+        else:
+            want = np.repeat(a[:, :, :1], 3, axis=2)
+        assert np.array_equal(got, want), shape
+    # 2-D gray input and filter_cycle=False (all-zero filter bytes)
+    g = rng.randint(0, 256, size=(4, 5), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png(g)),
+        np.repeat(g[:, :, None], 3, axis=2),
+    )
+    a = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png(a, filter_cycle=False)), a
+    )
+
+
+def test_png_decoder_against_hand_built_fixture():
+    """Decode a PNG whose filtered scanlines were computed BY HAND from the
+    spec (not via encode_png), so an encoder/decoder bug pair that cancels
+    in roundtrips cannot hide.  2x2 RGB; row 0 Paeth-filtered, row 1
+    Average-filtered.
+
+    Pixels: row0 (10,20,30),(40,50,60); row1 (70,80,90),(100,110,120).
+    Row0 Paeth (prior row = 0): px0 pred=0 -> filt 10,20,30;
+      px1 pred=left=(10,20,30) -> filt 30,30,30.
+    Row1 Average: px0 pred=(0+up)//2=(5,10,15) -> filt 65,70,75;
+      px1 pred=((70,80,90)+(40,50,60))//2=(55,65,75) -> filt 45,45,45.
+    """
+    import struct as st
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            st.pack(">I", len(body)) + tag + body
+            + st.pack(">I", zlib.crc32(tag + body))
+        )
+
+    scan = bytes([4, 10, 20, 30, 30, 30, 30]) + bytes([3, 65, 70, 75, 45, 45, 45])
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scan))
+        + chunk(b"IEND", b"")
+    )
+    want = np.array(
+        [[[10, 20, 30], [40, 50, 60]], [[70, 80, 90], [100, 110, 120]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(multimodal.decode_image(blob), want)
+
+
+def test_png_rejects_malformed():
+    a = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = multimodal.encode_png(a)
+    bad = bytearray(good)
+    bad[20] ^= 0xFF  # inside IHDR body -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        multimodal.decode_image(bytes(bad))
+    # interlaced flag
+    import struct as st
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            st.pack(">I", len(body)) + tag + body
+            + st.pack(">I", zlib.crc32(tag + body))
+        )
+
+    adam7 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlacing"):
+        multimodal.decode_image(adam7)
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type"):
+        multimodal.decode_image(pal)
+    with pytest.raises(ValueError, match="length mismatch"):
+        multimodal.decode_image(
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 5))
+            + chunk(b"IEND", b"")
+        )
+
+
+def test_png_resize_and_synth_distributed(spark):
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    imgs = multimodal.synth_images(ids, "doc_id", width=6, height=4, fmt="png")
+    stats = multimodal.decode_stats(imgs, "doc_id", "img").toPandas()
+    assert len(stats) == 12
+    assert (stats["width"] == 6).all() and (stats["height"] == 4).all()
+    idx = np.arange(72)
+    for _, r in stats.iterrows():
+        v = (int(r["doc_id"]) + idx) % 256
+        assert r["sum_r"] == v[idx % 3 == 0].sum()
+        assert r["sum_g"] == v[idx % 3 == 1].sum()
+        assert r["sum_b"] == v[idx % 3 == 2].sum()
+    small = multimodal.decode_stats(
+        multimodal.resize_images(imgs, 3, 2, "doc_id", "img"), "doc_id", "img"
+    ).toPandas()
+    assert (small["width"] == 3).all() and (small["height"] == 2).all()
 
 
 def test_bmp_ppm_roundtrip_all_padding_widths():
@@ -617,7 +745,7 @@ def test_sample_frames_uniform_and_short(spark):
 
 def test_resize_unsupported_format_raises():
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.resize_image(b"\x89PNG\r\n\x1a\n", 64, 64)
+        multimodal.resize_image(b"\xff\xd8\xff\xe0stub-jfif", 64, 64)
     with pytest.raises(ValueError, match="positive"):
         multimodal.resize_image(multimodal.encode_ppm(np.zeros((1, 1, 3), np.uint8)), 0, 4)
 
