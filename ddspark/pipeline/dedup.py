@@ -542,6 +542,26 @@ def dedup_keepers(
     )
 
 
+def apply_keepers(
+    corpus: DataFrame, keepers: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply a :func:`dedup_keepers` verdict to the corpus: one LEFT SEMI
+    join on ``id_col`` against the kept ids, corpus schema preserved.
+
+    This join is where a 100 TB dedup run pays its biggest shuffle — the
+    full corpus re-partitioned by ``id_col`` just to drop the losers.  When
+    the corpus AND the keeper table are co-bucketed by ``id_col``
+    (:func:`ddspark.io.write_bucketed`), both scans report the same
+    ``HashPartitioning`` and the semi-join runs partition-local with ZERO
+    exchanges (plan pytest in ``tests/test_corpus_checkpoint.py``; PLANS.md
+    'Co-bucketed dedup pipeline').  The signature/fingerprint side tables
+    bucket the same way, so attach-signature joins are exchange-free too —
+    bucket the corpus once, never shuffle it through the dedup loop again.
+    """
+    kept = keepers.where(F.col("keep")).select(F.col(id_col))
+    return corpus.join(kept, id_col, "left_semi")
+
+
 def dedup_paragraphs(
     df: DataFrame,
     id_col: str = "doc_id",

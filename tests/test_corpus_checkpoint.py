@@ -306,3 +306,63 @@ def test_orc_source_roundtrip_and_pushdown(spark, tmp_path, corpus_pdf):
     q = back.where(F.col("lang") == "python").select("lang", "content")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:120]
+
+
+def test_cobucketed_dedup_pipeline_joins_are_exchange_free(spark, tmp_path):
+    """The co-bucketed dedup pipeline (round 4): corpus, minhash-signature
+    side table, and keeper verdicts all bucketed by doc_id — the
+    attach-signature join AND the keeper semi-join (the two places a
+    corpus-scale dedup pays its big shuffles) run with ZERO exchanges, and
+    the kept set is exactly the unbucketed pipeline's."""
+    from ddspark.io import read_bucketed, write_bucketed
+    from ddspark.pipeline.dedup import (
+        apply_keepers,
+        dedup_keepers,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    sigs = minhash_signatures(docs, "doc_id", "text", n=2, num_hashes=16) \
+        .withColumnRenamed("id", "doc_id")
+    pairs = lsh_candidate_pairs(sigs.withColumnRenamed("doc_id", "id"),
+                                bands=8, rows_per_band=2)
+    keepers = dedup_keepers(docs, pairs)
+    write_bucketed(docs, "t_dd_corpus", ["doc_id"], num_buckets=4,
+                   sort_cols=["doc_id"], path=str(tmp_path / "corpus"))
+    write_bucketed(sigs, "t_dd_sigs", ["doc_id"], num_buckets=4,
+                   sort_cols=["doc_id"], path=str(tmp_path / "sigs"))
+    write_bucketed(keepers, "t_dd_keep", ["doc_id"], num_buckets=4,
+                   sort_cols=["doc_id"], path=str(tmp_path / "keep"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        corpus_b = read_bucketed(spark, "t_dd_corpus")
+        sigs_b = read_bucketed(spark, "t_dd_sigs")
+        keep_b = read_bucketed(spark, "t_dd_keep")
+        # attach-signature join: exchange-free
+        with_sig = corpus_b.join(sigs_b, "doc_id")
+        plan = with_sig._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert with_sig.count() == docs.count()
+        # keeper semi-join: exchange-free
+        kept = apply_keepers(corpus_b, keep_b)
+        kplan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in kplan, kplan
+        # values: bucketed result == unbucketed result
+        want = sorted(
+            r["doc_id"]
+            for r in apply_keepers(docs, keepers).select("doc_id").collect()
+        )
+        got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+        assert got == want and 0 < len(got) <= docs.count()
+        # the verdict table actually dropped someone (near-dups exist in
+        # the corpus at these LSH settings) or kept everyone — either way
+        # keep semantics must match dedup_keepers exactly
+        n_keep = keepers.where(F.col("keep")).count()
+        assert len(got) == n_keep
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for t in ("t_dd_corpus", "t_dd_sigs", "t_dd_keep"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

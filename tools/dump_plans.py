@@ -266,9 +266,51 @@ def main() -> None:
                 formatted(bq),
             )
         )
+        from ddspark.pipeline.dedup import (
+            apply_keepers,
+            dedup_keepers,
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        ddocs = docs.select("doc_id", "text")
+        sigs = minhash_signatures(ddocs, "doc_id", "text", n=2, num_hashes=16) \
+            .withColumnRenamed("id", "doc_id")
+        pairs = lsh_candidate_pairs(
+            sigs.withColumnRenamed("doc_id", "id"), bands=8, rows_per_band=2
+        )
+        keepers = dedup_keepers(ddocs, pairs)
+        write_bucketed(ddocs, "plans_dd_c", ["doc_id"], num_buckets=8,
+                       sort_cols=["doc_id"], path=f"{td}/ddc")
+        write_bucketed(keepers, "plans_dd_k", ["doc_id"], num_buckets=8,
+                       sort_cols=["doc_id"], path=f"{td}/ddk")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kept = apply_keepers(
+            read_bucketed(spark, "plans_dd_c"), read_bucketed(spark, "plans_dd_k")
+        )
+        sections.append(
+            (
+                "Co-bucketed dedup pipeline (round 4): keeper semi-join, "
+                "ZERO exchanges",
+                "The keeper semi-join is where a 100 TB dedup run pays its "
+                "biggest shuffle — the full corpus repartitioned by doc_id "
+                "just to drop the losers.  With the corpus and the "
+                "dedup_keepers verdict table co-bucketed by doc_id, both "
+                "scans report HashPartitioning(doc_id, 8) and the "
+                "sort-merge LeftSemi join runs partition-local: no "
+                "Exchange node anywhere.  The minhash-signature side "
+                "table buckets the same way, making attach-signature "
+                "joins exchange-free too (plan pytest: "
+                "test_cobucketed_dedup_pipeline_joins_are_exchange_free).",
+                formatted(kept),
+            )
+        )
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS plans_bkt_a")
         spark.sql("DROP TABLE IF EXISTS plans_bkt_b")
         spark.sql("DROP TABLE IF EXISTS plans_bkt_s")
+        spark.sql("DROP TABLE IF EXISTS plans_dd_c")
+        spark.sql("DROP TABLE IF EXISTS plans_dd_k")
 
     out = ["# PLANS — formatted physical plans of the flagship pipelines\n"]
     out.append("Generated by `python tools/dump_plans.py` against " + SF_DIR + ".\n")
