@@ -1369,22 +1369,36 @@ def oracle_sql() -> dict[str, str]:
             "event_type, value FROM events) evt",
             "value", ["day", "event_type"], QS, 0.05, round_digits=ROUND,
         ),
+        # Session boundaries are derived over DISTINCT (user_id, ts) and
+        # joined back to the rows: with duplicate timestamps (the 10x
+        # gen_scale tables replicate ts exactly), putting LAG and the
+        # running SUM in separate CTEs lets DuckDB sort equal-ts ties
+        # differently in each window pass and SPLIT a tie run across two
+        # sessions — the distinct-ts form has no ties, so it is
+        # deterministic and matches sessionize's guarantee that equal
+        # instants share a session.
         "ddsketch_session_events": ansi_sql_quantile_sketch(
-            """(WITH o AS (
-  SELECT user_id, ts, value,
+            """(WITH d AS (
+  SELECT DISTINCT user_id, ts FROM events WHERE value > 0
+), o AS (
+  SELECT user_id, ts,
          CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                         >= INTERVAL 12 HOUR
               THEN 1 ELSE 0 END AS new_s
-  FROM events WHERE value > 0
+  FROM d
 ), s AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts,
          SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
                           ROWS UNBOUNDED PRECEDING) AS sid
   FROM o
-) SELECT user_id, value,
-         epoch_us(MIN(ts) OVER (PARTITION BY user_id, sid)) AS s_start
-  FROM s) sess""",
+), ss AS (
+  SELECT user_id, ts,
+         MIN(ts) OVER (PARTITION BY user_id, sid) AS session_start
+  FROM s
+) SELECT e.user_id, e.value, epoch_us(ss.session_start) AS s_start
+  FROM events e JOIN ss ON e.user_id = ss.user_id AND e.ts = ss.ts
+  WHERE e.value > 0) sess""",
             "value", ["s_start", "user_id"], QS, 0.05, round_digits=ROUND,
         ),
         "dedup_minhash_lsh": minhash_lsh_oracle_sql(

@@ -484,6 +484,17 @@ def sessionize(
     Scale: the two windows sort rows within each key partition — the
     natural requirement of sessionization; keys are users/devices, so
     partitions stay bounded.
+
+    Tie guarantee: rows sharing the exact same timestamp always land in
+    the SAME session.  Both windows here use one partition+order spec, so
+    Catalyst evaluates them in a single Window operator over a single
+    sort — the tie run's first row (whichever it is) carries the
+    session-open marker and the running sum assigns the whole run one
+    session id.  (A two-pass implementation with independent sorts — e.g.
+    LAG in one subquery, the running SUM in another — can order ties
+    differently per pass and split a tie run across two sessions; the
+    DuckDB oracle for `ddsketch_session_events` derives boundaries over
+    DISTINCT timestamps for exactly that reason.)
     """
     w = Window.partitionBy(*by).orderBy(ts_col)
     prev = F.lag(ts_col).over(w)

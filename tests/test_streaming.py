@@ -562,3 +562,124 @@ def test_incremental_cells_sink_rejects_stale_batch_id(spark, tmp_path):
     assert read_sketch_state(spark, state).orderBy(
         "g", "_sgn", "_k"
     ).collect() == before
+
+
+def test_windowed_cells_equal_batch_replay_across_batches(spark, tmp_path):
+    """The native windowed DDSketch cells path (watermark -> window groupBy
+    -> sum on (win, keys, _sgn, _k), zero custom state) must be EXACTLY the
+    batch computation: rows split across 3 micro-batches, per-window
+    quantiles/count/min/max/sum equal to quantile_sketch over the same rows
+    grouped by the same window — cell merging across batches is Spark's own
+    streaming state, so stream == batch bit-for-bit."""
+    from ddspark.agg import quantile_sketch
+    from ddspark.streaming import finalize_cells_batch, windowed_sketch_cells
+
+    rng = np.random.default_rng(41)
+    base = pd.Timestamp("2024-03-01 00:00:00")
+    rows = pd.DataFrame(
+        {
+            "ts": [
+                base + pd.Timedelta(seconds=int(s))
+                for s in rng.integers(0, 600, 3000)
+            ],
+            "g": rng.choice(["a", "b"], 3000),
+            "v": np.round(rng.lognormal(2, 1, 3000), 3),
+        }
+    )
+    src = str(tmp_path / "wsrc")
+    # 3 files -> 3 micro-batches; every batch holds rows of BOTH windows,
+    # so each window's cells merge across all batches in streaming state
+    for i in range(3):
+        spark.createDataFrame(rows.iloc[i::3]).write.parquet(f"{src}/f{i}.parquet")
+    sentinel = pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-03-02 00:00:00")], "g": ["zz"], "v": [1.0]}
+    )
+    spark.createDataFrame(sentinel).write.parquet(f"{src}/zz.parquet")
+    sdf = spark.readStream.schema("ts timestamp, g string, v double").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(f"{src}/*")
+    # watermark delay covers the full 10-minute event span: each batch holds
+    # rows of every window, and none may be dropped as late — the sentinel
+    # (next day) is what finally closes the windows
+    cells = windowed_sketch_cells(
+        sdf, "ts", "v", ["g"], window_duration="5 minutes",
+        watermark="15 minutes", cfg=CFG,
+    )
+    collected = []
+
+    def sink(batch_df, batch_id):
+        collected.append(
+            finalize_cells_batch(batch_df, [0.5, 0.95], ["g"], CFG).toPandas()
+        )
+
+    q = (
+        cells.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "wck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = pd.concat([c for c in collected if len(c)], ignore_index=True)
+    got = got[got["g"] != "zz"]
+    # batch twin through the SAME cells+finalizer: streaming state merging
+    # must be invisible — identical cells, identical finalize, bit-for-bit
+    from ddspark.agg import build_cells
+
+    batch_win = spark.createDataFrame(rows).withColumn(
+        "win", F.window("ts", "5 minutes")
+    )
+    want = finalize_cells_batch(
+        build_cells(batch_win, "v", ["win", "g"], CFG), [0.5, 0.95], ["g"], CFG
+    ).toPandas()
+    key = lambda r: (pd.Timestamp(r["win"]["start"]), r["g"])
+    got_d = {key(r): r for r in got.to_dict("records")}
+    want_d = {key(r): r for r in want.to_dict("records")}
+    assert got_d.keys() == want_d.keys() and len(got_d) == 4  # 2 windows x 2 groups
+    for k in want_d:
+        g, w = got_d[k], want_d[k]
+        for field in ("count", "min", "max", quantile_label(0.5), quantile_label(0.95)):
+            assert g[field] == w[field], (k, field, g[field], w[field])
+        # float sum order differs between streaming-state merge and batch agg
+        assert g["sum"] == pytest.approx(w["sum"], rel=1e-12)
+    # and the independent JVM rank-walk finalizer (quantile_sketch) agrees
+    # to float round-off — ties the two finalizer implementations together
+    qs_d = {
+        key(r): r
+        for r in quantile_sketch(batch_win, "v", ["win", "g"], [0.5, 0.95], CFG)
+        .toPandas().to_dict("records")
+    }
+    assert qs_d.keys() == got_d.keys()
+    for k in qs_d:
+        for field in (quantile_label(0.5), quantile_label(0.95)):
+            assert got_d[k][field] == pytest.approx(qs_d[k][field], rel=1e-12)
+        assert got_d[k]["count"] == qs_d[k]["count"]
+
+
+def test_sessionize_duplicate_timestamps_share_a_session(spark):
+    """Rows with the exact same timestamp must land in the same session —
+    the tie guarantee the 10x-scale gate depends on (replicated tables
+    carry exact duplicate instants).  Exercised with duplicates at a
+    session boundary and across many partitions."""
+    import datetime as dt
+
+    from ddspark.streaming import sessionize
+
+    t0 = dt.datetime(2024, 5, 1)
+    rows = []
+    for copy in range(3):  # 3 exact copies of every event
+        rows += [
+            ("u", t0),
+            ("u", t0 + dt.timedelta(hours=1)),
+            ("u", t0 + dt.timedelta(hours=14)),   # >= 12h after prev -> new
+            ("u", t0 + dt.timedelta(hours=15)),
+        ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["u", "ts"])
+    ).repartition(8)
+    res = sessionize(df, "ts", ["u"], gap="12 hours").toPandas()
+    # every distinct instant maps to exactly one session_start
+    per_ts = res.groupby("ts")["session_start"].nunique()
+    assert (per_ts == 1).all(), per_ts
+    counts = res.groupby("session_start").size().sort_index()
+    assert counts.tolist() == [6, 6]  # 2 sessions x (2 events x 3 copies)
