@@ -508,6 +508,26 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real baseline-JPEG decode path (no codec libs): synthesize a 16x16
+    RGB JPEG per document — four flat 8x8 gray tiles, tile t carrying
+    intensity ``(doc_id*7 + t*31) % 256``, entropy-coded by the real
+    encoder — then run the full Huffman + dequant + IDCT + YCbCr decoder
+    (``ddspark.pipeline.jpeg``).  Flat blocks quantise to a DC-only closed
+    form (q00=16 at quality 50), so the oracle replays every decoded pixel
+    in integer SQL: a bitstream/IDCT/color bug is a value mismatch."""
+    from ddspark.pipeline.multimodal import decode_stats, synth_tile_jpegs
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = synth_tile_jpegs(docs, "doc_id", tiles_x=2, tiles_y=2)
+    return decode_stats(imgs, "doc_id", "img").select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode path (no codec libs): synthesize a deterministic
     480-sample 16 kHz PCM-16 WAV per document (sample i is
@@ -1018,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": wrap(_q_frame_sample),
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
         "multimodal_png_stats": wrap(_q_multimodal_png),
+        "multimodal_jpeg_stats": wrap(_q_multimodal_jpeg),
         "dedup_paragraph_first": wrap(_q_paragraph_dedup),
         "ddsketch_multi_metric": wrap(_q_multi_metric),
         "curation_stratified_exact_k": wrap(_q_stratified_exact_k),
@@ -1305,6 +1326,37 @@ def oracle_sql() -> dict[str, str]:
                    sum_r, sum_g, sum_b, mean_r, mean_g, mean_b,
                    3 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
             FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id
+        """,
+        # pixel-exact replay of the JPEG decode path: tile t of doc d is a
+        # flat 8x8 block of intensity c = (d*7 + t*31) % 256; baseline
+        # quantisation at quality 50 (q00=16) makes the decoded tile
+        # clip(2*round_half_away(8*(c-128)/16) + 128) — the Huffman/IDCT
+        # work happens only on the Spark side.
+        "multimodal_jpeg_stats": """
+            WITH tile AS (
+              SELECT d.doc_id, t.t,
+                     (d.doc_id * 7 + t.t * 31) % 256 AS c
+              FROM documents d, UNNEST(generate_series(0, 3)) AS t(t)
+            ),
+            dec AS (
+              SELECT doc_id,
+                     LEAST(255, GREATEST(0,
+                       2 * (CASE WHEN c >= 128
+                                 THEN (8 * (c - 128) + 8) // 16
+                                 ELSE -((8 * (128 - c) + 8) // 16) END)
+                       + 128)) AS c2
+              FROM tile
+            ),
+            s AS (
+              SELECT doc_id, CAST(64 * SUM(c2) AS BIGINT) AS ch_sum
+              FROM dec GROUP BY doc_id
+            )
+            SELECT doc_id, 16 AS width, 16 AS height,
+                   ch_sum AS sum_r, ch_sum AS sum_g, ch_sum AS sum_b,
+                   ROUND(CAST(ch_sum AS DOUBLE) / 256, 6) AS mean_r,
+                   ROUND(CAST(ch_sum AS DOUBLE) / 256, 6) AS mean_g,
+                   ROUND(CAST(ch_sum AS DOUBLE) / 256, 6) AS mean_b
+            FROM s
         """,
         "multimodal_byte_plumbing": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

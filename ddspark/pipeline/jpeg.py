@@ -1,0 +1,522 @@
+"""Dependency-free baseline JPEG (JFIF) codec.
+
+Completes the image-codec set (BMP/PPM/PNG in :mod:`.multimodal`): a real
+ITU-T T.81 *baseline sequential* decoder — marker walk, DQT/DHT/SOF0/SOS
+parsing, byte-unstuffed Huffman bitstream, DC-diff + AC run-length entropy
+decode, dequantize, de-zigzag, float IDCT, chroma upsampling, YCbCr->RGB —
+plus an encoder used to synthesize deterministic test media.
+
+Decoder scope: baseline DCT (SOF0), 8-bit samples, Huffman entropy coding,
+1 or 3 components, any sampling factors h,v in {1,2}, restart intervals.
+Progressive (SOF2) and arithmetic coding raise with the marker name.
+
+The encoder writes 4:4:4 with the Annex K quantisation tables (quality
+scaling per the libjpeg formula) but its OWN canonical Huffman tables
+(fixed-length codes covering every symbol class, all-ones codeword unused
+as the spec requires) embedded in DHT segments — the decoder reads ANY
+valid DHT generically, so decode correctness does not depend on reciting
+the spec's example AC tables.  Quantisation rounds half away from zero and
+the final sample reconstruction uses floor(x+0.5), so a flat 8x8 tile has
+an exact closed form (DC-only: recon = q00*round8(8*(c-128)/q00)), which
+is what the driver oracle replays in SQL.
+
+At 100 TB this slots into the same Arrow-batched ``mapInPandas`` decode
+stage as the other codecs: blobs stay page-compressed in their own parquet
+column, only ``(id, blob)`` crosses the Python boundary, per-image work is
+NumPy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+
+def _zigzag_order() -> np.ndarray:
+    """The 8x8 zigzag scan order, derived (not recited): diagonals of
+    constant x+y, alternating direction, up-right first."""
+    order = []
+    for s in range(15):
+        diag = [(y, s - y) for y in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            diag.reverse()  # even diagonals run bottom-left -> top-right
+        order.extend(diag)
+    idx = np.array([y * 8 + x for y, x in order], dtype=np.int64)
+    assert len(set(idx.tolist())) == 64
+    return idx
+
+
+_ZIGZAG = _zigzag_order()          # zigzag position -> raster index
+_UNZIGZAG = np.argsort(_ZIGZAG)    # raster index -> zigzag position
+
+# ITU-T T.81 Annex K.1/K.2 example quantisation tables (raster order)
+_Q_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+_Q_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+
+def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 50 keeps the table as-is."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((q * s + 50) // 100, 1, 255).astype(np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / np.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _fdct(block: np.ndarray) -> np.ndarray:
+    return _DCT_M @ block @ _DCT_M.T
+
+
+def _idct(coeff: np.ndarray) -> np.ndarray:
+    return _DCT_M.T @ coeff @ _DCT_M
+
+
+def _round_half_away(x: np.ndarray) -> np.ndarray:
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+# ---------------------------------------------------------------- Huffman
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# Encoder-side tables: every symbol at one fixed length, canonical codes.
+# 12 DC categories at 4 bits leaves code 0b1111 unused; 162 AC symbols at
+# 8 bits leave 0xFF unused — the all-ones codeword of every length stays
+# reserved, as baseline JPEG requires.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_SYMBOLS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMBOLS), 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = sorted(_AC_SYMBOLS)
+_ENC_DC = _canonical_codes(_DC_BITS, _DC_VALS)
+_ENC_AC = _canonical_codes(_AC_BITS, _AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("JPEG entropy stream exhausted")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream ends on 0xFF")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+
+class _HuffTree:
+    """Canonical decode via (length -> first code, symbols) tables."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.min_code, self.max_code, self.val_ptr = {}, {}, {}
+        code, k = 0, 0
+        for ln in range(1, 17):
+            n = bits[ln - 1]
+            if n:
+                self.min_code[ln] = code
+                self.val_ptr[ln] = k
+                code += n
+                k += n
+                self.max_code[ln] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            if ln in self.max_code and code <= self.max_code[ln]:
+                return self.vals[self.val_ptr[ln] + code - self.min_code[ln]]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_magnitude(w: _BitWriter, v: int) -> None:
+    s = _category(v)
+    if s:
+        w.put(v if v > 0 else v + (1 << s) - 1, s)
+
+
+def _extend(v: int, s: int) -> int:
+    # T.81 EXTEND: low-magnitude codes are negative values
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+# ---------------------------------------------------------------- encoder
+
+def encode_jpeg(arr: np.ndarray, quality: int = 50) -> bytes:
+    """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
+    baseline JFIF JPEG (4:4:4, Annex K quant tables at ``quality``,
+    self-contained canonical Huffman tables)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 3):
+        raise ValueError(f"expected (H, W[, 1/3]) uint8 array, got {a.shape}")
+    h, w, ncomp = a.shape
+    if ncomp == 3:
+        rgb = a.astype(np.float64)
+        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        planes = [np.clip(_round_half_away(p), 0, 255) for p in (y, cb, cr)]
+    else:
+        planes = [a[..., 0].astype(np.float64)]
+    qtabs = [
+        _quality_scale(_Q_LUM, quality),
+        _quality_scale(_Q_CHROM, quality),
+    ][: (2 if ncomp == 3 else 1)]
+    comp_q = [0, 1, 1][:ncomp]
+
+    # pad to block multiples by edge replication
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = [
+        np.pad(p, ((0, bh - h), (0, bw - w)), mode="edge") for p in planes
+    ]
+
+    wtr = _BitWriter()
+    pred = [0] * ncomp
+    for by in range(0, bh, 8):
+        for bx in range(0, bw, 8):  # 4:4:4 -> one block per component per MCU
+            for ci in range(ncomp):
+                q = qtabs[comp_q[ci]]
+                blk = padded[ci][by : by + 8, bx : bx + 8] - 128.0
+                coeff = _fdct(blk)
+                # DC = sum/8 computed exactly (integer sum, exact binary
+                # /8): the matrix DCT's ~1e-13 noise can flip a value
+                # sitting exactly on a quantisation .5 boundary — flat
+                # blocks always do (8*(c-128) vs q00), and the flat-tile
+                # closed form the driver oracle replays depends on it
+                coeff[0, 0] = blk.sum() / 8.0
+                zz = _round_half_away(coeff / q).astype(np.int64).ravel()[
+                    _ZIGZAG
+                ]
+                dc, acs = int(zz[0]), zz[1:]
+                diff = dc - pred[ci]
+                pred[ci] = dc
+                s = _category(diff)
+                code, ln = _ENC_DC[s]
+                wtr.put(code, ln)
+                _encode_magnitude(wtr, diff)
+                run = 0
+                last = int(np.max(np.nonzero(acs)[0])) if acs.any() else -1
+                for i in range(last + 1):
+                    v = int(acs[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = _ENC_AC[0xF0]  # ZRL
+                        wtr.put(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = _ENC_AC[(run << 4) | s]
+                    wtr.put(code, ln)
+                    _encode_magnitude(wtr, v)
+                    run = 0
+                if last < 62:
+                    code, ln = _ENC_AC[0x00]  # EOB
+                    wtr.put(code, ln)
+    entropy = wtr.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
+            int(v) for v in q.ravel()[_ZIGZAG]
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack(">BBB", ci + 1, 0x11, comp_q[ci])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
+        body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+def decode_jpeg(blob: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to ``(H, W, 3) uint8`` RGB (gray replicated).
+
+    Full marker walk; generic DQT/DHT (any valid tables); SOF0 with
+    sampling factors in {1, 2}; DRI/RSTn restart intervals; nearest
+    upsampling; BT.601 YCbCr->RGB with floor(x+0.5) rounding."""
+    b = bytes(blob)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream (no SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTree] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got {b[pos]:#x}")
+        while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+            pos += 1  # optional 0xFF fill bytes before a marker (B.1.1.2)
+        marker = b[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        (seglen,) = struct.unpack_from(">H", b, pos)
+        body = b[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT
+            o = 0
+            while o < len(body):
+                prec, tid = body[o] >> 4, body[o] & 0xF
+                o += 1
+                n = 64 * (2 if prec else 1)
+                raw = body[o : o + n]
+                o += n
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZIGZAG] = vals
+                qtabs[tid] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 0xF
+                bits = list(body[o + 1 : o + 17])
+                n = sum(bits)
+                vals = list(body[o + 17 : o + 17 + n])
+                huff[(cls, tid)] = _HuffTree(bits, vals)
+                o += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG sample precision {prec}")
+            for i in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
+                hs, vs = hv >> 4, hv & 0xF
+                if hs not in (1, 2) or vs not in (1, 2):
+                    raise ValueError(f"unsupported sampling factors {hs}x{vs}")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG coding process (marker 0xFF{marker:02X}; "
+                "baseline sequential only)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            return _decode_scan(b, pos, scan, qtabs, huff, h, w, restart)
+        elif marker == 0xD9:  # EOI before SOS
+            break
+        # else: APPn/COM and friends — skipped
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _upsample2_triangular(p: np.ndarray, axis: int) -> np.ndarray:
+    """2x upsample along ``axis`` with libjpeg's triangular filter: output
+    pair (2i, 2i+1) = (3*p[i] + p[i-1])/4, (3*p[i] + p[i+1])/4, edges
+    replicated."""
+    if axis == 1:
+        return _upsample2_triangular(p.T, 0).T
+    prev = np.vstack([p[:1], p[:-1]])
+    nxt = np.vstack([p[1:], p[-1:]])
+    out = np.empty((p.shape[0] * 2, p.shape[1]), dtype=p.dtype)
+    out[0::2] = (3 * p + prev) / 4
+    out[1::2] = (3 * p + nxt) / 4
+    return out
+
+
+def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart):
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for comp, _, _ in scan:
+        pw, ph = mcux * comp["h"] * 8, mcuy * comp["v"] * 8
+        planes.append(np.zeros((ph, pw), dtype=np.float64))
+    br = _BitReader(b[pos:])
+    pred = [0] * len(scan)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            br.align()
+            # consume the RSTn marker
+            while br.pos < len(br.data) and br.data[br.pos] == 0xFF and \
+                    0xD0 <= br.data[br.pos + 1] <= 0xD7:
+                br.pos += 2
+                break
+            pred = [0] * len(scan)
+        my, mx = divmod(m, mcux)
+        for ci, (comp, dct, act) in enumerate(scan):
+            q = qtabs[comp["tq"]]
+            dtree, atree = huff[(0, dct)], huff[(1, act)]
+            for by in range(comp["v"]):
+                for bx in range(comp["h"]):
+                    zz = np.zeros(64, dtype=np.int64)
+                    s = dtree.decode(br)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[ci] += diff
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = atree.decode(br)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        sz = rs & 0xF
+                        if k > 63:
+                            raise ValueError("JPEG AC index out of range")
+                        zz[k] = _extend(br.bits(sz), sz)
+                        k += 1
+                    coeff = np.zeros(64, dtype=np.int64)
+                    coeff[_ZIGZAG] = zz
+                    blk = _idct(coeff.reshape(8, 8) * q)
+                    y0 = (my * comp["v"] + by) * 8
+                    x0 = (mx * comp["h"] + bx) * 8
+                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+    # crop to nominal per-component size, upsample to full res with the
+    # triangular ("fancy") filter libjpeg uses for 2x — centers of the
+    # subsampled grid sit between output pixels, so each output mixes its
+    # nearest two chroma samples 3:1; plain replication is also spec-legal
+    # but diverges visibly from every mainstream decoder
+    full = []
+    for ci, (comp, _, _) in enumerate(scan):
+        cw = -(-w * comp["h"] // hmax)
+        ch = -(-h * comp["v"] // vmax)
+        p = planes[ci][:ch, :cw]
+        if comp["h"] != hmax:
+            p = _upsample2_triangular(p, axis=1)
+        if comp["v"] != vmax:
+            p = _upsample2_triangular(p, axis=0)
+        full.append(p[:h, :w] + 128.0)
+    if len(full) == 1:
+        g = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    out = np.stack([r, g, bl], axis=2)
+    return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)

@@ -5,10 +5,12 @@ The container has no codec *libraries* (PIL/opencv/ffmpeg), so this module
 carries its own dependency-free decoders for the formats a parser can own
 end-to-end — **BMP (24/32-bpp BITMAPINFOHEADER)**, **PPM (binary P6)**,
 **PNG (8-bit gray/RGB/RGBA, all five scanline filters, stdlib ``zlib``
-inflate)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor resize and
-encoders used to synthesize deterministic test media.  The remaining
-compressed formats (JPEG/MP3/video) would slot into the exact same
-``mapInPandas`` stages; their codec import is the only missing piece.
+inflate)**, **baseline JPEG (full Huffman + IDCT decoder,
+:mod:`.jpeg`)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor
+resize and encoders used to synthesize deterministic test media.  The
+remaining compressed formats (progressive JPEG/MP3/video) would slot into
+the exact same ``mapInPandas`` stages; their codec import is the only
+missing piece.
 
 At 100 TB the pattern is: blobs stay in their own column (parquet stores
 them page-compressed), metadata is pruned-scannable without touching blob
@@ -42,6 +44,7 @@ __all__ = [
     "decode_image",
     "resize_image",
     "synth_images",
+    "synth_tile_jpegs",
     "decode_stats",
     "resize_images",
     "encode_wav",
@@ -348,19 +351,23 @@ def decode_image(blob: bytes) -> np.ndarray:
     b = bytes(blob)
     if b[:8] == _PNG_SIG:
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] == b"P6":
         return _decode_ppm(b)
     raise ValueError(
-        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG supported)"
+        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/JPEG supported)"
     )
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize: decode, sample ``src = floor(dst * in/out)``
     on each axis, re-encode in the input's own format (BMP -> BMP,
-    PPM -> PPM, PNG -> PNG)."""
+    PPM -> PPM, PNG -> PNG, JPEG -> JPEG — the only lossy re-encode)."""
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
     a = decode_image(blob)
@@ -371,6 +378,10 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
     b = bytes(blob)
     if b[:8] == _PNG_SIG:
         return encode_png(out)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(out)
     return encode_ppm(out) if b[:2] == b"P6" else encode_bmp(out)
 
 
@@ -402,6 +413,50 @@ def synth_images(
                 enc(((int(i) + idx) % 256).astype(np.uint8).reshape(height, width, 3))
                 for i in ids
             ]
+            yield pd.DataFrame({id_col: ids, "img": imgs})
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+def synth_tile_jpegs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tiles_x: int = 2,
+    tiles_y: int = 2,
+    quality: int = 50,
+) -> DataFrame:
+    """Deterministic baseline JPEG per row: a ``(8*tiles_y, 8*tiles_x)``
+    RGB image of flat 8x8 gray tiles, tile ``t`` (raster order) carrying
+    intensity ``(id*7 + t*31) % 256``, encoded through the REAL entropy
+    coder (:func:`ddspark.pipeline.jpeg.encode_jpeg`).
+
+    Flat DCT blocks quantise to a DC-only closed form (the encoder
+    computes the DC exactly, so the .5 boundaries round predictably):
+    with the quality-50 luminance table's ``q00 = 16``, the decoded tile
+    is ``clip(2*round_half_away(8*(c-128)/16) + 128, 0, 255)`` — integer
+    math a SQL oracle replays exactly, while the Spark side really runs
+    Huffman decode + dequant + IDCT + color conversion per image."""
+    from .jpeg import encode_jpeg
+
+    if quality != 50:
+        raise ValueError(
+            "synth_tile_jpegs pins quality=50: the closed form the driver "
+            "oracle replays assumes the unscaled Annex K q00=16"
+        )
+    w, h = 8 * tiles_x, 8 * tiles_y
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("img", BinaryType())]
+    )
+
+    def gen(batches):
+        ty, tx = np.mgrid[0:h, 0:w]
+        tile = (ty // 8) * tiles_x + (tx // 8)  # raster tile index per px
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            imgs = []
+            for i in ids:
+                c = ((int(i) * 7 + tile * 31) % 256).astype(np.uint8)
+                imgs.append(encode_jpeg(np.repeat(c[:, :, None], 3, axis=2)))
             yield pd.DataFrame({id_col: ids, "img": imgs})
 
     return df.select(id_col).mapInPandas(gen, schema)

@@ -1073,3 +1073,131 @@ def test_salted_join_spreads_constant_key_evenly(spark):
     assert got.count() == 4000 and got.select("v").distinct().collect() == [
         ("hot",)
     ]
+
+
+def test_jpeg_flat_tiles_closed_form():
+    """Flat 8x8 blocks quantise to a DC-only closed form at quality 50
+    (q00=16): every decoded pixel equals the integer replay the driver
+    oracle uses — across all 256 intensities, incl. both clip edges."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    for c in range(256):
+        a = np.full((8, 8, 3), c, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(a))
+        dc = c - 128
+        k = (8 * dc + 8) // 16 if dc >= 0 else -((8 * -dc + 8) // 16)
+        want = min(255, max(0, 2 * k + 128))
+        assert (dec == want).all(), (c, want, np.unique(dec))
+
+
+def test_jpeg_lossy_roundtrip_bounded():
+    """General content: encode/decode is lossy but bounded — smooth
+    gradients reconstruct within a couple of levels at q90; random noise
+    (the hardest content) keeps a small mean error at q95; gray input and
+    non-multiple-of-8 dimensions (edge-replicated padding) work."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:32, 0:48]
+    a = np.stack(
+        [(yy * 3 + 10) % 200 + 20, (xx * 2 + 5) % 180 + 30,
+         ((yy + xx) * 2) % 160 + 40],
+        axis=2,
+    ).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(a, quality=90))
+    err = np.abs(dec.astype(int) - a.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0, (err.max(), err.mean())
+    rng = np.random.RandomState(3)
+    n = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)
+    dn = decode_jpeg(encode_jpeg(n, quality=95))
+    assert np.abs(dn.astype(int) - n.astype(int)).mean() < 8
+    g = rng.randint(0, 256, size=(17, 9)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(g, quality=85))
+    assert dg.shape == (17, 9, 3)
+    assert (dg[:, :, 0] == dg[:, :, 1]).all()  # gray replicated
+
+
+def test_jpeg_decodes_real_world_file():
+    """An actual libjpeg-encoded photo (ships with Spark's mllib test
+    data): standard Annex K Huffman tables, real subsampling — decoding it
+    proves the generic DHT/DQT walk, not just roundtrips of our own
+    encoder.  Progressive files are rejected with the marker name."""
+    import os
+
+    from ddspark.pipeline.jpeg import decode_jpeg
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("Spark sample image not present")
+    with open(path, "rb") as fh:
+        a = decode_jpeg(fh.read())
+    assert a.shape == (215, 300, 3) and a.dtype == np.uint8
+    # a real photo: non-trivial dynamic range in every channel
+    assert all(a[:, :, ch].std() > 10 for ch in range(3))
+    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
+    if os.path.exists(prog):
+        with open(prog, "rb") as fh:
+            with pytest.raises(ValueError, match="baseline"):
+                decode_jpeg(fh.read())
+
+
+def test_jpeg_matches_imageio_decoder(spark):
+    """Cross-validate against an INDEPENDENT decoder: Spark's `image` data
+    source (Java ImageIO) on the same real-world file.  IDCT rounding is
+    implementation-defined within ±1 per the spec, so compare means and
+    per-pixel closeness, not bit equality."""
+    import os
+
+    from ddspark.pipeline.jpeg import decode_jpeg
+
+    path = (
+        "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/"
+        "multi-channel/chr30.4.184.jpg"
+    )
+    if not os.path.exists(path):
+        pytest.skip("Spark sample image not present")
+    row = (
+        spark.read.format("image").load(path)
+        .select("image.height", "image.width", "image.nChannels", "image.data")
+        .first()
+    )
+    ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        row["height"], row["width"], row["nChannels"]
+    )[:, :, ::-1]  # ImageIO/OpenCV layout is BGR
+    with open(path, "rb") as fh:
+        got = decode_jpeg(fh.read())
+    assert got.shape == ref.shape
+    diff = np.abs(got.astype(int) - ref.astype(int))
+    assert diff.mean() < 1.5, diff.mean()
+    assert (diff <= 8).mean() > 0.99, (diff > 8).mean()
+
+
+def test_jpeg_through_multimodal_dispatch(spark):
+    """decode_image/resize_image route JPEG automatically; the distributed
+    tiled-synth + decode_stats path matches the closed form."""
+    from ddspark.pipeline.jpeg import encode_jpeg
+
+    a = np.full((16, 8, 3), 200, dtype=np.uint8)
+    blob = encode_jpeg(a)
+    assert multimodal.decode_image(blob).shape == (16, 8, 3)
+    small = multimodal.resize_image(blob, 4, 8)
+    assert bytes(small)[:2] == b"\xff\xd8"
+    assert multimodal.decode_image(small).shape == (8, 4, 3)
+
+    ids = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    imgs = multimodal.synth_tile_jpegs(ids, "doc_id", tiles_x=2, tiles_y=2)
+    stats = multimodal.decode_stats(imgs, "doc_id", "img").toPandas()
+    assert len(stats) == 15
+    assert (stats["width"] == 16).all() and (stats["height"] == 16).all()
+    for _, r in stats.iterrows():
+        want = 0
+        for t in range(4):
+            c = (int(r["doc_id"]) * 7 + t * 31) % 256
+            dc = c - 128
+            k = (8 * dc + 8) // 16 if dc >= 0 else -((8 * -dc + 8) // 16)
+            want += 64 * min(255, max(0, 2 * k + 128))
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, r["doc_id"]
+    with pytest.raises(ValueError, match="quality=50"):
+        multimodal.synth_tile_jpegs(ids, "doc_id", quality=90)

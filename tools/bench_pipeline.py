@@ -105,6 +105,18 @@ def main() -> None:
         "audio synth+decode (480-sample WAV, r3)",
         lambda: audio_stats(synth_audio(ids)).agg(F.sum("sum_sq")).collect(),
     )
+    from ddspark.pipeline.multimodal import synth_tile_jpegs
+
+    timed(
+        "image synth+decode (6x4 PNG codec, r4)",
+        lambda: decode_stats(
+            synth_images(ids, width=6, height=4, fmt="png")
+        ).agg(F.sum("sum_r")).collect(),
+    )
+    timed(
+        "image synth+decode (16x16 baseline JPEG codec, r4)",
+        lambda: decode_stats(synth_tile_jpegs(ids)).agg(F.sum("sum_r")).collect(),
+    )
 
     from ddspark.sketches.bloom import bloom_prefilter
 
