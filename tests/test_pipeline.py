@@ -1201,3 +1201,35 @@ def test_jpeg_through_multimodal_dispatch(spark):
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, r["doc_id"]
     with pytest.raises(ValueError, match="quality=50"):
         multimodal.synth_tile_jpegs(ids, "doc_id", quality=90)
+
+
+def test_configure_blob_batches_caps_arrow_batch_bytes(spark):
+    """The blob decode stages must be sized by BYTES, not records: without
+    the cap, 100 x 400KB rows arrive in ONE 40MB Arrow batch (the default
+    65536-record limit never triggers); with the cap each mapInPandas
+    batch stays near the byte budget."""
+    probe_schema = "rows long, mb double"
+
+    def probe(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"rows": [len(pdf)], "mb": [pdf["blob"].map(len).sum() / 1e6]}
+            )
+
+    df = spark.range(100).select(
+        "id", F.expr("repeat('x', 400000)").alias("blob")
+    ).repartition(1)
+    prev = multimodal.configure_blob_batches(spark, max_bytes=2 * 1024 * 1024)
+    try:
+        out = df.mapInPandas(probe, probe_schema).toPandas()
+        assert len(out) > 5, out  # many small batches, not one giant one
+        assert out["mb"].max() < 4.0, out["mb"].max()
+        assert out["rows"].sum() == 100
+    finally:
+        key = "spark.sql.execution.arrow.maxBytesPerBatch"
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    one = df.mapInPandas(probe, probe_schema).toPandas()
+    assert len(one) == 1 and one["mb"].iloc[0] > 35  # uncapped: one 40MB batch
