@@ -528,6 +528,20 @@ def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real per-frame video decode (no codec libs): synthesize a 2-frame
+    MJPEG clip per document (each frame a 16x16 flat-tile baseline JPEG,
+    frame f tile t carrying ``(doc_id*7 + f*13 + t*31) % 256``), split the
+    stream by walking each frame's marker segments, and decode every frame
+    with the full JPEG decoder.  The oracle replays the DC-only closed
+    form per (frame, tile) — a split or decode bug is a value mismatch."""
+    from ddspark.pipeline.multimodal import synth_mjpeg, video_frame_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    clips = synth_mjpeg(docs, "doc_id", n_frames=2, tiles_x=2, tiles_y=2)
+    return video_frame_stats(clips, "doc_id", "clip")
+
+
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio decode path (no codec libs): synthesize a deterministic
     480-sample 16 kHz PCM-16 WAV per document (sample i is
@@ -1039,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_stats": wrap(_q_multimodal_decode),
         "multimodal_png_stats": wrap(_q_multimodal_png),
         "multimodal_jpeg_stats": wrap(_q_multimodal_jpeg),
+        "multimodal_video_frames": wrap(_q_multimodal_video),
         "dedup_paragraph_first": wrap(_q_paragraph_dedup),
         "ddsketch_multi_metric": wrap(_q_multi_metric),
         "curation_stratified_exact_k": wrap(_q_stratified_exact_k),
@@ -1357,6 +1372,33 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(CAST(ch_sum AS DOUBLE) / 256, 6) AS mean_g,
                    ROUND(CAST(ch_sum AS DOUBLE) / 256, 6) AS mean_b
             FROM s
+        """,
+        # per-(frame, tile) replay of the MJPEG split + JPEG decode path:
+        # same DC-only closed form as multimodal_jpeg_stats with the frame
+        # index folded into the tile intensity.
+        "multimodal_video_frames": """
+            WITH tile AS (
+              SELECT d.doc_id, f.f, t.t,
+                     (d.doc_id * 7 + f.f * 13 + t.t * 31) % 256 AS c
+              FROM documents d,
+                   UNNEST(generate_series(0, 1)) AS f(f),
+                   UNNEST(generate_series(0, 3)) AS t(t)
+            ),
+            dec AS (
+              SELECT doc_id, f,
+                     LEAST(255, GREATEST(0,
+                       2 * (CASE WHEN c >= 128
+                                 THEN (8 * (c - 128) + 8) // 16
+                                 ELSE -((8 * (128 - c) + 8) // 16) END)
+                       + 128)) AS c2
+              FROM tile
+            )
+            SELECT doc_id, CAST(f AS INT) AS frame_idx,
+                   16 AS width, 16 AS height,
+                   CAST(64 * SUM(c2) AS BIGINT) AS sum_r,
+                   CAST(64 * SUM(c2) AS BIGINT) AS sum_g,
+                   CAST(64 * SUM(c2) AS BIGINT) AS sum_b
+            FROM dec GROUP BY doc_id, f
         """,
         "multimodal_byte_plumbing": """
             SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

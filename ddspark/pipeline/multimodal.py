@@ -57,6 +57,9 @@ __all__ = [
     "byte_features",
     "extract_features",
     "sample_frames",
+    "split_mjpeg",
+    "synth_mjpeg",
+    "video_frame_stats",
 ]
 
 
@@ -552,6 +555,125 @@ def decode_stats(
                         s[0] / npx, s[1] / npx, s[2] / npx,
                     )
                 )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def split_mjpeg(blob: bytes) -> list[bytes]:
+    """Split a motion-JPEG stream (back-to-back baseline JPEGs — the
+    payload of MJPEG AVIs and many IP-camera feeds) into its frames.
+
+    Walks each frame's marker segments by their declared lengths (the same
+    walk the decoder does), so a 0xFFD9 byte inside an APPn/comment
+    segment cannot truncate a frame — this is a parser split, not a byte
+    scan."""
+    b = bytes(blob)
+    frames, pos = [], 0
+    while pos + 4 <= len(b):
+        if b[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"MJPEG frame at {pos} does not start with SOI")
+        start, p = pos, pos + 2
+        in_scan = False
+        while p + 2 <= len(b):
+            if b[p] != 0xFF:
+                if in_scan:
+                    p += 1
+                    continue
+                raise ValueError(f"expected marker at {p} in MJPEG frame")
+            marker = b[p + 1]
+            if marker == 0x00 or (in_scan and 0xD0 <= marker <= 0xD7):
+                p += 2  # stuffed byte / restart marker inside entropy data
+                continue
+            if marker == 0xFF:
+                p += 1  # fill byte
+                continue
+            if marker == 0xD9:  # EOI
+                p += 2
+                frames.append(b[start:p])
+                break
+            if marker == 0xDA:
+                in_scan = True
+                (ln,) = struct.unpack_from(">H", b, p + 2)
+                p += 2 + ln
+                continue
+            if marker in (0xD8, 0x01):
+                p += 2
+                continue
+            (ln,) = struct.unpack_from(">H", b, p + 2)
+            p += 2 + ln
+        else:
+            raise ValueError("MJPEG stream ended inside a frame")
+        pos = p
+    return frames
+
+
+def synth_mjpeg(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 3,
+    tiles_x: int = 2,
+    tiles_y: int = 2,
+) -> DataFrame:
+    """Deterministic MJPEG clip per row: ``n_frames`` flat-tile baseline
+    JPEGs (frame f, tile t carries ``(id*7 + f*13 + t*31) % 256``)
+    concatenated — every frame DC-only closed-form like
+    :func:`synth_tile_jpegs`."""
+    from .jpeg import encode_jpeg
+
+    w, h = 8 * tiles_x, 8 * tiles_y
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("clip", BinaryType())]
+    )
+
+    def gen(batches):
+        ty, tx = np.mgrid[0:h, 0:w]
+        tile = (ty // 8) * tiles_x + (tx // 8)
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            clips = []
+            for i in ids:
+                frames = []
+                for f in range(n_frames):
+                    c = ((int(i) * 7 + f * 13 + tile * 31) % 256).astype(np.uint8)
+                    frames.append(encode_jpeg(np.repeat(c[:, :, None], 3, axis=2)))
+                clips.append(b"".join(frames))
+            yield pd.DataFrame({id_col: ids, "clip": clips})
+
+    return df.select(id_col).mapInPandas(gen, schema)
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "clip"
+) -> DataFrame:
+    """Real per-frame video decode: split each MJPEG clip into frames
+    (:func:`split_mjpeg`), decode every frame with the baseline JPEG
+    decoder, and emit ``(id, frame_idx, width, height, sum_r/g/b)`` —
+    the frame-level twin of :func:`decode_stats`.  Arrow-batched; only
+    ``(id, clip)`` crosses the Python boundary."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                for fi, frame in enumerate(split_mjpeg(bytes(b))):
+                    a = decode_image(frame)
+                    s = a.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                    recs.append(
+                        (rid, fi, a.shape[1], a.shape[0],
+                         int(s[0]), int(s[1]), int(s[2]))
+                    )
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)

@@ -1233,3 +1233,39 @@ def test_configure_blob_batches_caps_arrow_batch_bytes(spark):
             spark.conf.set(key, prev)
     one = df.mapInPandas(probe, probe_schema).toPandas()
     assert len(one) == 1 and one["mb"].iloc[0] > 35  # uncapped: one 40MB batch
+
+
+def test_mjpeg_split_and_frame_decode(spark):
+    """MJPEG = concatenated baseline JPEGs: the splitter walks marker
+    segments (not a byte scan, so 0xFFD9 inside a comment can't truncate
+    a frame), and per-frame decode matches the closed form."""
+    from ddspark.pipeline.jpeg import encode_jpeg
+    from ddspark.pipeline.multimodal import split_mjpeg
+
+    rng = np.random.RandomState(7)
+    frames = [
+        encode_jpeg(rng.randint(0, 256, size=(16, 8, 3)).astype(np.uint8))
+        for _ in range(3)
+    ]
+    got = split_mjpeg(b"".join(frames))
+    assert got == frames
+    # a COM segment containing a fake EOI must not break the split
+    tricky = frames[0][:2] + b"\xff\xfe\x00\x04\xff\xd9" + frames[0][2:]
+    got2 = split_mjpeg(tricky + frames[1])
+    assert len(got2) == 2 and got2[1] == frames[1]
+    assert multimodal.decode_image(got2[0]).shape == (16, 8, 3)
+    with pytest.raises(ValueError, match="SOI"):
+        split_mjpeg(b"junk" + frames[0])
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    clips = multimodal.synth_mjpeg(ids, "doc_id", n_frames=2)
+    stats = multimodal.video_frame_stats(clips, "doc_id", "clip").toPandas()
+    assert len(stats) == 20  # 10 docs x 2 frames
+    for _, r in stats.iterrows():
+        want = 0
+        for t in range(4):
+            c = (int(r["doc_id"]) * 7 + int(r["frame_idx"]) * 13 + t * 31) % 256
+            dc = c - 128
+            k = (8 * dc + 8) // 16 if dc >= 0 else -((8 * -dc + 8) // 16)
+            want += 64 * min(255, max(0, 2 * k + 128))
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want
