@@ -196,11 +196,12 @@ def headline_queries(spark: SparkSession) -> tuple[dict[str, float], list[float]
             li, "l_quantity", ["l_linestatus"], QS, 0.05
         ),
     }
-    # warm the session before timing: one JVM-only query (codegen/JIT) and
-    # one Arrow query (Python worker pool — every other query is now pure
-    # JVM, so without this the kernel query would pay worker cold-start)
-    suite["price_by_returnflag"]().collect()
-    suite["kernel_engine_by_flag"]().collect()
+    # warm EVERY query once before timing (codegen/JIT, Python worker
+    # pool, first-plan analysis) so the two timed rounds measure the same
+    # thing and their totals are comparable — with only a partial warm the
+    # first round used to read ~1.6x the second on pure first-plan cost
+    for fn in suite.values():
+        fn().collect()
     # 2 interleaved rounds over the whole suite: a host-noise spike hits one
     # round's queries, not a query's only measurement; best-of per query
     rounds: list[dict[str, float]] = []

@@ -297,14 +297,20 @@ def _extend(v: int, s: int) -> int:
 # ---------------------------------------------------------------- encoder
 
 def encode_jpeg(
-    arr: np.ndarray, quality: int = 50, restart_interval: int = 0
+    arr: np.ndarray,
+    quality: int = 50,
+    restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
     """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
-    baseline JFIF JPEG (4:4:4, Annex K quant tables at ``quality``,
-    self-contained canonical Huffman tables).  ``restart_interval`` > 0
-    emits a DRI segment and RSTn markers every that many MCUs (DC
-    predictors reset) — the error-resilience feature streaming encoders
-    use, and the path that exercises the decoder's restart handling."""
+    baseline JFIF JPEG (Annex K quant tables at ``quality``,
+    self-contained canonical Huffman tables).  ``subsampling`` picks the
+    chroma layout: ``"444"`` (full-res chroma), ``"422"`` (half
+    horizontal), ``"440"`` (half vertical), or ``"420"`` (half both — the
+    web default; box-mean downsampling).  ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every that many MCUs (DC predictors
+    reset) — the error-resilience feature streaming encoders use, and the
+    path that exercises the decoder's restart handling."""
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -324,61 +330,87 @@ def encode_jpeg(
         _quality_scale(_Q_CHROM, quality),
     ][: (2 if ncomp == 3 else 1)]
     comp_q = [0, 1, 1][:ncomp]
+    samp = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+    if subsampling not in samp:
+        raise ValueError(f"subsampling must be one of {sorted(samp)}")
+    sh, sv = samp[subsampling] if ncomp == 3 else (1, 1)
+    comp_hv = [(sh, sv), (1, 1), (1, 1)][:ncomp]
 
-    # pad to block multiples by edge replication
-    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = [
-        np.pad(p, ((0, bh - h), (0, bw - w)), mode="edge") for p in planes
-    ]
+    # per-component planes at their nominal resolution: luma full-res,
+    # chroma box-mean downsampled by (sh, sv)
+    nominal = [planes[0]]
+    for p in planes[1:]:
+        if (sh, sv) != (1, 1):
+            ph = -(-h // sv) * sv
+            pw = -(-w // sh) * sh
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = _round_half_away(
+                p.reshape(ph // sv, sv, pw // sh, sh).mean(axis=(1, 3))
+            )
+        nominal.append(p)
+
+    # pad every component to whole MCUs by edge replication
+    mcux = -(-w // (8 * sh))
+    mcuy = -(-h // (8 * sv))
+    padded = []
+    for (chs, cvs), p in zip(comp_hv, nominal):
+        th, tw = mcuy * cvs * 8, mcux * chs * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+
+    def put_block(blk: np.ndarray, q: np.ndarray, pred_dc: int) -> int:
+        coeff = _fdct(blk)
+        # DC = sum/8 computed exactly (integer sum, exact binary /8): the
+        # matrix DCT's ~1e-13 noise can flip a value sitting exactly on a
+        # quantisation .5 boundary — flat blocks always do (8*(c-128) vs
+        # q00), and the flat-tile closed form the driver oracle replays
+        # depends on it
+        coeff[0, 0] = blk.sum() / 8.0
+        zz = _round_half_away(coeff / q).astype(np.int64).ravel()[_ZIGZAG]
+        dc, acs = int(zz[0]), zz[1:]
+        diff = dc - pred_dc
+        s = _category(diff)
+        code, ln = _ENC_DC[s]
+        wtr.put(code, ln)
+        _encode_magnitude(wtr, diff)
+        run = 0
+        last = int(np.max(np.nonzero(acs)[0])) if acs.any() else -1
+        for i in range(last + 1):
+            v = int(acs[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = _ENC_AC[0xF0]  # ZRL
+                wtr.put(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = _ENC_AC[(run << 4) | s]
+            wtr.put(code, ln)
+            _encode_magnitude(wtr, v)
+            run = 0
+        if last < 62:
+            code, ln = _ENC_AC[0x00]  # EOB
+            wtr.put(code, ln)
+        return dc
 
     wtr = _BitWriter()
     pred = [0] * ncomp
-    mcu_i = 0
-    for by in range(0, bh, 8):
-        for bx in range(0, bw, 8):  # 4:4:4 -> one block per component per MCU
-            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-                wtr.put_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
-                pred = [0] * ncomp
-            mcu_i += 1
-            for ci in range(ncomp):
-                q = qtabs[comp_q[ci]]
-                blk = padded[ci][by : by + 8, bx : bx + 8] - 128.0
-                coeff = _fdct(blk)
-                # DC = sum/8 computed exactly (integer sum, exact binary
-                # /8): the matrix DCT's ~1e-13 noise can flip a value
-                # sitting exactly on a quantisation .5 boundary — flat
-                # blocks always do (8*(c-128) vs q00), and the flat-tile
-                # closed form the driver oracle replays depends on it
-                coeff[0, 0] = blk.sum() / 8.0
-                zz = _round_half_away(coeff / q).astype(np.int64).ravel()[
-                    _ZIGZAG
-                ]
-                dc, acs = int(zz[0]), zz[1:]
-                diff = dc - pred[ci]
-                pred[ci] = dc
-                s = _category(diff)
-                code, ln = _ENC_DC[s]
-                wtr.put(code, ln)
-                _encode_magnitude(wtr, diff)
-                run = 0
-                last = int(np.max(np.nonzero(acs)[0])) if acs.any() else -1
-                for i in range(last + 1):
-                    v = int(acs[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = _ENC_AC[0xF0]  # ZRL
-                        wtr.put(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = _ENC_AC[(run << 4) | s]
-                    wtr.put(code, ln)
-                    _encode_magnitude(wtr, v)
-                    run = 0
-                if last < 62:
-                    code, ln = _ENC_AC[0x00]  # EOB
-                    wtr.put(code, ln)
+    for mcu_i in range(mcux * mcuy):
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            wtr.put_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+            pred = [0] * ncomp
+        my, mx = divmod(mcu_i, mcux)
+        for ci in range(ncomp):
+            chs, cvs = comp_hv[ci]
+            q = qtabs[comp_q[ci]]
+            for by_ in range(cvs):
+                for bx_ in range(chs):
+                    y0 = (my * cvs + by_) * 8
+                    x0 = (mx * chs + bx_) * 8
+                    blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    pred[ci] = put_block(blk, q, pred[ci])
     entropy = wtr.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -393,7 +425,8 @@ def encode_jpeg(
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
-        sof += struct.pack(">BBB", ci + 1, 0x11, comp_q[ci])
+        chs, cvs = comp_hv[ci]
+        sof += struct.pack(">BBB", ci + 1, (chs << 4) | cvs, comp_q[ci])
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)

@@ -1285,3 +1285,56 @@ def test_jpeg_restart_intervals_roundtrip():
         blob = encode_jpeg(a, quality=90, restart_interval=ri)
         assert b"\xff\xdd" in blob and b"\xff\xd0" in blob
         assert np.array_equal(decode_jpeg(blob), base), ri
+
+
+def test_mixed_format_corpus_decodes_in_one_stage(spark):
+    """A corpus column mixing BMP, PPM, PNG, and JPEG blobs decodes in ONE
+    decode_stats pass — dispatch is per-blob magic, so real corpora never
+    need per-format partitioning."""
+    from ddspark.pipeline.jpeg import encode_jpeg
+
+    a = np.full((8, 8, 3), 200, dtype=np.uint8)
+    rows = [
+        (0, multimodal.encode_bmp(a)),
+        (1, multimodal.encode_ppm(a)),
+        (2, multimodal.encode_png(a)),
+        (3, encode_jpeg(a)),  # lossy: flat 200 -> closed form 202
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    stats = multimodal.decode_stats(df, "doc_id", "img").toPandas()
+    stats = stats.set_index("doc_id").sort_index()
+    assert (stats["width"] == 8).all() and (stats["height"] == 8).all()
+    assert (stats.loc[[0, 1, 2], "sum_r"] == 64 * 200).all()
+    dc = 200 - 128
+    k = (8 * dc + 8) // 16
+    assert stats.loc[3, "sum_r"] == 64 * min(255, 2 * k + 128)
+
+
+def test_jpeg_chroma_subsampling_roundtrips():
+    """Encoder 4:2:0 / 4:2:2 / 4:4:0 output exercises the decoder's
+    subsampled-MCU + chroma-upsampling paths systematically (beyond the
+    one real-world 4:2:0 photo): flat gray is IDENTICAL across modes
+    (constant chroma survives box-mean + upsample exactly), smooth color
+    stays within ~1 level mean error at q90, odd dimensions pad
+    correctly, and restarts compose with subsampling."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    f = np.full((24, 40, 3), 77, np.uint8)
+    base = decode_jpeg(encode_jpeg(f))
+    for sub in ("420", "422", "440"):
+        assert np.array_equal(decode_jpeg(encode_jpeg(f, subsampling=sub)), base)
+    yy, xx = np.mgrid[0:37, 0:53]  # odd dims: edge-replicated padding
+    a = np.stack(
+        [(yy * 3) % 200 + 20, (xx * 2) % 180 + 30, ((yy + xx) * 2) % 160 + 40],
+        axis=2,
+    ).astype(np.uint8)
+    for sub in ("444", "422", "440", "420"):
+        d = decode_jpeg(encode_jpeg(a, quality=90, subsampling=sub))
+        assert d.shape == a.shape
+        assert np.abs(d.astype(int) - a.astype(int)).mean() < 6, sub
+    d1 = decode_jpeg(encode_jpeg(a, quality=90, subsampling="420",
+                                 restart_interval=2))
+    d2 = decode_jpeg(encode_jpeg(a, quality=90, subsampling="420"))
+    assert np.array_equal(d1, d2)
+    with pytest.raises(ValueError, match="subsampling"):
+        encode_jpeg(a, subsampling="411")
