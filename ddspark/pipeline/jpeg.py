@@ -556,11 +556,14 @@ def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart):
     for m in range(n_mcu):
         if restart and m and m % restart == 0:
             br.align()
-            # consume the RSTn marker
-            while br.pos < len(br.data) and br.data[br.pos] == 0xFF and \
-                    0xD0 <= br.data[br.pos + 1] <= 0xD7:
+            # consume the RSTn marker (fill stops before markers, so pos
+            # sits at its 0xFF)
+            if (
+                br.pos + 1 < len(br.data)
+                and br.data[br.pos] == 0xFF
+                and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+            ):
                 br.pos += 2
-                break
             pred = [0] * len(scan)
         my, mx = divmod(m, mcux)
         for ci, (comp, dct, act) in enumerate(scan):
