@@ -301,16 +301,24 @@ def encode_jpeg(
     quality: int = 50,
     restart_interval: int = 0,
     subsampling: str = "444",
+    progressive: bool = False,
 ) -> bytes:
     """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
-    baseline JFIF JPEG (Annex K quant tables at ``quality``,
-    self-contained canonical Huffman tables).  ``subsampling`` picks the
-    chroma layout: ``"444"`` (full-res chroma), ``"422"`` (half
-    horizontal), ``"440"`` (half vertical), or ``"420"`` (half both — the
-    web default; box-mean downsampling).  ``restart_interval`` > 0 emits a
-    DRI segment and RSTn markers every that many MCUs (DC predictors
-    reset) — the error-resilience feature streaming encoders use, and the
-    path that exercises the decoder's restart handling."""
+    JFIF JPEG (Annex K quant tables at ``quality``, self-contained
+    canonical Huffman tables).  ``subsampling`` picks the chroma layout:
+    ``"444"`` (full-res chroma), ``"422"`` (half horizontal), ``"440"``
+    (half vertical), or ``"420"`` (half both — the web default; box-mean
+    downsampling).  ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every that many MCUs (DC predictors reset) — the
+    error-resilience feature streaming encoders use, and the path that
+    exercises the decoder's restart handling.  ``progressive`` writes the
+    spectral-selection SOF2 layout (interleaved DC scan, then one
+    full-band AC scan per component) — same coefficients as baseline, so
+    a decode roundtrip must be pixel-identical."""
+    if progressive and restart_interval:
+        raise ValueError(
+            "progressive + restart_interval not supported together"
+        )
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -359,21 +367,32 @@ def encode_jpeg(
             np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
         )
 
-    def put_block(blk: np.ndarray, q: np.ndarray, pred_dc: int) -> int:
-        coeff = _fdct(blk)
-        # DC = sum/8 computed exactly (integer sum, exact binary /8): the
-        # matrix DCT's ~1e-13 noise can flip a value sitting exactly on a
-        # quantisation .5 boundary — flat blocks always do (8*(c-128) vs
-        # q00), and the flat-tile closed form the driver oracle replays
-        # depends on it
-        coeff[0, 0] = blk.sum() / 8.0
-        zz = _round_half_away(coeff / q).astype(np.int64).ravel()[_ZIGZAG]
-        dc, acs = int(zz[0]), zz[1:]
-        diff = dc - pred_dc
+    # quantized zigzag coefficients for EVERY block, all components, up
+    # front (vectorized fdct via einsum) — baseline emits them in one
+    # interleaved scan, progressive re-reads them across its scans.
+    # DC = sum/8 computed exactly (integer sum, exact binary /8): the
+    # matrix DCT's ~1e-13 noise can flip a value sitting exactly on a
+    # quantisation .5 boundary — flat blocks always do (8*(c-128) vs
+    # q00), and the flat-tile closed form the driver oracle replays
+    # depends on it
+    qcoeffs = []
+    for ci in range(ncomp):
+        q = qtabs[comp_q[ci]].astype(np.float64)
+        p = padded[ci] - 128.0
+        bv, bh_ = p.shape[0] // 8, p.shape[1] // 8
+        blocks = p.reshape(bv, 8, bh_, 8).transpose(0, 2, 1, 3)
+        coeff = np.einsum("ux,abxy,vy->abuv", _DCT_M, blocks, _DCT_M)
+        coeff[:, :, 0, 0] = blocks.sum(axis=(2, 3)) / 8.0
+        zz = _round_half_away(coeff / q).astype(np.int64)
+        qcoeffs.append(zz.reshape(bv, bh_, 64)[:, :, _ZIGZAG])
+
+    def emit_dc(wtr: _BitWriter, diff: int) -> None:
         s = _category(diff)
         code, ln = _ENC_DC[s]
         wtr.put(code, ln)
         _encode_magnitude(wtr, diff)
+
+    def emit_ac_band(wtr: _BitWriter, acs: np.ndarray) -> None:
         run = 0
         last = int(np.max(np.nonzero(acs)[0])) if acs.any() else -1
         for i in range(last + 1):
@@ -393,25 +412,53 @@ def encode_jpeg(
         if last < 62:
             code, ln = _ENC_AC[0x00]  # EOB
             wtr.put(code, ln)
-        return dc
 
-    wtr = _BitWriter()
-    pred = [0] * ncomp
-    for mcu_i in range(mcux * mcuy):
-        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
-            wtr.put_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
-            pred = [0] * ncomp
-        my, mx = divmod(mcu_i, mcux)
+    if progressive:
+        # spectral-selection progressive: one interleaved DC scan
+        # (Ss=Se=0) then one full-band AC scan per component (Ss=1,
+        # Se=63), all at Ah=Al=0 — the simplest legal SOF2 layout
+        scans = []
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for mcu_i in range(mcux * mcuy):
+            my, mx = divmod(mcu_i, mcux)
+            for ci in range(ncomp):
+                chs, cvs = comp_hv[ci]
+                for by_ in range(cvs):
+                    for bx_ in range(chs):
+                        dc = int(qcoeffs[ci][my * cvs + by_, mx * chs + bx_, 0])
+                        emit_dc(wtr, dc - pred[ci])
+                        pred[ci] = dc
+        scans.append((list(range(ncomp)), 0, 0, wtr.flush()))
         for ci in range(ncomp):
             chs, cvs = comp_hv[ci]
-            q = qtabs[comp_q[ci]]
-            for by_ in range(cvs):
-                for bx_ in range(chs):
-                    y0 = (my * cvs + by_) * 8
-                    x0 = (mx * chs + bx_) * 8
-                    blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                    pred[ci] = put_block(blk, q, pred[ci])
-    entropy = wtr.flush()
+            wtr = _BitWriter()
+            nominal_w = -(-w * chs // sh)
+            nominal_h = -(-h * cvs // sv)
+            bw_ = -(-nominal_w // 8)
+            bh2 = -(-nominal_h // 8)
+            for u in range(bw_ * bh2):
+                by_, bx_ = divmod(u, bw_)
+                emit_ac_band(wtr, qcoeffs[ci][by_, bx_, 1:])
+            scans.append(([ci], 1, 63, wtr.flush()))
+    else:
+        wtr = _BitWriter()
+        pred = [0] * ncomp
+        for mcu_i in range(mcux * mcuy):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                wtr.put_marker(0xD0 + (mcu_i // restart_interval - 1) % 8)
+                pred = [0] * ncomp
+            my, mx = divmod(mcu_i, mcux)
+            for ci in range(ncomp):
+                chs, cvs = comp_hv[ci]
+                for by_ in range(cvs):
+                    for bx_ in range(chs):
+                        zz = qcoeffs[ci][my * cvs + by_, mx * chs + bx_]
+                        dc = int(zz[0])
+                        emit_dc(wtr, dc - pred[ci])
+                        pred[ci] = dc
+                        emit_ac_band(wtr, zz[1:])
+        entropy = wtr.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
@@ -427,16 +474,26 @@ def encode_jpeg(
     for ci in range(ncomp):
         chs, cvs = comp_hv[ci]
         sof += struct.pack(">BBB", ci + 1, (chs << 4) | cvs, comp_q[ci])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     for cls, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
-    sos = bytes([ncomp])
-    for ci in range(ncomp):
-        sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
-    sos += bytes([0, 63, 0])
-    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
-    out += entropy
+    if progressive:
+        for comp_ids, ss, se, entropy_bytes in scans:
+            sos = bytes([len(comp_ids)])
+            for ci in comp_ids:
+                sos += bytes([ci + 1, 0x00])
+            sos += bytes([ss, se, 0])  # Ah=Al=0
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            out += entropy_bytes
+    else:
+        sos = bytes([ncomp])
+        for ci in range(ncomp):
+            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+        sos += bytes([0, 63, 0])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += entropy
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 

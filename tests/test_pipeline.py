@@ -1365,3 +1365,34 @@ def test_jpeg_progressive_decode_matches_imageio(spark):
         assert got.shape == ref.shape
         diff = np.abs(got.astype(int) - ref.astype(int))
         assert diff.max() <= 4 and diff.mean() < 0.5, (p, diff.mean(), diff.max())
+
+
+def test_jpeg_progressive_encode_roundtrip_equals_baseline():
+    """encode_jpeg(progressive=True) writes the spectral-selection SOF2
+    layout (interleaved DC scan + per-component full-band AC scans) with
+    the SAME coefficients as baseline — so the progressive decode path
+    (multi-scan accumulation, EOB runs, non-interleaved AC block order)
+    must reproduce the baseline decode pixel-for-pixel, across
+    subsampling modes, gray input, and odd dimensions."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(9)
+    cases = [
+        ((16, 16, 3), "444", 50),
+        ((40, 48, 3), "420", 90),
+        ((37, 53, 3), "422", 75),
+        ((33, 17, 3), "440", 60),
+    ]
+    for shape, sub, q in cases:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(a, quality=q, subsampling=sub))
+        blob = encode_jpeg(a, quality=q, subsampling=sub, progressive=True)
+        assert b"\xff\xc2" in blob[:400] and b"\xff\xc0" not in blob[:400]
+        assert np.array_equal(decode_jpeg(blob), base), (shape, sub)
+    g = rng.randint(0, 256, size=(24, 24)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85, progressive=True)),
+        decode_jpeg(encode_jpeg(g, quality=85)),
+    )
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(g, progressive=True, restart_interval=2)
