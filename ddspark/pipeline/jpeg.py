@@ -302,6 +302,7 @@ def encode_jpeg(
     restart_interval: int = 0,
     subsampling: str = "444",
     progressive: bool = False,
+    separate_dc_scans: bool = False,
 ) -> bytes:
     """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
     JFIF JPEG (Annex K quant tables at ``quality``, self-contained
@@ -314,11 +315,17 @@ def encode_jpeg(
     exercises the decoder's restart handling.  ``progressive`` writes the
     spectral-selection SOF2 layout (interleaved DC scan, then one
     full-band AC scan per component) — same coefficients as baseline, so
-    a decode roundtrip must be pixel-identical."""
+    a decode roundtrip must be pixel-identical.  ``separate_dc_scans``
+    (progressive only) emits one Ns=1 DC scan per component instead of the
+    interleaved DC scan — the layout libjpeg scan scripts produce, where
+    T.81 A.2.2 mandates nominal-raster block order rather than the MCU
+    walk."""
     if progressive and restart_interval:
         raise ValueError(
             "progressive + restart_interval not supported together"
         )
+    if separate_dc_scans and not progressive:
+        raise ValueError("separate_dc_scans requires progressive=True")
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -418,18 +425,39 @@ def encode_jpeg(
         # (Ss=Se=0) then one full-band AC scan per component (Ss=1,
         # Se=63), all at Ah=Al=0 — the simplest legal SOF2 layout
         scans = []
-        wtr = _BitWriter()
-        pred = [0] * ncomp
-        for mcu_i in range(mcux * mcuy):
-            my, mx = divmod(mcu_i, mcux)
+        if separate_dc_scans:
+            # one Ns=1 DC scan per component, blocks in nominal raster
+            # order (same grid as the AC scans below); DC predictor resets
+            # per scan
             for ci in range(ncomp):
                 chs, cvs = comp_hv[ci]
-                for by_ in range(cvs):
-                    for bx_ in range(chs):
-                        dc = int(qcoeffs[ci][my * cvs + by_, mx * chs + bx_, 0])
-                        emit_dc(wtr, dc - pred[ci])
-                        pred[ci] = dc
-        scans.append((list(range(ncomp)), 0, 0, wtr.flush()))
+                wtr = _BitWriter()
+                prev = 0
+                nominal_w = -(-w * chs // sh)
+                nominal_h = -(-h * cvs // sv)
+                bw_ = -(-nominal_w // 8)
+                bh2 = -(-nominal_h // 8)
+                for u in range(bw_ * bh2):
+                    by_, bx_ = divmod(u, bw_)
+                    dc = int(qcoeffs[ci][by_, bx_, 0])
+                    emit_dc(wtr, dc - prev)
+                    prev = dc
+                scans.append(([ci], 0, 0, wtr.flush()))
+        else:
+            wtr = _BitWriter()
+            pred = [0] * ncomp
+            for mcu_i in range(mcux * mcuy):
+                my, mx = divmod(mcu_i, mcux)
+                for ci in range(ncomp):
+                    chs, cvs = comp_hv[ci]
+                    for by_ in range(cvs):
+                        for bx_ in range(chs):
+                            dc = int(
+                                qcoeffs[ci][my * cvs + by_, mx * chs + bx_, 0]
+                            )
+                            emit_dc(wtr, dc - pred[ci])
+                            pred[ci] = dc
+            scans.append((list(range(ncomp)), 0, 0, wtr.flush()))
         for ci in range(ncomp):
             chs, cvs = comp_hv[ci]
             wtr = _BitWriter()
@@ -565,6 +593,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
+            if nc not in (1, 3):
+                # fail at parse time with the count, like the other scope
+                # guards — not a late tuple-unpack error in _assemble
+                raise ValueError(
+                    f"unsupported JPEG component count {nc} "
+                    "(1 grayscale or 3 YCbCr only; 4 is Adobe CMYK/YCCK)"
+                )
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
                 hs, vs = hv >> 4, hv & 0xF
@@ -729,7 +764,33 @@ def _progressive_scan(
                 k += 1
             eobrun -= 1
 
-    if ss == 0:  # DC scan (interleaved or not)
+    if ss == 0 and len(scan) == 1:
+        # Non-interleaved DC scan (Ns=1): per T.81 A.2.2 a single-component
+        # scan walks blocks in raster order over the component's NOMINAL
+        # ceil(dims/8) grid — the same order and restart cadence as the AC
+        # path — NOT the MCU-padded grid an interleaved scan uses.  For a
+        # subsampled image's full-res component the two grids differ in
+        # both block count and order (libjpeg per_scan_setup does the same
+        # split).
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        comp, dct, _act = scan[0]
+        dtree = huff[(0, dct)] if ah == 0 else None
+        arr = coeffs[comps.index(comp)]
+        nominal_w = -(-w * comp["h"] // hmax)
+        nominal_h = -(-h * comp["v"] // vmax)
+        bw_ = -(-nominal_w // 8)
+        bh_ = -(-nominal_h // 8)
+        for u in range(bw_ * bh_):
+            if restart and u and u % restart == 0:
+                rst_boundary()
+            by, bx = divmod(u, bw_)
+            blk = arr[by, bx]
+            if ah == 0:
+                dc_first(blk, dtree, 0)
+            else:
+                dc_refine(blk)
+    elif ss == 0:  # interleaved DC scan over the MCU grid
         if se != 0:
             raise ValueError("progressive DC scan must have Se=0")
         for m in range(mcux * mcuy):

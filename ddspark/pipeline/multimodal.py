@@ -193,10 +193,10 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
             n = w * ch
             pred = [0] * n
             for i in range(n):
-                a = rl[i - ch] if i >= ch else 0
-                b_ = pl[i]
-                c_ = pl[i - ch] if i >= ch else 0
-                pred[i] = _paeth(a, b_, c_)
+                left = rl[i - ch] if i >= ch else 0
+                up = pl[i]
+                ul = pl[i - ch] if i >= ch else 0
+                pred[i] = _paeth(left, up, ul)
             filt = row - np.array(pred, dtype=np.int16)
         out.append(ft)
         out += (filt % 256).astype(np.uint8).tobytes()

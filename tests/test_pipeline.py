@@ -1396,3 +1396,60 @@ def test_jpeg_progressive_encode_roundtrip_equals_baseline():
     )
     with pytest.raises(ValueError, match="restart_interval"):
         encode_jpeg(g, progressive=True, restart_interval=2)
+
+
+def test_jpeg_progressive_separate_dc_scans_roundtrip():
+    """Progressive files whose DC scans are per-component (Ns=1 — the
+    layout libjpeg scan scripts produce) walk DC blocks in NOMINAL raster
+    order per T.81 A.2.2, not the MCU-padded grid: with 4:2:0 subsampling
+    and a width that is not a multiple of 16 the luma nominal grid
+    (ceil(w/8) wide) differs from the MCU walk in both block count and
+    order, so this roundtrip fails if the decoder reuses the interleaved
+    MCU loop for single-component DC scans (r4 ADVICE)."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((40, 24, 3), "420", 90),   # luma nominal 3 blocks/row vs MCU 4
+        ((37, 53, 3), "422", 75),
+        ((33, 17, 3), "440", 60),
+        ((16, 16, 3), "444", 50),   # degenerate: grids coincide
+    ]
+    for shape, sub, q in cases:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(a, quality=q, subsampling=sub))
+        blob = encode_jpeg(
+            a, quality=q, subsampling=sub, progressive=True,
+            separate_dc_scans=True,
+        )
+        assert np.array_equal(decode_jpeg(blob), base), (shape, sub)
+    g = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85, progressive=True,
+                                separate_dc_scans=True)),
+        decode_jpeg(encode_jpeg(g, quality=85)),
+    )
+    with pytest.raises(ValueError, match="separate_dc_scans"):
+        encode_jpeg(g, separate_dc_scans=True)
+
+
+def test_jpeg_rejects_unsupported_component_counts_at_sof():
+    """2- or 4-component SOFs fail at parse time with the count named —
+    not with a late tuple-unpack error in plane assembly (r4 ADVICE)."""
+    import struct as _struct
+
+    from ddspark.pipeline.jpeg import decode_jpeg
+
+    for nc in (2, 4):
+        sof = _struct.pack(">BHHB", 8, 8, 8, nc) + b"".join(
+            _struct.pack(">BBB", i + 1, 0x11, 0) for i in range(nc)
+        )
+        blob = (
+            b"\xff\xd8"
+            + b"\xff\xc0"
+            + _struct.pack(">H", 2 + len(sof))
+            + sof
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match=f"component count {nc}"):
+            decode_jpeg(blob)

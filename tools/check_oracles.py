@@ -86,8 +86,16 @@ def driver_coverage() -> dict[str, str]:
     import json
     import re
 
+    def round_no(path: str) -> int:
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        return int(m.group(1)) if m else -1
+
     cov: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    # sort by the PARSED round number: lexicographic filename order would
+    # put a non-padded r10 before r9 and let an older round win
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=round_no
+    ):
         m = re.search(r"r(\d+)", os.path.basename(path))
         if not m:
             continue
