@@ -32,7 +32,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "decode_jpeg", "apply_orientation"]
 
 
 def _zigzag_order() -> np.ndarray:
@@ -303,6 +303,7 @@ def encode_jpeg(
     subsampling: str = "444",
     progressive: bool = False,
     separate_dc_scans: bool = False,
+    rgb: bool = False,
 ) -> bytes:
     """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
     JFIF JPEG (Annex K quant tables at ``quality``, self-contained
@@ -319,7 +320,9 @@ def encode_jpeg(
     (progressive only) emits one Ns=1 DC scan per component instead of the
     interleaved DC scan — the layout libjpeg scan scripts produce, where
     T.81 A.2.2 mandates nominal-raster block order rather than the MCU
-    walk."""
+    walk.  ``rgb`` stores the three components as direct R,G,B (no color
+    transform): an Adobe APP14 with transform 0 plus 'R','G','B' component
+    IDs, the two signals real decoders key on — 4:4:4 only."""
     if progressive and restart_interval:
         raise ValueError(
             "progressive + restart_interval not supported together"
@@ -332,19 +335,28 @@ def encode_jpeg(
     if a.ndim != 3 or a.shape[2] not in (1, 3):
         raise ValueError(f"expected (H, W[, 1/3]) uint8 array, got {a.shape}")
     h, w, ncomp = a.shape
-    if ncomp == 3:
-        rgb = a.astype(np.float64)
-        y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = 128 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
-        cr = 128 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+    if rgb and (ncomp != 3 or subsampling != "444"):
+        raise ValueError("rgb=True requires 3 channels and 444 subsampling")
+    if ncomp == 3 and rgb:
+        planes = [a[..., i].astype(np.float64) for i in range(3)]
+    elif ncomp == 3:
+        flt = a.astype(np.float64)
+        y = 0.299 * flt[..., 0] + 0.587 * flt[..., 1] + 0.114 * flt[..., 2]
+        cb = 128 - 0.168736 * flt[..., 0] - 0.331264 * flt[..., 1] + 0.5 * flt[..., 2]
+        cr = 128 + 0.5 * flt[..., 0] - 0.418688 * flt[..., 1] - 0.081312 * flt[..., 2]
         planes = [np.clip(_round_half_away(p), 0, 255) for p in (y, cb, cr)]
     else:
         planes = [a[..., 0].astype(np.float64)]
-    qtabs = [
-        _quality_scale(_Q_LUM, quality),
-        _quality_scale(_Q_CHROM, quality),
-    ][: (2 if ncomp == 3 else 1)]
-    comp_q = [0, 1, 1][:ncomp]
+    if rgb:
+        qtabs = [_quality_scale(_Q_LUM, quality)]
+        comp_q = [0, 0, 0]
+    else:
+        qtabs = [
+            _quality_scale(_Q_LUM, quality),
+            _quality_scale(_Q_CHROM, quality),
+        ][: (2 if ncomp == 3 else 1)]
+        comp_q = [0, 1, 1][:ncomp]
+    comp_ids = [0x52, 0x47, 0x42] if rgb else list(range(1, ncomp + 1))
     samp = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
     if subsampling not in samp:
         raise ValueError(f"subsampling must be one of {sorted(samp)}")
@@ -492,6 +504,11 @@ def encode_jpeg(
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
         ">HHBB", 1, 1, 0, 0
     )
+    if rgb:
+        # Adobe APP14, transform 0 = no color transform (direct RGB)
+        out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
+            ">HHHB", 100, 0, 0, 0
+        )
     for tid, q in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(v) for v in q.ravel()[_ZIGZAG]
@@ -501,24 +518,24 @@ def encode_jpeg(
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         chs, cvs = comp_hv[ci]
-        sof += struct.pack(">BBB", ci + 1, (chs << 4) | cvs, comp_q[ci])
+        sof += struct.pack(">BBB", comp_ids[ci], (chs << 4) | cvs, comp_q[ci])
     sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
     out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     for cls, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)), (1, (_AC_BITS, _AC_VALS))):
         body = bytes([cls << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if progressive:
-        for comp_ids, ss, se, entropy_bytes in scans:
-            sos = bytes([len(comp_ids)])
-            for ci in comp_ids:
-                sos += bytes([ci + 1, 0x00])
+        for scan_cis, ss, se, entropy_bytes in scans:
+            sos = bytes([len(scan_cis)])
+            for ci in scan_cis:
+                sos += bytes([comp_ids[ci], 0x00])
             sos += bytes([ss, se, 0])  # Ah=Al=0
             out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
             out += entropy_bytes
     else:
         sos = bytes([ncomp])
         for ci in range(ncomp):
-            sos += bytes([ci + 1, 0x00])  # DC table 0, AC table 0 for all
+            sos += bytes([comp_ids[ci], 0x00])  # DC+AC table 0 for all
         sos += bytes([0, 63, 0])
         out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
         out += entropy
@@ -528,7 +545,76 @@ def encode_jpeg(
 
 # ---------------------------------------------------------------- decoder
 
-def decode_jpeg(blob: bytes) -> np.ndarray:
+def _exif_orientation(body: bytes) -> int | None:
+    """Orientation (tag 0x0112) from an APP1 Exif payload: TIFF header
+    (II/MM byte order, magic 42), IFD0 entry scan.  Returns 1-8 or None
+    when absent/malformed — a broken EXIF block must not fail the pixel
+    decode."""
+    if not body.startswith(b"Exif\x00\x00"):
+        return None
+    t = body[6:]
+    if len(t) < 8:
+        return None
+    if t[:2] == b"II":
+        end = "<"
+    elif t[:2] == b"MM":
+        end = ">"
+    else:
+        return None
+    try:
+        (magic,) = struct.unpack_from(end + "H", t, 2)
+        if magic != 42:
+            return None
+        (ifd_off,) = struct.unpack_from(end + "I", t, 4)
+        (n,) = struct.unpack_from(end + "H", t, ifd_off)
+        for i in range(n):
+            off = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(end + "HHI", t, off)
+            if tag == 0x0112 and typ == 3 and cnt >= 1:
+                (val,) = struct.unpack_from(end + "H", t, off + 8)
+                return val if 1 <= val <= 8 else None
+    except struct.error:
+        return None
+    return None
+
+
+def apply_orientation(a: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Apply an EXIF orientation (1-8) to an ``(H, W, C)`` array so the
+    result reads top-left first, the way viewers display it.  1/None is a
+    no-op; 5-8 swap the axes (portrait photos from landscape sensors)."""
+    if orientation is None or orientation <= 1:
+        return a
+    if orientation == 2:    # mirror horizontal
+        return a[:, ::-1]
+    if orientation == 3:    # rotate 180
+        return a[::-1, ::-1]
+    if orientation == 4:    # mirror vertical
+        return a[::-1]
+    t = a.transpose(1, 0, 2) if a.ndim == 3 else a.T
+    if orientation == 5:    # transpose (mirror + rotate 270 CW)
+        return t
+    if orientation == 6:    # rotate 90 CW
+        return t[:, ::-1]
+    if orientation == 7:    # transverse (mirror + rotate 90 CW)
+        return t[::-1, ::-1]
+    if orientation == 8:    # rotate 270 CW
+        return t[::-1]
+    raise ValueError(f"invalid EXIF orientation {orientation}")
+
+
+def _is_rgb_direct(comps: list[dict], adobe_transform: int | None) -> bool:
+    """3-component JPEGs are YCbCr unless the stream says otherwise: an
+    Adobe APP14 with transform 0 means no color transform (direct RGB),
+    and absent APP14 the de-facto convention is component IDs 'R','G','B'
+    (libjpeg's jdmaster color-space guess does the same)."""
+    if len(comps) != 3:
+        return False
+    if adobe_transform is not None:
+        return adobe_transform == 0
+    return [c["id"] for c in comps] == [0x52, 0x47, 0x42]
+
+
+def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
     """Decode a baseline JPEG to ``(H, W, 3) uint8`` RGB (gray replicated).
 
     Full marker walk; generic DQT/DHT (any valid tables); baseline (SOF0)
@@ -536,10 +622,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     DC/AC first and refinement scans, EOB runs) Huffman processes;
     sampling factors in {1, 2}; DRI/RSTn restart intervals; triangular
     (libjpeg "fancy") chroma upsampling; BT.601 YCbCr->RGB with
-    floor(x+0.5) rounding.  Baseline accepts one interleaved scan —
-    non-interleaved multi-scan sequential files raise rather than
-    mis-decode; arithmetic/lossless/hierarchical processes raise with the
-    marker name."""
+    floor(x+0.5) rounding.  EXIF APP1 orientation (tags 1-8) is applied to
+    the output unless ``apply_exif_orientation=False``; Adobe APP14
+    transform 0 (and the R,G,B component-ID convention) decodes as direct
+    RGB without the YCbCr conversion.  Baseline accepts one interleaved
+    scan — non-interleaved multi-scan sequential files raise rather than
+    mis-decode; arithmetic/lossless/hierarchical processes and CMYK/YCCK
+    component layouts raise with the marker/count named."""
     b = bytes(blob)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
@@ -551,6 +640,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
     restart = 0
     progressive = False
     coeffs: list[np.ndarray] | None = None
+    orientation: int | None = None
+    adobe_transform: int | None = None
+
+    def oriented(img: np.ndarray) -> np.ndarray:
+        if apply_exif_orientation:
+            return np.ascontiguousarray(apply_orientation(img, orientation))
+        return img
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got {b[pos]:#x}")
@@ -596,9 +692,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             if nc not in (1, 3):
                 # fail at parse time with the count, like the other scope
                 # guards — not a late tuple-unpack error in _assemble
+                layout = (
+                    "Adobe YCCK" if adobe_transform == 2 else "CMYK/YCCK"
+                ) if nc == 4 else f"{nc}-component"
                 raise ValueError(
                     f"unsupported JPEG component count {nc} "
-                    "(1 grayscale or 3 YCbCr only; 4 is Adobe CMYK/YCCK)"
+                    f"({layout}; 1 grayscale or 3 YCbCr/RGB only)"
                 )
             for i in range(nc):
                 cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * i)
@@ -612,6 +711,13 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                 f"unsupported JPEG coding process (marker 0xFF{marker:02X}; "
                 "baseline sequential and progressive Huffman only)"
             )
+        elif marker == 0xE1:  # APP1: EXIF (orientation is all we read)
+            o = _exif_orientation(body)
+            if o is not None:
+                orientation = o
+        elif marker == 0xEE:  # APP14: Adobe color-transform flag
+            if body[:5] == b"Adobe" and len(body) >= 12:
+                adobe_transform = body[11]
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
@@ -633,7 +739,12 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
                         f"{len(comps)} components; single interleaved "
                         "scan only)"
                     )
-                return _decode_scan(b, pos, scan, qtabs, huff, h, w, restart)
+                return oriented(
+                    _decode_scan(
+                        b, pos, scan, qtabs, huff, h, w, restart,
+                        rgb_direct=_is_rgb_direct(comps, adobe_transform),
+                    )
+                )
             if coeffs is None:
                 hmax = max(c["h"] for c in comps)
                 vmax = max(c["v"] for c in comps)
@@ -654,8 +765,11 @@ def decode_jpeg(blob: bytes) -> np.ndarray:
             break
         # else: APPn/COM and friends — skipped
     if progressive and coeffs is not None:
-        return _reconstruct_progressive(
-            coeffs, comps, qtabs, h, w, hmax, vmax
+        return oriented(
+            _reconstruct_progressive(
+                coeffs, comps, qtabs, h, w, hmax, vmax,
+                rgb_direct=_is_rgb_direct(comps, adobe_transform),
+            )
         )
     raise ValueError("JPEG has no SOS scan")
 
@@ -836,7 +950,9 @@ def _progressive_scan(
     return q
 
 
-def _reconstruct_progressive(coeffs, comps, qtabs, h, w, hmax, vmax):
+def _reconstruct_progressive(
+    coeffs, comps, qtabs, h, w, hmax, vmax, rgb_direct=False
+):
     """Dequantize + IDCT every accumulated block (vectorized across all
     blocks of a component) and assemble/upsample/convert as usual."""
     planes = []
@@ -849,7 +965,7 @@ def _reconstruct_progressive(coeffs, comps, qtabs, h, w, hmax, vmax):
         blocks = nat.reshape(bv, bh_, 8, 8) * q
         spatial = np.einsum("ux,abuv,vy->abxy", _DCT_M, blocks, _DCT_M)
         planes.append(spatial.transpose(0, 2, 1, 3).reshape(bv * 8, bh_ * 8))
-    return _assemble(planes, comps, h, w, hmax, vmax)
+    return _assemble(planes, comps, h, w, hmax, vmax, rgb_direct)
 
 
 def _upsample2_triangular(p: np.ndarray, axis: int) -> np.ndarray:
@@ -866,7 +982,7 @@ def _upsample2_triangular(p: np.ndarray, axis: int) -> np.ndarray:
     return out
 
 
-def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart):
+def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart, rgb_direct=False):
     hmax = max(c["h"] for c, _, _ in scan)
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = -(-w // (8 * hmax))
@@ -921,10 +1037,11 @@ def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart):
                     y0 = (my * comp["v"] + by) * 8
                     x0 = (mx * comp["h"] + bx) * 8
                     planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-    return _assemble(planes, [c for c, _, _ in scan], h, w, hmax, vmax)
+    return _assemble(planes, [c for c, _, _ in scan], h, w, hmax, vmax,
+                     rgb_direct)
 
 
-def _assemble(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+def _assemble(planes, comps, h, w, hmax, vmax, rgb_direct=False) -> np.ndarray:
     """Crop per-component planes to nominal size, upsample to full res
     with the triangular ("fancy") filter libjpeg uses for 2x — centers of
     the subsampled grid sit between output pixels, so each output mixes
@@ -944,6 +1061,11 @@ def _assemble(planes, comps, h, w, hmax, vmax) -> np.ndarray:
     if len(full) == 1:
         g = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
+    if rgb_direct:
+        # Adobe transform 0 / R,G,B component IDs: the components ARE
+        # R,G,B (level-shifted like Y) — no color conversion
+        out = np.stack(full, axis=2)
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
     y, cb, cr = full
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)

@@ -1433,6 +1433,111 @@ def test_jpeg_progressive_separate_dc_scans_roundtrip():
         encode_jpeg(g, separate_dc_scans=True)
 
 
+def _with_exif(blob: bytes, orientation: int, byte_order: str = "II") -> bytes:
+    """Insert an APP1 Exif segment (TIFF header + one IFD0 orientation
+    entry) right after SOI."""
+    import struct as s
+
+    e = "<" if byte_order == "II" else ">"
+    tiff = byte_order.encode() + s.pack(e + "H", 42) + s.pack(e + "I", 8)
+    tiff += s.pack(e + "H", 1)  # one IFD0 entry
+    tiff += s.pack(e + "HHI", 0x0112, 3, 1)
+    tiff += s.pack(e + "H", orientation) + b"\x00\x00"
+    tiff += s.pack(e + "I", 0)  # no next IFD
+    payload = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + s.pack(">H", 2 + len(payload)) + payload
+    return blob[:2] + seg + blob[2:]
+
+
+def test_jpeg_exif_orientation_applied():
+    """EXIF APP1 orientation 1-8 (both byte orders) reorients the decoded
+    pixels the way viewers display them; apply_exif_orientation=False
+    returns the sensor layout unchanged; broken EXIF blocks are ignored."""
+    from ddspark.pipeline.jpeg import (
+        apply_orientation,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(21)
+    a = rng.randint(0, 256, size=(24, 40, 3)).astype(np.uint8)  # non-square
+    blob = encode_jpeg(a, quality=90)
+    base = decode_jpeg(blob)
+    for o in range(1, 9):
+        bo = "MM" if o % 2 else "II"
+        got = decode_jpeg(_with_exif(blob, o, bo))
+        assert np.array_equal(got, apply_orientation(base, o)), o
+        raw = decode_jpeg(_with_exif(blob, o, bo), apply_exif_orientation=False)
+        assert np.array_equal(raw, base), o
+    # orientation 6 on a WxH image must come out HxW
+    assert decode_jpeg(_with_exif(blob, 6)).shape == (40, 24, 3)
+    # malformed/out-of-range EXIF payloads are ignored, not fatal
+    assert np.array_equal(decode_jpeg(_with_exif(blob, 9)), base)
+    junk = b"\xff\xe1" + b"\x00\x0a" + b"Exif\x00\x00XX"
+    assert np.array_equal(decode_jpeg(blob[:2] + junk + blob[2:]), base)
+
+
+def test_jpeg_rgb_direct_decode():
+    """Adobe APP14 transform=0 (and, with the APP14 stripped, the R,G,B
+    component-ID convention) decodes as direct RGB — no YCbCr conversion.
+    Flat colors hit the per-channel DC closed form exactly since all
+    three components share the luminance quant table."""
+    import struct as s
+
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    def closed(c: int) -> int:
+        v = 8.0 * (c - 128) / 16.0
+        r = int(np.sign(v) * np.floor(abs(v) + 0.5))
+        return int(np.clip(2 * r + 128, 0, 255))
+
+    for color in [(200, 30, 90), (0, 255, 128), (17, 250, 3)]:
+        a = np.zeros((8, 8, 3), np.uint8)
+        a[:, :] = color
+        got = decode_jpeg(encode_jpeg(a, rgb=True))
+        want = np.array([closed(c) for c in color], np.uint8)
+        assert np.array_equal(got[0, 0], want), color
+        assert (got == got[0, 0]).all()
+
+    rng = np.random.RandomState(33)
+    a = rng.randint(0, 256, size=(32, 24, 3)).astype(np.uint8)
+    blob = encode_jpeg(a, quality=95, rgb=True)
+    with_app14 = decode_jpeg(blob)
+    assert float(np.abs(with_app14.astype(int) - a.astype(int)).mean()) < 3.0
+    # strip the APP14 segment -> the R,G,B component IDs alone must still
+    # route to the RGB path, pixel-identically
+    i = blob.index(b"\xff\xee")
+    (ln,) = s.unpack_from(">H", blob, i + 2)
+    stripped = blob[:i] + blob[i + 2 + ln:]
+    assert b"\xff\xee" not in stripped
+    assert np.array_equal(decode_jpeg(stripped), with_app14)
+    # progressive + rgb also roundtrips identically to baseline rgb
+    prog = encode_jpeg(a, quality=95, rgb=True, progressive=True)
+    assert np.array_equal(decode_jpeg(prog), with_app14)
+    with pytest.raises(ValueError, match="rgb=True"):
+        encode_jpeg(a, rgb=True, subsampling="420")
+    with pytest.raises(ValueError, match="rgb=True"):
+        encode_jpeg(a[:, :, 0], rgb=True)
+
+
+def test_jpeg_ycck_named_in_component_count_error():
+    """A 4-component SOF preceded by Adobe APP14 transform=2 names YCCK."""
+    import struct as s
+
+    from ddspark.pipeline.jpeg import decode_jpeg
+
+    app14 = b"\xff\xee" + s.pack(">H", 14) + b"Adobe" + s.pack(">HHHB", 100, 0, 0, 2)
+    sof = s.pack(">BHHB", 8, 8, 8, 4) + b"".join(
+        s.pack(">BBB", i + 1, 0x11, 0) for i in range(4)
+    )
+    blob = (
+        b"\xff\xd8" + app14
+        + b"\xff\xc0" + s.pack(">H", 2 + len(sof)) + sof + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="Adobe YCCK"):
+        decode_jpeg(blob)
+
+
 def test_jpeg_rejects_unsupported_component_counts_at_sof():
     """2- or 4-component SOFs fail at parse time with the count named —
     not with a late tuple-unpack error in plane assembly (r4 ADVICE)."""
