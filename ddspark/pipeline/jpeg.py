@@ -501,14 +501,17 @@ def encode_jpeg(
         entropy = wtr.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
-        ">HHBB", 1, 1, 0, 0
-    )
     if rgb:
-        # Adobe APP14, transform 0 = no color transform (direct RGB)
+        # Adobe APP14 only, transform 0 = no color transform (direct
+        # RGB).  No JFIF APP0: JFIF mandates YCbCr with component IDs
+        # 1,2,3, and decoders (Java ImageIO among them) reject the
+        # contradiction — real Adobe RGB writers omit it too.
         out += b"\xff\xee" + struct.pack(">H", 14) + b"Adobe" + struct.pack(
             ">HHHB", 100, 0, 0, 0
         )
+    else:
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        out += struct.pack(">HHBB", 1, 1, 0, 0)
     for tid, q in enumerate(qtabs):
         out += b"\xff\xdb" + struct.pack(">HB", 67, tid) + bytes(
             int(v) for v in q.ravel()[_ZIGZAG]

@@ -50,7 +50,9 @@ __all__ = [
     "synth_images",
     "synth_tile_jpegs",
     "decode_stats",
+    "decode_stats_jvm",
     "resize_images",
+    "resize_images_jvm",
     "encode_wav",
     "decode_audio",
     "synth_audio",
@@ -557,6 +559,139 @@ def decode_stats(
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def _jvm_pixels(height, width, nch, mode, data) -> np.ndarray:
+    """Raw pixels from one Spark ``image`` source row -> (H, W, 3) uint8
+    RGB.  The source stores OpenCV-style row-major bytes: mode 0 =
+    CV_8UC1 gray, 16 = CV_8UC3 BGR, 24 = CV_8UC4 BGRA."""
+    a = np.frombuffer(bytes(data), np.uint8)
+    if len(a) != height * width * nch:
+        raise ValueError(
+            f"image data length {len(a)} != {height}x{width}x{nch}"
+        )
+    a = a.reshape(height, width, nch)
+    if nch == 1:
+        return np.repeat(a, 3, axis=2)
+    if nch in (3, 4):
+        return np.ascontiguousarray(a[:, :, 2::-1])  # BGR(A) -> RGB
+    raise ValueError(f"unsupported image-source channel count {nch}")
+
+
+def _id_from_origin(origin: str) -> int:
+    """Row id from an image file path: the numeric filename stem (the
+    layout :func:`decode_stats_jvm`'s docstring prescribes)."""
+    stem = origin.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+    return int(stem)
+
+
+def decode_stats_jvm(
+    spark,
+    path: str,
+    id_col: str = "doc_id",
+    drop_invalid: bool = True,
+) -> DataFrame:
+    """JVM-decode twin of :func:`decode_stats` for image FILES: Spark's
+    built-in ``image`` data source runs the codec (Java ImageIO — C-speed
+    Huffman/inflate in the JVM, ~50-100x the pure-Python codecs here) and
+    only the RAW pixel buffer crosses into an Arrow-batched numpy stage
+    for the statistics.  Output schema and semantics are identical to
+    :func:`decode_stats`; files must be named ``{id}.{ext}`` so the id
+    survives the file hop.
+
+    When to use which: ``decode_stats`` for blob COLUMNS (parquet-resident
+    corpora — no JVM codec reaches a binary column without custom jars)
+    and as the dependency-free correctness oracle; ``decode_stats_jvm``
+    when the corpus is image files on storage, where it is the throughput
+    path.  A pytest asserts stat equality between the two on the same
+    pixels (exact for PNG/BMP; JPEG decoders differ sub-level).
+
+    ``drop_invalid`` forwards the source's ``dropInvalid`` option:
+    undecodable files are dropped JVM-side instead of surfacing as null
+    rows."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("sum_r", LongType()),
+            StructField("sum_g", LongType()),
+            StructField("sum_b", LongType()),
+            StructField("mean_r", DoubleType()),
+            StructField("mean_g", DoubleType()),
+            StructField("mean_b", DoubleType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for origin, height, width, nch, mode, data in zip(
+                pdf["origin"], pdf["height"], pdf["width"],
+                pdf["nChannels"], pdf["mode"], pdf["data"],
+            ):
+                a = _jvm_pixels(height, width, nch, mode, data)
+                s = a.reshape(-1, 3).astype(np.int64).sum(axis=0)
+                npx = int(height) * int(width)
+                recs.append(
+                    (
+                        _id_from_origin(origin), int(width), int(height),
+                        int(s[0]), int(s[1]), int(s[2]),
+                        s[0] / npx, s[1] / npx, s[2] / npx,
+                    )
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    df = (
+        spark.read.format("image")
+        .option("dropInvalid", str(drop_invalid).lower())
+        .load(path)
+    )
+    return df.select("image.*").mapInPandas(gen, schema)
+
+
+def resize_images_jvm(
+    spark,
+    path: str,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    fmt: str = "png",
+    drop_invalid: bool = True,
+) -> DataFrame:
+    """JVM-decode twin of :func:`resize_images` for image FILES: ImageIO
+    decodes in the JVM, the nearest-neighbor resample is one vectorized
+    numpy gather over the raw pixels, and the output re-encodes with the
+    dependency-free encoder for ``fmt`` (``"bmp"`` is pure numpy — the
+    fastest writer here — ``"png"`` is stdlib-zlib, ``"ppm"`` raw).  Same
+    ``(id, img)`` schema as :func:`resize_images`."""
+    if width <= 0 or height <= 0:
+        raise ValueError("target dimensions must be positive")
+    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[fmt]
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("img", BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, imgs = [], []
+            for origin, ih, iw, nch, mode, data in zip(
+                pdf["origin"], pdf["height"], pdf["width"],
+                pdf["nChannels"], pdf["mode"], pdf["data"],
+            ):
+                a = _jvm_pixels(ih, iw, nch, mode, data)
+                ys = (np.arange(height) * int(ih)) // height
+                xs = (np.arange(width) * int(iw)) // width
+                ids.append(_id_from_origin(origin))
+                imgs.append(enc(a[ys][:, xs]))
+            yield pd.DataFrame({id_col: ids, "img": imgs})
+
+    df = (
+        spark.read.format("image")
+        .option("dropInvalid", str(drop_invalid).lower())
+        .load(path)
+    )
+    return df.select("image.*").mapInPandas(gen, schema)
 
 
 def split_mjpeg(blob: bytes) -> list[bytes]:

@@ -1169,6 +1169,91 @@ def test_jpeg_matches_imageio_decoder(spark):
     assert (diff <= 8).mean() > 0.99, (diff > 8).mean()
 
 
+def test_decode_stats_jvm_matches_python_codecs(spark, tmp_path):
+    """The opt-in JVM decode route (Spark `image` source -> Java ImageIO)
+    and the pure-Python codecs produce the SAME statistics on the same
+    pixels: bit-exact for PNG and BMP (lossless formats, deterministic
+    decoders), sub-level for JPEG where IDCT rounding is
+    implementation-defined."""
+    from ddspark.pipeline import multimodal
+
+    ids = spark.range(20).withColumnRenamed("id", "doc_id")
+
+    def rows_by_id(df):
+        return {r["doc_id"]: r for r in df.collect()}
+
+    for fmt in ("png", "bmp"):
+        imgs = multimodal.synth_images(ids, "doc_id", width=9, height=7, fmt=fmt)
+        d = tmp_path / fmt
+        d.mkdir()
+        for r in imgs.collect():
+            (d / f"{r['doc_id']}.{fmt}").write_bytes(bytes(r["img"]))
+        py = rows_by_id(multimodal.decode_stats(imgs, "doc_id", "img"))
+        jv = rows_by_id(multimodal.decode_stats_jvm(spark, str(d)))
+        assert set(py) == set(jv) == set(range(20))
+        for k in py:
+            assert py[k] == jv[k], (fmt, k)
+
+    jpgs = multimodal.synth_tile_jpegs(ids, "doc_id", tiles_x=2, tiles_y=2)
+    d = tmp_path / "jpg"
+    d.mkdir()
+    for r in jpgs.collect():
+        (d / f"{r['doc_id']}.jpg").write_bytes(bytes(r["img"]))
+    py = rows_by_id(multimodal.decode_stats(jpgs, "doc_id", "img"))
+    jv = rows_by_id(multimodal.decode_stats_jvm(spark, str(d)))
+    assert set(py) == set(jv) == set(range(20))
+    for k in py:
+        assert (py[k]["width"], py[k]["height"]) == (jv[k]["width"], jv[k]["height"])
+        for c in ("mean_r", "mean_g", "mean_b"):
+            assert abs(py[k][c] - jv[k][c]) < 2.0, (k, c)
+
+
+def test_resize_images_jvm_matches_python(spark, tmp_path):
+    """JVM-decode resize agrees with the all-Python resize_images on
+    lossless input: same NN gather, same encoder, so bytes-identical."""
+    from ddspark.pipeline import multimodal
+
+    ids = spark.range(12).withColumnRenamed("id", "doc_id")
+    imgs = multimodal.synth_images(ids, "doc_id", width=11, height=9, fmt="png")
+    d = tmp_path / "png"
+    d.mkdir()
+    for r in imgs.collect():
+        (d / f"{r['doc_id']}.png").write_bytes(bytes(r["img"]))
+    py = {
+        r["doc_id"]: bytes(r["img"])
+        for r in multimodal.resize_images(imgs, 5, 4, "doc_id", "img").collect()
+    }
+    jv = {
+        r["doc_id"]: bytes(r["img"])
+        for r in multimodal.resize_images_jvm(spark, str(d), 5, 4).collect()
+    }
+    assert py == jv
+
+
+def test_jpeg_rgb_decode_matches_imageio(spark, tmp_path):
+    """Java ImageIO honors Adobe APP14 transform=0 too — an independent
+    decoder agreeing on a direct-RGB file validates the RGB path against
+    more than our own encoder."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(44)
+    a = rng.randint(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    blob = encode_jpeg(a, quality=95, rgb=True)
+    p = tmp_path / "rgb.jpg"
+    p.write_bytes(blob)
+    row = (
+        spark.read.format("image").load(str(p))
+        .select("image.height", "image.width", "image.nChannels", "image.data")
+        .first()
+    )
+    ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        row["height"], row["width"], row["nChannels"]
+    )[:, :, ::-1]
+    got = decode_jpeg(blob)
+    assert got.shape == ref.shape
+    assert np.abs(got.astype(int) - ref.astype(int)).mean() < 1.0
+
+
 def test_jpeg_through_multimodal_dispatch(spark):
     """decode_image/resize_image route JPEG automatically; the distributed
     tiled-synth + decode_stats path matches the closed form."""
