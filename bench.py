@@ -1,6 +1,6 @@
 """Benchmark harness.
 
-Three sections, one JSON line on stdout.  EVERY section is bracketed by a
+Four sections, one JSON line on stdout.  EVERY section is bracketed by a
 host-contention probe (steal % + unclaimed idle % from ``/proc/stat`` under
 a full-core burn) and runs its measurements as 2 interleaved rounds, so a
 regressed number in any section carries its own evidence of whether the
@@ -26,9 +26,18 @@ scaling efficiency 0.965 at 0.2% steal and 0.73 at 12% steal.
    for comparison).  Rows/sec, best of 2 interleaved rounds, per-round
    values kept.
 
+4. **Blob codecs** — decode throughput (images/s and MB/s, plus per-core)
+   for BMP, PNG, baseline JPEG, progressive JPEG and MJPEG frame
+   split+decode over Arrow-batched ``decode_stats``-shaped stages, with
+   the JVM ImageIO route (``decode_stats_jvm``) timed on the SAME images
+   written as files — pricing the pure-Python fallback against the
+   deployment path side by side.
+
 Tunables: DDSPARK_BENCH_ROWS (default 960M), DDSPARK_BENCH_SCALING=0 to
 skip part 2, DDSPARK_BENCH_RUNS (best-of, default 2),
-DDSPARK_BENCH_STRESS=0 to skip part 3 (skew / wide-group stress).
+DDSPARK_BENCH_STRESS=0 to skip part 3 (skew / wide-group stress),
+DDSPARK_BENCH_BLOB=0 to skip part 4, DDSPARK_BENCH_BLOB_IMAGES
+(default 4000).
 """
 
 from __future__ import annotations
@@ -55,6 +64,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_ROWS = int(os.environ.get("DDSPARK_BENCH_ROWS", str(960_000_000)))
 RUN_SCALING = os.environ.get("DDSPARK_BENCH_SCALING", "1") != "0"
 RUN_STRESS = os.environ.get("DDSPARK_BENCH_STRESS", "1") != "0"
+RUN_BLOB = os.environ.get("DDSPARK_BENCH_BLOB", "1") != "0"
+BLOB_IMAGES = int(os.environ.get("DDSPARK_BENCH_BLOB_IMAGES", "6000"))
 BEST_OF = int(os.environ.get("DDSPARK_BENCH_RUNS", "2"))
 CORPUS_PATH = os.environ.get(
     "DDSPARK_BENCH_CORPUS", f"/tmp/ddspark_bench_corpus_{BENCH_ROWS}.parquet"
@@ -247,6 +258,14 @@ def main() -> None:
             result["stress_error"] = f"{type(exc).__name__}: {exc}"
         contention["stress"]["after"] = _host_check()
 
+    if RUN_BLOB:
+        contention["blob"] = {"before": _host_check()}
+        try:
+            result["blob"] = _blob_section()
+        except Exception as exc:  # noqa: BLE001 — headline numbers still count
+            result["blob_error"] = f"{type(exc).__name__}: {exc}"
+        contention["blob"]["after"] = _host_check()
+
     if RUN_SCALING:
         contention["scaling"] = {"before": _host_check()}
         try:
@@ -322,6 +341,255 @@ def _stress_section() -> dict:
         return out
     finally:
         spark.stop()
+
+
+def _blob_section() -> dict:
+    """Decode throughput for every image/video codec, both routes.
+
+    Deterministic pseudo-random 64x64 RGB images (np.random.RandomState
+    seeded by row id — realistic entropy-coder load, unlike flat tiles)
+    are encoded ONCE per format into a blob parquet and an image-file
+    directory; the timed region is decode only: the pure-Python codecs
+    through ``decode_stats`` (Arrow-batched mapInPandas over the blob
+    column) and Java ImageIO through ``decode_stats_jvm`` (Spark `image`
+    source over the files).  MJPEG times the marker-walk frame split alone
+    and split+decode (``video_frame_stats``).  2 interleaved rounds,
+    best-of per route; per-core rates divide by the session's cores."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType, LongType, StructField, StructType,
+    )
+
+    from ddspark.pipeline import multimodal
+    from ddspark.pipeline.jpeg import encode_jpeg
+
+    n = BLOB_IMAGES
+    side = 64
+    work = "/tmp/ddspark_bench_blobs"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+    spark = get_spark(
+        app_name="ddspark-bench-blob", cores=CPUS, shuffle_partitions=CPUS
+    )
+    multimodal.configure_blob_batches(spark)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("img", BinaryType())]
+    )
+
+    def synth(fmt):
+        def gen(batches):
+            for pdf in batches:
+                ids = pdf["id"].to_numpy()
+                blobs = []
+                for i in ids:
+                    rng = np.random.RandomState(int(i) % (2**31))
+                    a = rng.randint(0, 256, size=(side, side, 3)).astype(np.uint8)
+                    if fmt == "bmp":
+                        blobs.append(multimodal.encode_bmp(a))
+                    elif fmt == "png":
+                        blobs.append(multimodal.encode_png(a))
+                    elif fmt == "jpeg":
+                        blobs.append(
+                            encode_jpeg(a, quality=75, subsampling="420")
+                        )
+                    elif fmt == "jpeg_progressive":
+                        blobs.append(
+                            encode_jpeg(
+                                a, quality=75, subsampling="420",
+                                progressive=True,
+                            )
+                        )
+                    else:  # mjpeg: 4 frames at half size
+                        frames = []
+                        for f in range(4):
+                            fa = rng.randint(
+                                0, 256, size=(side // 2, side // 2, 3)
+                            ).astype(np.uint8)
+                            frames.append(
+                                encode_jpeg(fa, quality=75, subsampling="420")
+                            )
+                        blobs.append(b"".join(frames))
+                yield pd.DataFrame({"doc_id": ids, "img": blobs})
+
+        return spark.range(0, n, 1, CPUS).mapInPandas(gen, schema)
+
+    exts = {"bmp": "bmp", "png": "png", "jpeg": "jpg", "jpeg_progressive": "jpg"}
+    out: dict = {"n_images": n, "px": f"{side}x{side}", "cores": CPUS}
+
+    def synth_local(fmt: str, kside: int, count: int) -> list[bytes]:
+        rng0 = np.random.RandomState(0)
+        blobs = []
+        for _ in range(count):
+            a = rng0.randint(0, 256, size=(kside, kside, 3)).astype(np.uint8)
+            if fmt == "bmp":
+                blobs.append(multimodal.encode_bmp(a))
+            elif fmt == "png":
+                blobs.append(multimodal.encode_png(a))
+            elif fmt == "jpeg":
+                blobs.append(encode_jpeg(a, quality=75, subsampling="420"))
+            elif fmt == "jpeg_progressive":
+                blobs.append(
+                    encode_jpeg(a, quality=75, subsampling="420",
+                                progressive=True)
+                )
+            else:  # mjpeg: one 4-frame clip at half size
+                fr = [
+                    encode_jpeg(
+                        rng0.randint(
+                            0, 256, size=(kside // 2, kside // 2, 3)
+                        ).astype(np.uint8),
+                        quality=75, subsampling="420",
+                    )
+                    for _ in range(4)
+                ]
+                blobs.append(b"".join(fr))
+        return blobs
+
+    def kernel_rate(fmt: str, blobs: list[bytes], budget=1.0):
+        """Single-core, no-Spark decode rate (images/s, MB/s) — the pure
+        Python codec price, free of job-scheduling overhead that dominates
+        the distributed timings at small n."""
+        done, nbytes = 0, 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < budget:
+            b = blobs[done % len(blobs)]
+            if fmt == "mjpeg":
+                for f in multimodal.split_mjpeg(b):
+                    multimodal.decode_image(f)
+            else:
+                multimodal.decode_image(b)
+            done += 4 if fmt == "mjpeg" else 1
+            nbytes += len(b)
+        dt = time.perf_counter() - t0
+        return done / dt, nbytes / dt / 1e6
+
+    def kernel_rate_jvm(paths: list[str], budget=1.5) -> float:
+        """Single-thread Java ImageIO decode rate over the same files via
+        the Py4J gateway.  Each call pays ~2-3 ms of py4j overhead, which
+        is why the JVM-vs-Python kernel comparison runs at 256x256 where
+        decode dominates the call cost — the ratio is still a LOWER bound
+        on the true codec speedup."""
+        jvm = spark._jvm
+        for p in paths:  # warm: class load + JIT
+            jvm.javax.imageio.ImageIO.read(jvm.java.io.File(p))
+        done = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < budget:
+            jvm.javax.imageio.ImageIO.read(
+                jvm.java.io.File(paths[done % len(paths)])
+            )
+            done += 1
+        return done / (time.perf_counter() - t0)
+
+    def timed(fn, rounds=2, runs=None):
+        fn()  # warm
+        best = float("inf")
+        per_round = []
+        for _ in range(rounds):
+            r_best = float("inf")
+            for _ in range(runs or BEST_OF):
+                t0 = time.perf_counter()
+                fn()
+                r_best = min(r_best, time.perf_counter() - t0)
+            per_round.append(r_best)
+            best = min(best, r_best)
+        return best, per_round
+
+    for fmt in ("bmp", "png", "jpeg", "jpeg_progressive", "mjpeg"):
+        pq = f"{work}/{fmt}.parquet"
+        synth(fmt).write.mode("overwrite").parquet(pq)
+        blobs = spark.read.parquet(pq)
+        total_bytes = blobs.agg(F.sum(F.octet_length("img"))).first()[0]
+        kips, kmbs = kernel_rate(fmt, synth_local(fmt, side, 100))
+        rec: dict = {
+            "bytes": int(total_bytes),
+            "kernel_1core_python_%s_per_sec"
+            % ("frames" if fmt == "mjpeg" else "images"): round(kips, 1),
+            "kernel_1core_python_mb_per_sec": round(kmbs, 2),
+        }
+        if fmt == "mjpeg":
+            t, pr = timed(
+                lambda: multimodal.video_frame_stats(
+                    blobs, "doc_id", "img"
+                ).count()
+            )
+            rec["python_frames_per_sec"] = round(4 * n / t)
+            rec["python_mb_per_sec"] = round(total_bytes / t / 1e6, 1)
+            rec["python_sec_per_round"] = [round(x, 3) for x in pr]
+
+            def split_only():
+                sc = StructType([StructField("n", LongType())])
+
+                def g(batches):
+                    for pdf in batches:
+                        yield pd.DataFrame(
+                            {"n": [
+                                len(multimodal.split_mjpeg(bytes(b)))
+                                for b in pdf["img"]
+                            ]}
+                        )
+
+                return blobs.mapInPandas(g, sc).agg(F.sum("n")).first()[0]
+
+            t, pr = timed(split_only)
+            rec["split_only_clips_per_sec"] = round(n / t)
+            rec["split_only_mb_per_sec"] = round(total_bytes / t / 1e6, 1)
+        else:
+            t, pr = timed(
+                lambda: multimodal.decode_stats(blobs, "doc_id", "img").count()
+            )
+            rec["python_images_per_sec"] = round(n / t)
+            rec["python_images_per_sec_per_core"] = round(n / t / CPUS, 1)
+            rec["python_mb_per_sec"] = round(total_bytes / t / 1e6, 1)
+            rec["python_sec_per_round"] = [round(x, 3) for x in pr]
+            # the JVM route on the SAME images as files
+            d = f"{work}/{fmt}_files"
+            os.makedirs(d, exist_ok=True)
+            for r in blobs.collect():
+                with open(f"{d}/{r['doc_id']}.{exts[fmt]}", "wb") as fh:
+                    fh.write(bytes(r["img"]))
+            t, pr = timed(
+                lambda: multimodal.decode_stats_jvm(spark, d).count()
+            )
+            rec["jvm_images_per_sec"] = round(n / t)
+            rec["jvm_mb_per_sec"] = round(total_bytes / t / 1e6, 1)
+            rec["jvm_sec_per_round"] = [round(x, 3) for x in pr]
+            # decode-to-decode JVM-vs-Python comparison at 256x256, where
+            # ImageIO decode dominates the ~2-3 ms py4j call overhead (at
+            # 64x64 the overhead IS the measurement); ratio is a lower
+            # bound on the true codec speedup
+            big = synth_local(fmt, 256, 6)
+            kp256, _ = kernel_rate(fmt, big)
+            kd = f"{work}/{fmt}_kernel256"
+            os.makedirs(kd, exist_ok=True)
+            kpaths = []
+            for i, b in enumerate(big):
+                kp = f"{kd}/{i}.{exts[fmt]}"
+                with open(kp, "wb") as fh:
+                    fh.write(b)
+                kpaths.append(kp)
+            kj256 = kernel_rate_jvm(kpaths)
+            rec["kernel256_1core_python_images_per_sec"] = round(kp256, 1)
+            rec["kernel256_1core_jvm_images_per_sec"] = round(kj256, 1)
+            rec["jvm_kernel_speedup_256px"] = round(kj256 / kp256, 1)
+        out[fmt] = rec
+    out["method"] = (
+        f"local[{CPUS}], {n} deterministic 64x64 RGB images per format, "
+        "decode-only timed (encode excluded), 2 interleaved rounds, best "
+        f"of {BEST_OF} runs per round; python = Arrow-batched "
+        "decode_stats, jvm = image-source ImageIO decode_stats_jvm on the "
+        "same images as files; kernel_1core = single-thread no-Spark "
+        "decode loop (pure codec price — distributed rates at this n "
+        "include ~1s/job scheduling overhead); kernel256 = the same "
+        "kernels at 256x256 where ImageIO decode dominates the py4j call "
+        "overhead, giving a lower-bound decode-to-decode jvm speedup"
+    )
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    return out
 
 
 def _burn_worker(seconds: float) -> int:
