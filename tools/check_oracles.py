@@ -217,7 +217,11 @@ def main() -> int:
             results[name] = ("SKIPPED (env)", -1)
             continue
         try:
+            import time as _time
+
+            _t0 = _time.perf_counter()
             spark_pdf = fn(spark, sf_dir).toPandas()
+            secs = _time.perf_counter() - _t0
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL {name}: spark query raised {exc}")
             results[name] = ("FAIL (spark)", -1)
@@ -242,7 +246,8 @@ def main() -> int:
                 print(f"    {p}")
             results[name] = ("FAIL (mismatch)", len(spark_pdf))
         else:
-            print(f"ok   {name}: {len(spark_pdf)} rows match")
+            print(f"ok   {name}: {len(spark_pdf)} rows match "
+                  f"(spark {secs:.1f}s)")
             results[name] = ("ok", len(spark_pdf))
     # smoke entry()
     n = entrymod.entry(spark).count()
