@@ -45,6 +45,7 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_png",
+    "encode_png_indexed",
     "decode_image",
     "resize_image",
     "synth_images",
@@ -133,9 +134,9 @@ def encode_ppm(arr: np.ndarray) -> bytes:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# color type -> samples per pixel (8-bit depth only; type 3 = palette
-# unsupported)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> samples per pixel (8-bit depth only; type 3 = palette,
+# one index sample per pixel resolved through PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
@@ -158,6 +159,31 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def encode_png_indexed(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
+    """Encode an ``(H, W, 3) uint8`` RGB array as an 8-bit PALETTE PNG
+    (color type 3): distinct colors become the PLTE table (<= 256
+    required), pixels store palette indices.  The indexed layout is what
+    web tooling emits for logos/icons/screenshots — a large share of a
+    web crawl's PNGs — and the decoder resolves it through the same
+    filter pipeline as the other color types."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w = a.shape[:2]
+    flat = a.reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"indexed PNG supports <= 256 distinct colors, got {len(colors)}"
+        )
+    return _encode_png_raw(
+        idx.astype(np.uint8).reshape(h, w, 1),
+        color_type=3,
+        plte=colors.tobytes(),
+        filter_cycle=filter_cycle,
+    )
+
+
 def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
     """Encode a ``uint8`` array — ``(H, W)``/``(H, W, 1)`` gray,
     ``(H, W, 2)`` gray+alpha, ``(H, W, 3)`` RGB, or ``(H, W, 4)`` RGBA — as
@@ -165,15 +191,24 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
     ``filter_cycle`` each scanline uses filter type ``row % 5``, so a
     roundtrip exercises every unfilter path (None/Sub/Up/Average/Paeth);
     with ``filter_cycle=False`` every row uses filter 0."""
-    import zlib
-
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"expected (H, W[, 1/2/3/4]) uint8 array, got {a.shape}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    return _encode_png_raw(a, color_type, None, filter_cycle)
+
+
+def _encode_png_raw(
+    a: np.ndarray,
+    color_type: int,
+    plte: bytes | None,
+    filter_cycle: bool,
+) -> bytes:
+    import zlib
+
     h, w, ch = a.shape
-    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
     raw = a.reshape(h, w * ch).astype(np.int16)
     prior = np.zeros(w * ch, dtype=np.int16)
     out = bytearray()
@@ -204,9 +239,11 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
         out += (filt % 256).astype(np.uint8).tobytes()
         prior = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += _png_chunk(b"PLTE", plte)
     return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        blob
         + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
         + _png_chunk(b"IEND", b"")
     )
@@ -215,17 +252,19 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
 def _decode_png(blob: bytes) -> np.ndarray:
     """PNG decoder: chunk walk (CRC-checked), stdlib ``zlib`` inflate, all
     five scanline unfilters (None/Sub/Up/Average/Paeth).  8-bit depth,
-    color types 0/2/4/6 (gray / RGB / gray+alpha / RGBA), non-interlaced.
-    Sub unfilters as a per-lane mod-256 cumulative sum and Up as one
-    vectorized add; Average/Paeth walk pixels (previous-row AND
-    previous-pixel dependency).  Returns ``(H, W, 3) uint8`` RGB — gray
-    replicated, alpha dropped."""
+    color types 0/2/3/4/6 (gray / RGB / PLTE palette / gray+alpha /
+    RGBA), non-interlaced.  Sub unfilters as a per-lane mod-256
+    cumulative sum and Up as one vectorized add; Average/Paeth walk
+    pixels (previous-row AND previous-pixel dependency); palette indices
+    resolve through one vectorized PLTE gather.  Returns
+    ``(H, W, 3) uint8`` RGB — gray replicated, alpha (including palette
+    tRNS alpha) dropped."""
     import zlib
 
     b = bytes(blob)
     if b[:8] != _PNG_SIG:
         raise ValueError("not a PNG stream")
-    pos, idat, hdr = 8, [], None
+    pos, idat, hdr, plte = 8, [], None, None
     while pos + 8 <= len(b):
         (ln,) = struct.unpack_from(">I", b, pos)
         tag = b[pos + 4 : pos + 8]
@@ -237,6 +276,10 @@ def _decode_png(blob: bytes) -> np.ndarray:
             raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             hdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or not 3 <= len(body) <= 768:
+                raise ValueError(f"invalid PLTE length {len(body)}")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.append(body)
         elif tag == b"IEND":
@@ -249,9 +292,11 @@ def _decode_png(blob: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(
-            f"unsupported PNG color type {color_type} (palette needs a PLTE "
-            "decoder; gray/RGB/gray+alpha/RGBA supported)"
+            f"unsupported PNG color type {color_type} "
+            "(gray/RGB/palette/gray+alpha/RGBA supported)"
         )
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace != 0:
@@ -306,6 +351,14 @@ def _decode_png(blob: bytes) -> np.ndarray:
     a = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
     if color_type == 0:
         return np.repeat(a, 3, axis=2)
+    if color_type == 3:
+        idx = a[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError(
+                f"PNG palette index {int(idx.max())} out of range "
+                f"(PLTE has {len(plte)} entries)"
+            )
+        return plte[idx]
     if color_type == 4:
         return np.repeat(a[:, :, :1], 3, axis=2)
     if color_type == 6:

@@ -349,6 +349,45 @@ def test_png_decoder_against_hand_built_fixture():
     assert np.array_equal(multimodal.decode_image(blob), want)
 
 
+def test_png_indexed_roundtrip():
+    """Palette (color type 3) PNGs: indices resolve through PLTE; the
+    filter-cycled encoder covers every unfilter path at 1 byte/pixel."""
+    rng = np.random.RandomState(7)
+    palette = rng.randint(0, 256, size=(17, 3)).astype(np.uint8)
+    idx = rng.randint(0, 17, size=(11, 9))
+    a = palette[idx]  # (11, 9, 3) with exactly <=17 distinct colors
+    blob = multimodal.encode_png_indexed(a)
+    assert b"PLTE" in blob
+    assert np.array_equal(multimodal.decode_image(blob), a)
+    # no-filter variant too
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png_indexed(a, filter_cycle=False)), a
+    )
+    # resize re-encodes through the truecolor encoder — still decodable
+    out = multimodal.resize_image(blob, 5, 4)
+    assert multimodal.decode_image(out).shape == (4, 5, 3)
+    # > 256 distinct colors cannot be indexed
+    big = np.arange(32 * 32 * 3, dtype=np.uint8).reshape(32, 32, 3)
+    big[:, :, 0] = np.arange(32)[None, :].repeat(32, 0)
+    big[:, :, 1] = np.arange(32)[:, None].repeat(32, 1)
+    with pytest.raises(ValueError, match="256 distinct"):
+        multimodal.encode_png_indexed(big)
+
+
+def test_png_indexed_matches_imageio(spark, tmp_path):
+    """Java ImageIO resolves the same PLTE table — an independent decoder
+    agreeing on an indexed file validates the palette path end to end."""
+    rng = np.random.RandomState(8)
+    palette = rng.randint(0, 256, size=(31, 3)).astype(np.uint8)
+    a = palette[rng.randint(0, 31, size=(16, 12))]
+    p = tmp_path / "0.png"
+    p.write_bytes(multimodal.encode_png_indexed(a))
+    jv = multimodal.decode_stats_jvm(spark, str(tmp_path)).first()
+    s = a.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (jv["width"], jv["height"]) == (12, 16)
+    assert (jv["sum_r"], jv["sum_g"], jv["sum_b"]) == tuple(int(x) for x in s)
+
+
 def test_png_rejects_malformed():
     a = np.zeros((2, 2, 3), dtype=np.uint8)
     good = multimodal.encode_png(a)
@@ -374,14 +413,25 @@ def test_png_rejects_malformed():
     )
     with pytest.raises(ValueError, match="interlacing"):
         multimodal.decode_image(adam7)
+    # a palette (type 3) PNG with no PLTE chunk is malformed
     pal = (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 6))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="color type"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         multimodal.decode_image(pal)
+    # an index beyond the PLTE table is malformed, not a silent wrap
+    pal2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+        + chunk(b"PLTE", bytes(6))  # 2 palette entries
+        + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x00\x05" + b"\x00" + b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index 5"):
+        multimodal.decode_image(pal2)
     with pytest.raises(ValueError, match="length mismatch"):
         multimodal.decode_image(
             b"\x89PNG\r\n\x1a\n"
