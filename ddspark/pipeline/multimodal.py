@@ -46,6 +46,8 @@ __all__ = [
     "encode_ppm",
     "encode_png",
     "encode_png_indexed",
+    "encode_gif",
+    "gif_frame_count",
     "decode_image",
     "resize_image",
     "synth_images",
@@ -366,6 +368,243 @@ def _decode_png(blob: bytes) -> np.ndarray:
     return a
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> list[int]:
+    """GIF-variant LZW: LSB-first bit packing, variable code width
+    ``min_code_size+1`` .. 12 (no early-change), clear/EOI codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    base = [[i] for i in range(clear)] + [None, None]
+    table = list(base)
+    code_size = min_code_size + 1
+    out: list[int] = []
+    acc = nbits = 0
+    prev: list[int] | None = None
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = list(base)
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == eoi:
+                return out
+            if prev is None:
+                if code >= clear:
+                    raise ValueError("corrupt GIF LZW stream (first code)")
+                entry = table[code]
+            elif code < len(table) and table[code] is not None:
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt GIF LZW stream (code gap)")
+            out.extend(entry)
+            if len(out) >= npix:
+                return out
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return out
+
+
+def _gif_lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """Real GIF LZW compression (string-table build, LSB-first packing) —
+    the encoder exists so roundtrip tests exercise the decoder's
+    dictionary-growth path, not just literal codes."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    code_size = min_code_size + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    run: tuple[int, ...] = ()
+    for px in indices:
+        cand = run + (px,)
+        if cand in table:
+            run = cand
+            continue
+        put(table[run])
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset, like real writers
+            put(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            code_size = min_code_size + 1
+        run = (px,)
+    if run:
+        put(table[run])
+    put(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_interlace_order(h: int) -> list[int]:
+    return [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an ``(H, W, 3) uint8`` RGB array (<= 256 distinct colors) as
+    a single-frame GIF89a with a global color table and real LZW
+    compression; ``interlace`` writes the 4-pass row order."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 3:
+        raise ValueError(f"expected (H, W, 3) RGB array, got {a.shape}")
+    h, w = a.shape[:2]
+    colors, idx = np.unique(a.reshape(-1, 3), axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"GIF supports <= 256 distinct colors, got {len(colors)}")
+    cbits = max(1, int(len(colors) - 1).bit_length())
+    tbl = np.zeros((2**cbits, 3), np.uint8)
+    tbl[: len(colors)] = colors
+    rows = idx.reshape(h, w)
+    if interlace:
+        rows = rows[_gif_interlace_order(h)]
+    min_code = max(2, cbits)
+    lzw = _gif_lzw_encode([int(v) for v in rows.ravel()], min_code)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((cbits - 1) << 4) | (cbits - 1), 0, 0)
+    out += tbl.tobytes()
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40 if interlace else 0)
+    out.append(min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(blob: bytes) -> np.ndarray:
+    """GIF87a/89a decoder: logical screen + global/local color tables,
+    extension-block walk, full LZW (variable code width, clear/EOI,
+    dictionary growth to 4096), 4-pass interlace.  Returns the FIRST
+    frame composited onto the logical screen (background color fill for
+    offset frames); transparency is ignored (alpha dropped, consistent
+    with the other decoders).  Later frames of an animation are not
+    composited — use :func:`gif_frame_count` to detect animations."""
+    b = bytes(blob)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 ** ((flags & 7) + 1)
+        gct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(b):
+        t = b[pos]
+        if t == 0x21:  # extension: label byte then sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif t == 0x2C:  # image descriptor
+            left, top, fw, fh, ifl = struct.unpack_from("<HHHHB", b, pos + 1)
+            pos += 10
+            lct = None
+            if ifl & 0x80:
+                n = 2 ** ((ifl & 7) + 1)
+                lct = np.frombuffer(b, np.uint8, n * 3, pos).reshape(-1, 3)
+                pos += n * 3
+            pal = lct if lct is not None else gct
+            if pal is None:
+                raise ValueError("GIF image has no color table")
+            min_code = b[pos]
+            pos += 1
+            data = bytearray()
+            while pos < len(b) and b[pos] != 0:
+                ln = b[pos]
+                data += b[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), min_code, fw * fh)
+            if len(idx) < fw * fh:
+                raise ValueError("truncated GIF pixel data")
+            frame_idx = np.array(idx[: fw * fh], np.int64).reshape(fh, fw)
+            if int(frame_idx.max(initial=0)) >= len(pal):
+                raise ValueError("GIF pixel index outside color table")
+            if ifl & 0x40:  # interlaced: rows arrive in 4-pass order
+                order = _gif_interlace_order(fh)
+                deinterlaced = np.empty_like(frame_idx)
+                deinterlaced[order] = frame_idx
+                frame_idx = deinterlaced
+            frame = pal[frame_idx]
+            if (left, top, fw, fh) == (0, 0, w, h):
+                return np.ascontiguousarray(frame)
+            canvas = np.zeros((h, w, 3), np.uint8)
+            if gct is not None and bg < len(gct):
+                canvas[:, :] = gct[bg]
+            canvas[top : top + fh, left : left + fw] = frame[: h - top, : w - left]
+            return canvas
+        elif t == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block type {t:#04x} at {pos}")
+    raise ValueError("GIF has no image data")
+
+
+def gif_frame_count(blob: bytes) -> int:
+    """Number of image frames in a GIF (1 = still, >1 = animation) — a
+    block-structure walk, no pixel decode."""
+    b = bytes(blob)
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    flags = b[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * 2 ** ((flags & 7) + 1)
+    frames = 0
+    while pos < len(b):
+        t = b[pos]
+        if t == 0x21:
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif t == 0x2C:
+            frames += 1
+            ifl = b[pos + 9]
+            pos += 10
+            if ifl & 0x80:
+                pos += 3 * 2 ** ((ifl & 7) + 1)
+            pos += 1  # LZW min code size
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif t == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block type {t:#04x} at {pos}")
+    return frames
+
+
 def _decode_bmp(blob: bytes) -> np.ndarray:
     if len(blob) < 54:
         raise ValueError("truncated BMP: missing headers")
@@ -437,19 +676,22 @@ def decode_image(blob: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(b)
+    if b[:4] == b"GIF8":
+        return _decode_gif(b)
     if b[:2] == b"BM":
         return _decode_bmp(b)
     if b[:2] == b"P6":
         return _decode_ppm(b)
     raise ValueError(
-        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/JPEG supported)"
+        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/GIF/JPEG supported)"
     )
 
 
 def resize_image(blob: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize: decode, sample ``src = floor(dst * in/out)``
     on each axis, re-encode in the input's own format (BMP -> BMP,
-    PPM -> PPM, PNG -> PNG, JPEG -> JPEG — the only lossy re-encode)."""
+    PPM -> PPM, PNG -> PNG, GIF -> GIF, JPEG -> JPEG — the only lossy
+    re-encode)."""
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
     a = decode_image(blob)
@@ -464,6 +706,10 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
         from .jpeg import encode_jpeg
 
         return encode_jpeg(out)
+    if b[:4] == b"GIF8":
+        # NN output pixels are a subset of the input's colors, so the
+        # <=256-color invariant survives the resize
+        return encode_gif(out)
     return encode_ppm(out) if b[:2] == b"P6" else encode_bmp(out)
 
 

@@ -388,6 +388,84 @@ def test_png_indexed_matches_imageio(spark, tmp_path):
     assert (jv["sum_r"], jv["sum_g"], jv["sum_b"]) == tuple(int(x) for x in s)
 
 
+def test_gif_roundtrip_and_lzw_growth():
+    """encode_gif -> decode_image is lossless for <=256-color images.
+    Sizes chosen to push LZW through code-width growth (9->12 bits) and
+    past the 4096-entry table reset; interlace covers the 4-pass row
+    reorder on a height that is not a multiple of 8."""
+    rng = np.random.RandomState(3)
+    palette = rng.randint(0, 256, size=(200, 3)).astype(np.uint8)
+    a = palette[rng.randint(0, 200, size=(100, 90))]  # 9000 px: table reset
+    blob = multimodal.encode_gif(a)
+    assert blob[:6] == b"GIF89a"
+    assert np.array_equal(multimodal.decode_image(blob), a)
+    # interlaced, odd height
+    b23 = palette[rng.randint(0, 200, size=(23, 17))]
+    il = multimodal.encode_gif(b23, interlace=True)
+    assert np.array_equal(multimodal.decode_image(il), b23)
+    # few-color image (small code size path)
+    two = np.where(
+        (np.add.outer(np.arange(9), np.arange(13)) % 2)[:, :, None] == 0,
+        np.uint8(250), np.uint8(5),
+    ).astype(np.uint8).repeat(3, axis=2).reshape(9, 13, 3)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_gif(two)), two
+    )
+    # resize re-encodes as GIF (NN keeps the color count bounded)
+    out = multimodal.resize_image(blob, 30, 20)
+    assert out[:6] == b"GIF89a"
+    assert multimodal.decode_image(out).shape == (20, 30, 3)
+    with pytest.raises(ValueError, match="256 distinct"):
+        grad = np.zeros((20, 20, 3), np.uint8)
+        grad[:, :, 0] = np.arange(20)[:, None]
+        grad[:, :, 1] = np.arange(20)[None, :]
+        grad[:, :, 2] = (np.arange(20)[:, None] * 7) % 256
+        multimodal.encode_gif(grad)
+
+
+def test_gif_frame_count_and_malformed():
+    rng = np.random.RandomState(4)
+    palette = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    a = palette[rng.randint(0, 16, size=(8, 8))]
+    blob = multimodal.encode_gif(a)
+    assert multimodal.gif_frame_count(blob) == 1
+    # splice the image block in twice -> a 2-frame animation; decode
+    # returns the first frame
+    start = blob.index(b"\x2c")
+    body, trailer = blob[start:-1], blob[-1:]
+    two_frames = blob[:start] + body + body + trailer
+    assert multimodal.gif_frame_count(two_frames) == 2
+    assert np.array_equal(multimodal.decode_image(two_frames), a)
+    with pytest.raises(ValueError, match="not a GIF"):
+        multimodal.gif_frame_count(b"GIF90a" + blob[6:])
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        multimodal.decode_image(blob[:start] + b"\x99" + blob[start:])
+    # pixel index outside the color table: 1-bit GCT (2 entries) but a
+    # pixel coded with value 3
+    import struct as st
+
+    lzw = multimodal._gif_lzw_encode([3], 2)
+    hdr = b"GIF89a" + st.pack("<HHBBB", 1, 1, 0x80, 0, 0) + bytes(6)
+    img = b"\x2c" + st.pack("<HHHHB", 0, 0, 1, 1, 0) + b"\x02"
+    img += bytes([len(lzw)]) + lzw + b"\x00\x3b"
+    with pytest.raises(ValueError, match="outside color table"):
+        multimodal.decode_image(hdr + img)
+
+
+def test_gif_matches_imageio(spark, tmp_path):
+    """Java ImageIO decodes the same encode_gif output — independent
+    decoder agreement on palette resolution + LZW."""
+    rng = np.random.RandomState(5)
+    palette = rng.randint(0, 256, size=(64, 3)).astype(np.uint8)
+    a = palette[rng.randint(0, 64, size=(21, 33))]
+    p = tmp_path / "0.gif"
+    p.write_bytes(multimodal.encode_gif(a))
+    jv = multimodal.decode_stats_jvm(spark, str(tmp_path)).first()
+    s = a.reshape(-1, 3).astype(np.int64).sum(axis=0)
+    assert (jv["width"], jv["height"]) == (33, 21)
+    assert (jv["sum_r"], jv["sum_g"], jv["sum_b"]) == tuple(int(x) for x in s)
+
+
 def test_png_rejects_malformed():
     a = np.zeros((2, 2, 3), dtype=np.uint8)
     good = multimodal.encode_png(a)
