@@ -303,6 +303,7 @@ def encode_jpeg(
     subsampling: str = "444",
     progressive: bool = False,
     separate_dc_scans: bool = False,
+    separate_scans: bool = False,
     rgb: bool = False,
 ) -> bytes:
     """Encode ``(H, W) | (H, W, 1)`` gray or ``(H, W, 3) uint8`` RGB as a
@@ -320,15 +321,24 @@ def encode_jpeg(
     (progressive only) emits one Ns=1 DC scan per component instead of the
     interleaved DC scan — the layout libjpeg scan scripts produce, where
     T.81 A.2.2 mandates nominal-raster block order rather than the MCU
-    walk.  ``rgb`` stores the three components as direct R,G,B (no color
-    transform): an Adobe APP14 with transform 0 plus 'R','G','B' component
-    IDs, the two signals real decoders key on — 4:4:4 only."""
-    if progressive and restart_interval:
+    walk.  ``separate_scans`` writes a non-interleaved SEQUENTIAL file —
+    one full-band DC+AC scan per component in nominal raster order, the
+    layout ``jpegtran``-style tooling can emit.  ``rgb`` stores the three
+    components as direct R,G,B (no color transform): an Adobe APP14 with
+    transform 0 plus 'R','G','B' component IDs, the two signals real
+    decoders key on — 4:4:4 only."""
+    if (progressive or separate_scans) and restart_interval:
         raise ValueError(
-            "progressive + restart_interval not supported together"
+            "progressive/separate_scans + restart_interval not supported "
+            "together"
         )
     if separate_dc_scans and not progressive:
         raise ValueError("separate_dc_scans requires progressive=True")
+    if separate_scans and progressive:
+        raise ValueError(
+            "separate_scans is the sequential layout; use "
+            "separate_dc_scans for progressive"
+        )
     a = np.asarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -481,6 +491,26 @@ def encode_jpeg(
                 by_, bx_ = divmod(u, bw_)
                 emit_ac_band(wtr, qcoeffs[ci][by_, bx_, 1:])
             scans.append(([ci], 1, 63, wtr.flush()))
+    elif separate_scans:
+        # non-interleaved sequential: per-component full-band scans,
+        # blocks in nominal raster order, DC predictor resets per scan
+        seq_scans = []
+        for ci in range(ncomp):
+            chs, cvs = comp_hv[ci]
+            wtr = _BitWriter()
+            prev = 0
+            nominal_w = -(-w * chs // sh)
+            nominal_h = -(-h * cvs // sv)
+            bw_ = -(-nominal_w // 8)
+            bh2 = -(-nominal_h // 8)
+            for u in range(bw_ * bh2):
+                by_, bx_ = divmod(u, bw_)
+                zz = qcoeffs[ci][by_, bx_]
+                dc = int(zz[0])
+                emit_dc(wtr, dc - prev)
+                prev = dc
+                emit_ac_band(wtr, zz[1:])
+            seq_scans.append((ci, wtr.flush()))
     else:
         wtr = _BitWriter()
         pred = [0] * ncomp
@@ -533,6 +563,11 @@ def encode_jpeg(
             for ci in scan_cis:
                 sos += bytes([comp_ids[ci], 0x00])
             sos += bytes([ss, se, 0])  # Ah=Al=0
+            out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+            out += entropy_bytes
+    elif separate_scans:
+        for ci, entropy_bytes in seq_scans:
+            sos = bytes([1, comp_ids[ci], 0x00, 0, 63, 0])
             out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
             out += entropy_bytes
     else:
@@ -628,10 +663,11 @@ def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
     floor(x+0.5) rounding.  EXIF APP1 orientation (tags 1-8) is applied to
     the output unless ``apply_exif_orientation=False``; Adobe APP14
     transform 0 (and the R,G,B component-ID convention) decodes as direct
-    RGB without the YCbCr conversion.  Baseline accepts one interleaved
-    scan — non-interleaved multi-scan sequential files raise rather than
-    mis-decode; arithmetic/lossless/hierarchical processes and CMYK/YCCK
-    component layouts raise with the marker/count named."""
+    RGB without the YCbCr conversion.  Sequential files decode both as
+    one interleaved scan (the common layout, straight to pixels) and as
+    non-interleaved per-component scans (coefficients accumulated, T.81
+    A.2.2 block order); arithmetic/lossless/hierarchical processes and
+    CMYK/YCCK component layouts raise with the marker/count named."""
     b = bytes(blob)
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG stream (no SOI)")
@@ -732,16 +768,13 @@ def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
                 if not matches:
                     raise ValueError(f"SOS references unknown component {cid}")
                 scan.append((matches[0], tt >> 4, tt & 0xF))
-            if not progressive:
-                if ns != len(comps):
-                    # a partial scan means a non-interleaved sequential
-                    # file (one scan per component); decoding only the
-                    # first would silently return component 1 as grayscale
-                    raise ValueError(
-                        f"unsupported non-interleaved JPEG scan ({ns} of "
-                        f"{len(comps)} components; single interleaved "
-                        "scan only)"
-                    )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            if not progressive and ns == len(comps):
+                # the common layout: ONE interleaved scan — decode
+                # straight to pixels, no coefficient accumulation
                 return oriented(
                     _decode_scan(
                         b, pos, scan, qtabs, huff, h, w, restart,
@@ -749,27 +782,38 @@ def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
                     )
                 )
             if coeffs is None:
-                hmax = max(c["h"] for c in comps)
-                vmax = max(c["v"] for c in comps)
-                mcux = -(-w // (8 * hmax))
-                mcuy = -(-h // (8 * vmax))
                 coeffs = [
                     np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
                     for c in comps
                 ]
-            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
-            ahal = body[3 + 2 * ns]
-            pos = _progressive_scan(
-                b, pos, scan, comps, coeffs, huff, restart,
-                hmax, vmax, mcux, mcuy, w, h,
-                ss, se, ahal >> 4, ahal & 0xF,
-            )
+            if progressive:
+                ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                pos = _progressive_scan(
+                    b, pos, scan, comps, coeffs, huff, restart,
+                    hmax, vmax, mcux, mcuy, w, h,
+                    ss, se, ahal >> 4, ahal & 0xF,
+                )
+            else:
+                # non-interleaved SEQUENTIAL file (one scan per
+                # component, T.81 A.2.2): accumulate full DC+AC blocks in
+                # nominal raster order, reconstruct at EOI
+                if ns != 1:
+                    raise ValueError(
+                        f"unsupported sequential JPEG scan with {ns} of "
+                        f"{len(comps)} components (one interleaved full "
+                        "scan, or one component per scan)"
+                    )
+                pos = _sequential_scan(
+                    b, pos, scan[0], comps, coeffs, huff, restart,
+                    hmax, vmax, w, h,
+                )
         elif marker == 0xD9:  # EOI
             break
         # else: APPn/COM and friends — skipped
-    if progressive and coeffs is not None:
+    if coeffs is not None:
         return oriented(
-            _reconstruct_progressive(
+            _reconstruct_coeffs(
                 coeffs, comps, qtabs, h, w, hmax, vmax,
                 rgb_direct=_is_rgb_direct(comps, adobe_transform),
             )
@@ -953,7 +997,62 @@ def _progressive_scan(
     return q
 
 
-def _reconstruct_progressive(
+def _sequential_scan(
+    b, pos, scan_entry, comps, coeffs, huff, restart, hmax, vmax, w, h
+):
+    """One non-interleaved SEQUENTIAL scan (Ns=1): every block of the
+    component in nominal raster order (T.81 A.2.2 — the same grid and
+    restart cadence as the progressive AC path), full DC-diff + AC RLE
+    into the zigzag coefficient array.  Returns the position of the next
+    marker."""
+    comp, dct, act = scan_entry
+    dtree, atree = huff[(0, dct)], huff[(1, act)]
+    arr = coeffs[comps.index(comp)]
+    br = _BitReader(b[pos:])
+    pred = 0
+    nominal_w = -(-w * comp["h"] // hmax)
+    nominal_h = -(-h * comp["v"] // vmax)
+    bw_ = -(-nominal_w // 8)
+    bh_ = -(-nominal_h // 8)
+    for u in range(bw_ * bh_):
+        if restart and u and u % restart == 0:
+            br.align()
+            if (
+                br.pos + 1 < len(br.data)
+                and br.data[br.pos] == 0xFF
+                and 0xD0 <= br.data[br.pos + 1] <= 0xD7
+            ):
+                br.pos += 2
+            pred = 0
+        by, bx = divmod(u, bw_)
+        blk = arr[by, bx]
+        s = dtree.decode(br)
+        diff = _extend(br.bits(s), s) if s else 0
+        pred += diff
+        blk[0] = pred
+        k = 1
+        while k < 64:
+            rs = atree.decode(br)
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL
+                k += 16
+                continue
+            k += rs >> 4
+            sz = rs & 0xF
+            if k > 63:
+                raise ValueError("JPEG AC index out of range")
+            blk[k] = _extend(br.bits(sz), sz)
+            k += 1
+    q = pos + br.pos
+    while q + 1 < len(b):
+        if b[q] == 0xFF and b[q + 1] != 0x00:
+            break
+        q += 1
+    return q
+
+
+def _reconstruct_coeffs(
     coeffs, comps, qtabs, h, w, hmax, vmax, rgb_direct=False
 ):
     """Dequantize + IDCT every accumulated block (vectorized across all

@@ -1751,6 +1751,53 @@ def test_jpeg_ycck_named_in_component_count_error():
         decode_jpeg(blob)
 
 
+def test_jpeg_noninterleaved_sequential_roundtrip(spark, tmp_path):
+    """Non-interleaved SEQUENTIAL files (one full-band scan per
+    component — the jpegtran-style layout that used to raise) decode
+    pixel-identically to the interleaved encoding of the same
+    coefficients, across subsamplings and odd dims; Java ImageIO agrees
+    on the same file."""
+    from ddspark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(13)
+    cases = [
+        ((40, 24, 3), "420", 90),
+        ((37, 53, 3), "422", 75),
+        ((16, 16, 3), "444", 50),
+    ]
+    for shape, sub, q in cases:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(a, quality=q, subsampling=sub))
+        blob = encode_jpeg(a, quality=q, subsampling=sub, separate_scans=True)
+        assert blob.count(b"\xff\xda") >= 3  # one SOS per component
+        assert np.array_equal(decode_jpeg(blob), base), (shape, sub)
+    g = rng.randint(0, 256, size=(24, 40)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85, separate_scans=True)),
+        decode_jpeg(encode_jpeg(g, quality=85)),
+    )
+    with pytest.raises(ValueError, match="separate_scans"):
+        encode_jpeg(g, separate_scans=True, progressive=True)
+    with pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(g, separate_scans=True, restart_interval=2)
+    # independent decoder agreement on the non-interleaved layout
+    a = rng.randint(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    blob = encode_jpeg(a, quality=90, subsampling="420", separate_scans=True)
+    p = tmp_path / "ni.jpg"
+    p.write_bytes(blob)
+    row = (
+        spark.read.format("image").load(str(p))
+        .select("image.height", "image.width", "image.nChannels", "image.data")
+        .first()
+    )
+    ref = np.frombuffer(bytes(row["data"]), dtype=np.uint8).reshape(
+        row["height"], row["width"], row["nChannels"]
+    )[:, :, ::-1]
+    got = decode_jpeg(blob)
+    assert got.shape == ref.shape
+    assert np.abs(got.astype(int) - ref.astype(int)).mean() < 1.5
+
+
 def test_jpeg_rejects_unsupported_component_counts_at_sof():
     """2- or 4-component SOFs fail at parse time with the count named —
     not with a late tuple-unpack error in plane assembly (r4 ADVICE)."""
