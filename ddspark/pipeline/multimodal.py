@@ -45,6 +45,7 @@ __all__ = [
     "encode_bmp",
     "encode_ppm",
     "encode_png",
+    "encode_png16",
     "encode_png_indexed",
     "encode_gif",
     "gif_frame_count",
@@ -161,7 +162,9 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png_indexed(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
+def encode_png_indexed(
+    arr: np.ndarray, filter_cycle: bool = True, interlace: bool = False
+) -> bytes:
     """Encode an ``(H, W, 3) uint8`` RGB array as an 8-bit PALETTE PNG
     (color type 3): distinct colors become the PLTE table (<= 256
     required), pixels store palette indices.  The indexed layout is what
@@ -183,14 +186,17 @@ def encode_png_indexed(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
         color_type=3,
         plte=colors.tobytes(),
         filter_cycle=filter_cycle,
+        interlace=interlace,
     )
 
 
-def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
+def encode_png(
+    arr: np.ndarray, filter_cycle: bool = True, interlace: bool = False
+) -> bytes:
     """Encode a ``uint8`` array — ``(H, W)``/``(H, W, 1)`` gray,
     ``(H, W, 2)`` gray+alpha, ``(H, W, 3)`` RGB, or ``(H, W, 4)`` RGBA — as
-    a non-interlaced 8-bit PNG (stdlib ``zlib`` deflate).  With
-    ``filter_cycle`` each scanline uses filter type ``row % 5``, so a
+    an 8-bit PNG (stdlib ``zlib`` deflate), optionally Adam7 interlaced.
+    With ``filter_cycle`` each scanline uses filter type ``row % 5``, so a
     roundtrip exercises every unfilter path (None/Sub/Up/Average/Paeth);
     with ``filter_cycle=False`` every row uses filter 0."""
     a = np.asarray(arr, dtype=np.uint8)
@@ -199,26 +205,42 @@ def encode_png(arr: np.ndarray, filter_cycle: bool = True) -> bytes:
     if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
         raise ValueError(f"expected (H, W[, 1/2/3/4]) uint8 array, got {a.shape}")
     color_type = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
-    return _encode_png_raw(a, color_type, None, filter_cycle)
+    return _encode_png_raw(a, color_type, None, filter_cycle,
+                           interlace=interlace)
 
 
-def _encode_png_raw(
-    a: np.ndarray,
-    color_type: int,
-    plte: bytes | None,
-    filter_cycle: bool,
+def encode_png16(
+    arr: np.ndarray, filter_cycle: bool = True, interlace: bool = False
 ) -> bytes:
-    import zlib
+    """Encode a ``uint16`` array (same shapes as :func:`encode_png`) as a
+    16-bit PNG (big-endian samples).  The decoder reduces 16->8 with
+    ``round(v*255/65535)`` (the ImageIO rule), so
+    ``decode(encode_png16(x)) == round(x*255/65535)``."""
+    a = np.asarray(arr, dtype=np.uint16)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    if a.ndim != 3 or a.shape[2] not in (1, 2, 3, 4):
+        raise ValueError(f"expected (H, W[, 1/2/3/4]) uint16 array, got {a.shape}")
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[a.shape[2]]
+    return _encode_png_raw(a, color_type, None, filter_cycle, depth=16,
+                           interlace=interlace)
 
-    h, w, ch = a.shape
-    raw = a.reshape(h, w * ch).astype(np.int16)
-    prior = np.zeros(w * ch, dtype=np.int16)
+
+def _png_filter_rows(
+    rows: np.ndarray, bpp: int, filter_cycle: bool
+) -> bytearray:
+    """Filter a block of scanlines (``(n, rowbytes) uint8``); ``bpp`` is
+    the byte distance to the left neighbor.  Each row is prefixed with
+    its filter byte (``row % 5`` cycling or all 0)."""
+    n, rowbytes = rows.shape
+    raw = rows.astype(np.int16)
+    prior = np.zeros(rowbytes, dtype=np.int16)
     out = bytearray()
-    for y in range(h):
+    for y in range(n):
         row = raw[y]
         ft = (y % 5) if filter_cycle else 0
         left = np.zeros_like(row)
-        left[ch:] = row[:-ch]
+        left[bpp:] = row[:-bpp]
         if ft == 0:
             filt = row
         elif ft == 1:  # Sub
@@ -229,18 +251,53 @@ def _encode_png_raw(
             filt = row - (left + prior) // 2
         else:  # Paeth (list loop: left-dependency, see decoder note)
             rl, pl = row.tolist(), prior.tolist()
-            n = w * ch
-            pred = [0] * n
-            for i in range(n):
-                left = rl[i - ch] if i >= ch else 0
+            pred = [0] * rowbytes
+            for i in range(rowbytes):
+                lf = rl[i - bpp] if i >= bpp else 0
                 up = pl[i]
-                ul = pl[i - ch] if i >= ch else 0
-                pred[i] = _paeth(left, up, ul)
+                ul = pl[i - bpp] if i >= bpp else 0
+                pred[i] = _paeth(lf, up, ul)
             filt = row - np.array(pred, dtype=np.int16)
         out.append(ft)
         out += (filt % 256).astype(np.uint8).tobytes()
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return out
+
+
+def _encode_png_raw(
+    a: np.ndarray,
+    color_type: int,
+    plte: bytes | None,
+    filter_cycle: bool,
+    depth: int = 8,
+    interlace: bool = False,
+) -> bytes:
+    import zlib
+
+    h, w, ch = a.shape
+    if depth == 16:
+        byte_img = (
+            np.ascontiguousarray(a.astype(">u2"))
+            .view(np.uint8)
+            .reshape(h, w, ch * 2)
+        )
+    else:
+        byte_img = np.ascontiguousarray(a, dtype=np.uint8)
+    bpp = byte_img.shape[2]
+    if interlace:
+        out = bytearray()
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            sub = byte_img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            out += _png_filter_rows(
+                sub.reshape(sub.shape[0], -1), bpp, filter_cycle
+            )
+    else:
+        out = _png_filter_rows(byte_img.reshape(h, -1), bpp, filter_cycle)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color_type, 0, 0, 1 if interlace else 0
+    )
     blob = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
     if plte is not None:
         blob += _png_chunk(b"PLTE", plte)
@@ -251,16 +308,76 @@ def _encode_png_raw(
     )
 
 
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(
+    raw: bytes, start: int, nrows: int, rowbytes: int, bpp: int
+) -> tuple[bytearray, int]:
+    """Unfilter ``nrows`` scanlines of ``rowbytes`` bytes starting at
+    ``raw[start]`` (each preceded by its filter byte); ``bpp`` is the
+    byte distance to the left neighbor (channels x bytes-per-sample, per
+    the PNG spec — filters always operate on bytes).  Returns (pixel
+    bytes, stream bytes consumed).
+
+    Plain-Python int loops over lists: Sub/Average/Paeth carry a
+    left-neighbor dependency, so they cannot vectorize — and per-pixel
+    ndarray slicing is ~30x slower than list indexing at this grain
+    (measured 146 -> ~5 ms for a 256x256 RGB).  Up is the one filter
+    with no left dependency; zip comprehension is fine there."""
+    if len(raw) - start < nrows * (rowbytes + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    out = bytearray(nrows * rowbytes)
+    prior = [0] * rowbytes
+    for y in range(nrows):
+        base = start + y * (rowbytes + 1)
+        ft = raw[base]
+        cur = list(raw[base + 1 : base + 1 + rowbytes])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for x in range(bpp, rowbytes):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            cur = [(v + p) & 0xFF for v, p in zip(cur, prior)]
+        elif ft == 3:  # Average
+            for x in range(rowbytes):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(rowbytes):
+                a = cur[x - bpp] if x >= bpp else 0
+                b_ = prior[x]
+                c_ = prior[x - bpp] if x >= bpp else 0
+                p = a + b_ - c_
+                pa = p - a if p > a else a - p
+                pb = p - b_ if p > b_ else b_ - p
+                pc = p - c_ if p > c_ else c_ - p
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b_
+                else:
+                    pred = c_
+                cur[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y * rowbytes : (y + 1) * rowbytes] = bytes(cur)
+        prior = cur
+    return out, nrows * (rowbytes + 1)
+
+
 def _decode_png(blob: bytes) -> np.ndarray:
     """PNG decoder: chunk walk (CRC-checked), stdlib ``zlib`` inflate, all
-    five scanline unfilters (None/Sub/Up/Average/Paeth).  8-bit depth,
-    color types 0/2/3/4/6 (gray / RGB / PLTE palette / gray+alpha /
-    RGBA), non-interlaced.  Sub unfilters as a per-lane mod-256
-    cumulative sum and Up as one vectorized add; Average/Paeth walk
-    pixels (previous-row AND previous-pixel dependency); palette indices
-    resolve through one vectorized PLTE gather.  Returns
-    ``(H, W, 3) uint8`` RGB — gray replicated, alpha (including palette
-    tRNS alpha) dropped."""
+    five scanline unfilters (None/Sub/Up/Average/Paeth).  8- and 16-bit
+    depths (16-bit keeps the high byte), color types 0/2/3/4/6 (gray /
+    RGB / PLTE palette / gray+alpha / RGBA), non-interlaced AND Adam7
+    interlaced.  Palette indices resolve through one vectorized PLTE
+    gather.  Returns ``(H, W, 3) uint8`` RGB — gray replicated, alpha
+    (including palette tRNS alpha) dropped."""
     import zlib
 
     b = bytes(blob)
@@ -290,8 +407,8 @@ def _decode_png(blob: bytes) -> np.ndarray:
     if hdr is None or not idat:
         raise ValueError("PNG missing IHDR or IDAT")
     w, h, depth, color_type, comp, filt_method, interlace = hdr
-    if depth != 8:
-        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if depth not in (8, 16):
+        raise ValueError(f"unsupported PNG bit depth {depth} (8/16 only)")
     if color_type not in _PNG_CHANNELS:
         raise ValueError(
             f"unsupported PNG color type {color_type} "
@@ -299,58 +416,52 @@ def _decode_png(blob: bytes) -> np.ndarray:
         )
     if color_type == 3 and plte is None:
         raise ValueError("palette PNG missing PLTE chunk")
+    if color_type == 3 and depth == 16:
+        raise ValueError("palette PNG cannot be 16-bit")
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("unsupported PNG interlacing (Adam7)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     ch = _PNG_CHANNELS[color_type]
-    rowbytes = w * ch
+    bpp = ch * (depth // 8)
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (rowbytes + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    # Unfilter with plain-Python int loops over lists: Sub/Average/Paeth
-    # carry a left-neighbor dependency, so they cannot vectorize — and
-    # per-pixel ndarray slicing is ~30x slower than list indexing at this
-    # grain (measured 146 -> ~5 ms for a 256x256 RGB).  Up is the one
-    # filter with no left dependency; zip comprehension is fine there.
-    out = bytearray(h * rowbytes)
-    prior = [0] * rowbytes
-    for y in range(h):
-        base = y * (rowbytes + 1)
-        ft = raw[base]
-        cur = list(raw[base + 1 : base + 1 + rowbytes])
-        if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(ch, rowbytes):
-                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
-        elif ft == 2:  # Up
-            cur = [(v + p) & 0xFF for v, p in zip(cur, prior)]
-        elif ft == 3:  # Average
-            for x in range(rowbytes):
-                left = cur[x - ch] if x >= ch else 0
-                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(rowbytes):
-                a = cur[x - ch] if x >= ch else 0
-                b_ = prior[x]
-                c_ = prior[x - ch] if x >= ch else 0
-                p = a + b_ - c_
-                pa = p - a if p > a else a - p
-                pb = p - b_ if p > b_ else b_ - p
-                pc = p - c_ if p > c_ else c_ - p
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b_
-                else:
-                    pred = c_
-                cur[x] = (cur[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[y * rowbytes : (y + 1) * rowbytes] = bytes(cur)
-        prior = cur
-    a = np.frombuffer(bytes(out), dtype=np.uint8).reshape(h, w, ch)
+    if interlace == 0:
+        rowbytes = w * bpp
+        if len(raw) != h * (rowbytes + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out, _ = _png_unfilter(raw, 0, h, rowbytes, bpp)
+        samples = np.frombuffer(bytes(out), dtype=np.uint8)
+    else:
+        # Adam7: 7 independently-filtered sub-images back to back in the
+        # stream, scattered onto the full grid (per-pixel byte groups, so
+        # the same scatter covers 8- and 16-bit)
+        full = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos2 = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = -(-(w - x0) // dx) if w > x0 else 0
+            ph = -(-(h - y0) // dy) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            prb = pw * bpp
+            sub, consumed = _png_unfilter(raw, pos2, ph, prb, bpp)
+            pos2 += consumed
+            full[y0::dy, x0::dx] = np.frombuffer(
+                bytes(sub), dtype=np.uint8
+            ).reshape(ph, pw, bpp)
+        if pos2 != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
+        samples = full.reshape(-1)
+    if depth == 16:
+        # big-endian 16-bit samples -> 8-bit via round(v*255/65535) in
+        # exact integer form — the rule Java ImageIO uses, and more
+        # accurate than dropping the low byte
+        v = (
+            samples.reshape(h, w, ch, 2).astype(np.uint32)
+        )
+        v16 = (v[:, :, :, 0] << 8) | v[:, :, :, 1]
+        a = ((v16 * 510 + 65535) // 131070).astype(np.uint8)
+    else:
+        a = samples.reshape(h, w, ch)
     if color_type == 0:
         return np.repeat(a, 3, axis=2)
     if color_type == 3:

@@ -276,9 +276,12 @@ def test_multimodal_plumbing(docs):
 
 
 def test_decode_unsupported_format_raises():
-    # formats without a codec here (GIF) fail loud, naming the magic
+    # formats without a codec here (TIFF) fail loud, naming the magic
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.decode_image(b"GIF89a-stub-bytes")
+        multimodal.decode_image(b"II*\x00tiff-stub-bytes")
+    # a GIF magic with corrupt structure fails in the GIF parser, loud
+    with pytest.raises(ValueError, match="unknown GIF block"):
+        multimodal.decode_image(b"GIF89a" + b"\x00" * 16)
 
 
 def test_png_roundtrip_all_filters_and_color_types():
@@ -388,6 +391,71 @@ def test_png_indexed_matches_imageio(spark, tmp_path):
     assert (jv["sum_r"], jv["sum_g"], jv["sum_b"]) == tuple(int(x) for x in s)
 
 
+def test_png_adam7_interlace_roundtrip():
+    """Adam7-interlaced PNGs: 7 independently-filtered sub-images
+    scattered onto the full grid.  Odd dimensions exercise the empty and
+    partial passes; the filter cycle runs inside each pass."""
+    rng = np.random.RandomState(17)
+    for shape in [(16, 16, 3), (13, 7, 3), (1, 1, 3), (2, 3, 3), (9, 31, 4)]:
+        a = rng.randint(0, 256, size=shape).astype(np.uint8)
+        il = multimodal.encode_png(a, interlace=True)
+        plain = multimodal.encode_png(a)
+        assert multimodal.decode_image(il).shape[:2] == shape[:2]
+        assert np.array_equal(
+            multimodal.decode_image(il), multimodal.decode_image(plain)
+        ), shape
+    g = rng.randint(0, 256, size=(10, 6)).astype(np.uint8)
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png(g, interlace=True)),
+        multimodal.decode_image(multimodal.encode_png(g)),
+    )
+    # interlaced + indexed
+    palette = rng.randint(0, 256, size=(9, 3)).astype(np.uint8)
+    p = palette[rng.randint(0, 9, size=(12, 11))]
+    assert np.array_equal(
+        multimodal.decode_image(multimodal.encode_png_indexed(p, interlace=True)),
+        p,
+    )
+
+
+def _reduce16(a: np.ndarray) -> np.ndarray:
+    return ((a.astype(np.uint32) * 510 + 65535) // 131070).astype(np.uint8)
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNGs decode via round(v*255/65535) — the ImageIO rule —
+    including interlaced and gray+alpha layouts."""
+    rng = np.random.RandomState(18)
+    a = rng.randint(0, 65536, size=(9, 7, 3)).astype(np.uint16)
+    got = multimodal.decode_image(multimodal.encode_png16(a))
+    assert np.array_equal(got, _reduce16(a))
+    # boundary samples where round-scale and high-byte differ
+    edge = np.array([[[0, 255, 256], [32767, 32768, 65535]]], np.uint16)
+    got = multimodal.decode_image(multimodal.encode_png16(edge))
+    assert np.array_equal(got, _reduce16(edge))
+    assert not np.array_equal(_reduce16(edge), (edge >> 8).astype(np.uint8))
+    ga = rng.randint(0, 65536, size=(6, 5, 2)).astype(np.uint16)
+    got = multimodal.decode_image(multimodal.encode_png16(ga))
+    assert np.array_equal(
+        got, np.repeat(_reduce16(ga[:, :, :1]), 3, axis=2)
+    )
+    il = multimodal.decode_image(multimodal.encode_png16(a, interlace=True))
+    assert np.array_equal(il, _reduce16(a))
+
+
+def test_png_16bit_matches_imageio(spark, tmp_path):
+    """Java ImageIO reduces 16->8 with the same round-scale rule — bit
+    equality on the same file."""
+    rng = np.random.RandomState(19)
+    a = rng.randint(0, 65536, size=(8, 10, 3)).astype(np.uint16)
+    p = tmp_path / "0.png"
+    p.write_bytes(multimodal.encode_png16(a))
+    jv = multimodal.decode_stats_jvm(spark, str(tmp_path)).first()
+    want = _reduce16(a).astype(np.int64).reshape(-1, 3).sum(axis=0)
+    assert (jv["width"], jv["height"]) == (10, 8)
+    assert (jv["sum_r"], jv["sum_g"], jv["sum_b"]) == tuple(int(x) for x in want)
+
+
 def test_gif_roundtrip_and_lzw_growth():
     """encode_gif -> decode_image is lossless for <=256-color images.
     Sizes chosen to push LZW through code-width growth (9->12 bits) and
@@ -483,14 +551,24 @@ def test_png_rejects_malformed():
             + st.pack(">I", zlib.crc32(tag + body))
         )
 
-    adam7 = (
+    # Adam7 now decodes; an unknown interlace METHOD still raises, and an
+    # Adam7 stream with non-interlaced-sized data is a length mismatch
+    bad_il = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2))
         + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
         + chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="interlacing"):
-        multimodal.decode_image(adam7)
+    with pytest.raises(ValueError, match="interlace method"):
+        multimodal.decode_image(bad_il)
+    adam7_short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))  # needs 15 for Adam7
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        multimodal.decode_image(adam7_short)
     # a palette (type 3) PNG with no PLTE chunk is malformed
     pal = (
         b"\x89PNG\r\n\x1a\n"
@@ -873,7 +951,7 @@ def test_sample_frames_uniform_and_short(spark):
 
 def test_resize_unsupported_format_raises():
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.resize_image(b"GIF89a-stub-bytes", 64, 64)
+        multimodal.resize_image(b"II*\x00tiff-stub-bytes", 64, 64)
     with pytest.raises(ValueError, match="positive"):
         multimodal.resize_image(multimodal.encode_ppm(np.zeros((1, 1, 3), np.uint8)), 0, 4)
 
