@@ -1343,14 +1343,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
-    """Decode a RIFF/WAVE PCM-16 blob: walks the chunk list (tolerating
+    """Decode a RIFF/WAVE PCM blob: walks the chunk list (tolerating
     extra chunks like LIST/INFO), returns ``(samples (n, ch) int16,
-    sample_rate)``.  Compressed format tags raise with the tag value."""
+    sample_rate)``.  Sample layouts: 16-bit PCM natively; 8-bit unsigned
+    PCM shifts up (``(v-128)<<8``); 24- and 32-bit PCM keep the top 16
+    bits; IEEE float32 (format tag 3) clips to [-1, 1] and scales by
+    32767.  Compressed format tags raise with the tag value."""
     b = bytes(blob)
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE stream (magic {b[:4]!r})")
     pos, end = 12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
-    rate, ch, bits, data = None, None, None, None
+    rate, ch, bits, tag, data = None, None, None, None, None
     while pos + 8 <= end:
         cid, sz = b[pos : pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         body = b[pos + 8 : pos + 8 + sz]
@@ -1358,18 +1361,44 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
             if len(body) < 16:
                 raise ValueError("truncated WAV fmt chunk")
             tag, ch, rate, _br, _ba, bits = struct.unpack_from("<HHIIHH", body, 0)
-            if tag != 1:
-                raise ValueError(f"unsupported WAV format tag {tag} (PCM=1 only)")
+            if tag == 0xFFFE and len(body) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+                (tag,) = struct.unpack_from("<H", body, 24)  # SubFormat GUID head
+            if tag not in (1, 3):
+                raise ValueError(
+                    f"unsupported WAV format tag {tag} (PCM=1 / float=3 only)"
+                )
         elif cid == b"data":
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
-    if bits != 16:
-        raise ValueError(f"unsupported WAV bit depth {bits} (16 only)")
-    n = len(data) // (2 * ch)
-    a = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
-    return a.copy(), int(rate)
+    if tag == 3:
+        if bits != 32:
+            raise ValueError(f"unsupported float WAV bit depth {bits} (32 only)")
+        n = len(data) // (4 * ch)
+        f = np.frombuffer(data, dtype="<f4", count=n * ch).reshape(n, ch)
+        a = np.clip(f, -1.0, 1.0) * 32767.0
+        return np.round(a).astype(np.int16), int(rate)
+    if bits == 16:
+        n = len(data) // (2 * ch)
+        a = np.frombuffer(data, dtype="<i2", count=n * ch).reshape(n, ch)
+        return a.copy(), int(rate)
+    if bits == 8:  # unsigned
+        n = len(data) // ch
+        a = np.frombuffer(data, dtype=np.uint8, count=n * ch).reshape(n, ch)
+        return ((a.astype(np.int16) - 128) << 8), int(rate)
+    if bits == 24:
+        n = len(data) // (3 * ch)
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * ch * 3)
+        raw = raw.reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign-extend
+        return (v >> 8).astype(np.int16).reshape(n, ch), int(rate)
+    if bits == 32:
+        n = len(data) // (4 * ch)
+        a = np.frombuffer(data, dtype="<i4", count=n * ch).reshape(n, ch)
+        return (a >> 16).astype(np.int16), int(rate)
+    raise ValueError(f"unsupported WAV bit depth {bits} (8/16/24/32 only)")
 
 
 def synth_audio(

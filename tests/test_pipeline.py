@@ -679,6 +679,60 @@ def test_wav_roundtrip_and_chunk_walk():
         multimodal.decode_audio(blob[:20] + b"\x02" + blob[21:])
 
 
+def _wav_bytes(tag: int, ch: int, rate: int, bits: int, data: bytes) -> bytes:
+    import struct as st
+
+    fmt = st.pack("<HHIIHH", tag, ch, rate, rate * ch * bits // 8,
+                  ch * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    body += b"data" + st.pack("<I", len(data)) + data
+    return b"RIFF" + st.pack("<I", len(body)) + body
+
+
+def test_wav_pcm_depths_and_float():
+    """The common non-16-bit WAV tail: 8-bit unsigned, 24/32-bit PCM
+    (top 16 bits kept), IEEE float32 (tag 3) — all reduce to the int16
+    contract with exact integer rules."""
+    import struct as st
+
+    # 8-bit unsigned
+    u8 = bytes([0, 128, 255, 1])
+    out, rate = multimodal.decode_audio(_wav_bytes(1, 1, 8000, 8, u8))
+    assert rate == 8000
+    assert out[:, 0].tolist() == [(-128) << 8, 0, 127 << 8, (-127) << 8]
+    # 24-bit: little-endian 3-byte signed; top 16 bits survive
+    vals = [0x123456, -0x123456, 0x7FFFFF, -0x800000]
+    data = b"".join(
+        (v & 0xFFFFFF).to_bytes(3, "little") for v in vals
+    )
+    out, _ = multimodal.decode_audio(_wav_bytes(1, 1, 44100, 24, data))
+    assert out[:, 0].tolist() == [v >> 8 for v in vals]
+    # 32-bit PCM
+    vals32 = [0x12345678, -0x12345678, 0x7FFFFFFF, -0x80000000]
+    data = b"".join(st.pack("<i", v) for v in vals32)
+    out, _ = multimodal.decode_audio(_wav_bytes(1, 2, 48000, 32, data))
+    assert out.reshape(-1).tolist() == [v >> 16 for v in vals32]
+    # float32, incl. out-of-range clipping
+    fl = [0.0, 0.5, -1.0, 1.0, 2.0, -3.0]
+    data = b"".join(st.pack("<f", v) for v in fl)
+    out, _ = multimodal.decode_audio(_wav_bytes(3, 1, 16000, 32, data))
+    assert out[:, 0].tolist() == [0, 16384, -32767, 32767, 32767, -32767]
+    # float must be 32-bit
+    with pytest.raises(ValueError, match="float WAV bit depth"):
+        multimodal.decode_audio(_wav_bytes(3, 1, 16000, 64, b"\x00" * 8))
+    with pytest.raises(ValueError, match="bit depth 12"):
+        multimodal.decode_audio(_wav_bytes(1, 1, 16000, 12, b"\x00" * 6))
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM resolves through the SubFormat
+    ext = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 8000 * 2, 2, 16)
+    # cbSize=22, validBits=16, channelMask=1, SubFormat GUID (tag leads)
+    ext += st.pack("<H", 22) + st.pack("<HI", 16, 1) + st.pack("<H", 1) + bytes(14)
+    data = st.pack("<hh", 1000, -1000)
+    body = b"WAVE" + b"fmt " + st.pack("<I", len(ext)) + ext
+    body += b"data" + st.pack("<I", len(data)) + data
+    out, _ = multimodal.decode_audio(b"RIFF" + st.pack("<I", len(body)) + body)
+    assert out[:, 0].tolist() == [1000, -1000]
+
+
 def test_synth_audio_stats_distributed(spark):
     ids = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
     stats = multimodal.audio_stats(
