@@ -514,6 +514,38 @@ def _q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real GIF decode path (dependency-free LZW): synthesize a
+    deterministic 7x5 GIF per document (raster byte ``i`` is
+    ``(doc_id + i) % 256`` — <=105 distinct colors, so the palette build
+    holds), decode it through the full LZW/palette pipeline, then
+    nearest-neighbor resize to 4x2 (GIF -> GIF re-encode) and decode
+    again.  The oracle replays the closed form pixel-for-pixel, so an
+    LZW/palette/interlace bug is a value mismatch, not just a crash."""
+    from ddspark.pipeline.multimodal import decode_stats, resize_images, synth_images
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = synth_images(docs, "doc_id", width=7, height=5, fmt="gif")
+    full = decode_stats(imgs, "doc_id", "img")
+    small = decode_stats(resize_images(imgs, 4, 2, "doc_id", "img"), "doc_id", "img")
+    return full.select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    ).join(
+        small.select(
+            "doc_id",
+            F.col("width").alias("r_width"),
+            F.col("height").alias("r_height"),
+            F.col("sum_r").alias("r_sum_r"),
+            F.col("sum_g").alias("r_sum_g"),
+            F.col("sum_b").alias("r_sum_b"),
+        ),
+        "doc_id",
+    )
+
+
 def _q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real baseline-JPEG decode path (no codec libs): synthesize a 16x16
     RGB JPEG per document — four flat 8x8 gray tiles, tile t carrying
@@ -1046,6 +1078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countmin_point_queries": wrap(_q_countmin_points),
         "mg_heavy_hitters_users": wrap(_q_mg_heavy_hitters),
         "theta_shingle_overlap": wrap(_q_theta_overlap),
+        "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1353,6 +1386,47 @@ def oracle_sql() -> dict[str, str]:
             SELECT f.doc_id, 6 AS width, 4 AS height,
                    sum_r, sum_g, sum_b, mean_r, mean_g, mean_b,
                    3 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
+            FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id
+        """,
+        # pixel-exact replay of the GIF decode path (7x5, raster byte i =
+        # (doc_id+i)%256; resize to 4x2 samples src=(dst*in)//out) — GIF
+        # is lossless, so the replay is the same closed form the PNG
+        # query uses at its own dims while the Spark side really runs
+        # LZW + palette resolution
+        "multimodal_gif_stats": """
+            WITH px AS (
+              SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
+              FROM documents d, UNNEST(generate_series(0, 104)) AS u(i)
+            ),
+            full_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+                     CAST(SUM(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+                     CAST(SUM(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+                     ROUND(AVG(CASE WHEN idx % 3 = 0 THEN CAST(v AS DOUBLE) END), 6) AS mean_r,
+                     ROUND(AVG(CASE WHEN idx % 3 = 1 THEN CAST(v AS DOUBLE) END), 6) AS mean_g,
+                     ROUND(AVG(CASE WHEN idx % 3 = 2 THEN CAST(v AS DOUBLE) END), 6) AS mean_b
+              FROM px GROUP BY doc_id
+            ),
+            rpx AS (
+              SELECT d.doc_id, c.c AS ch,
+                     (d.doc_id + ((y.y * 5) // 2) * 21
+                               + ((x.x * 7) // 4) * 3 + c.c) % 256 AS v
+              FROM documents d,
+                   UNNEST(generate_series(0, 1)) AS y(y),
+                   UNNEST(generate_series(0, 3)) AS x(x),
+                   UNNEST(generate_series(0, 2)) AS c(c)
+            ),
+            small_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum_r,
+                     CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_sum_g,
+                     CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS r_sum_b
+              FROM rpx GROUP BY doc_id
+            )
+            SELECT f.doc_id, 7 AS width, 5 AS height,
+                   sum_r, sum_g, sum_b, mean_r, mean_g, mean_b,
+                   4 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
             FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id
         """,
         # pixel-exact replay of the JPEG decode path: tile t of doc d is a

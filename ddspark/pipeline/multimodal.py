@@ -838,7 +838,12 @@ def synth_images(
     filter-cycled deflate scanlines (``fmt="png"`` filters row ``y % 5`` —
     every unfilter path runs on decode), and the closed form keeps every
     pixel DuckDB-replayable."""
-    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[fmt]
+    enc = {
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "gif": encode_gif,
+    }[fmt]
     n = width * height * 3
     schema = StructType(
         [StructField(id_col, LongType()), StructField("img", BinaryType())]
@@ -1077,7 +1082,12 @@ def resize_images_jvm(
     ``(id, img)`` schema as :func:`resize_images`."""
     if width <= 0 or height <= 0:
         raise ValueError("target dimensions must be positive")
-    enc = {"bmp": encode_bmp, "ppm": encode_ppm, "png": encode_png}[fmt]
+    enc = {
+        "bmp": encode_bmp,
+        "ppm": encode_ppm,
+        "png": encode_png,
+        "gif": encode_gif,
+    }[fmt]
     schema = StructType(
         [StructField(id_col, LongType()), StructField("img", BinaryType())]
     )
