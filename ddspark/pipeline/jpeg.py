@@ -34,6 +34,11 @@ import numpy as np
 
 __all__ = ["encode_jpeg", "decode_jpeg", "apply_orientation"]
 
+# Decompression-bomb guard, same rationale and value as
+# multimodal.MAX_DECODE_PIXELS: a corrupt SOF dimension byte must not
+# turn a KB blob into a multi-GB plane allocation.
+MAX_DECODE_PIXELS = 1 << 26
+
 
 def _zigzag_order() -> np.ndarray:
     """The 8x8 zigzag scan order, derived (not recited): diagonals of
@@ -728,6 +733,11 @@ def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"unsupported JPEG sample precision {prec}")
+            if w <= 0 or h <= 0 or w * h > MAX_DECODE_PIXELS:
+                raise ValueError(
+                    f"invalid JPEG dimensions {w}x{h} (pixel cap "
+                    f"{MAX_DECODE_PIXELS})"
+                )
             if nc not in (1, 3):
                 # fail at parse time with the count, like the other scope
                 # guards — not a late tuple-unpack error in _assemble

@@ -136,6 +136,22 @@ def encode_ppm(arr: np.ndarray) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + a.tobytes()
 
 
+# Decompression-bomb guard: a flipped dimension byte in a corrupt blob
+# (or a crafted one in a crawl) must not turn a KB input into a multi-GB
+# allocation — decoders reject images above this pixel count up front.
+MAX_DECODE_PIXELS = 1 << 26  # 67 M px (~8192 x 8192)
+
+
+def _check_dims(w: int, h: int, kind: str) -> None:
+    if w <= 0 or h <= 0:
+        raise ValueError(f"invalid {kind} dimensions {w}x{h}")
+    if w * h > MAX_DECODE_PIXELS:
+        raise ValueError(
+            f"{kind} dimensions {w}x{h} exceed the decode pixel cap "
+            f"({MAX_DECODE_PIXELS} px) — corrupt or decompression bomb"
+        )
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel (8-bit depth only; type 3 = palette,
 # one index sample per pixel resolved through PLTE)
@@ -418,6 +434,7 @@ def _decode_png(blob: bytes) -> np.ndarray:
         raise ValueError("palette PNG missing PLTE chunk")
     if color_type == 3 and depth == 16:
         raise ValueError("palette PNG cannot be 16-bit")
+    _check_dims(w, h, "PNG")
     if comp != 0 or filt_method != 0:
         raise ValueError("unsupported PNG compression/filter method")
     if interlace not in (0, 1):
@@ -623,6 +640,7 @@ def _decode_gif(blob: bytes) -> np.ndarray:
     if b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF stream")
     w, h, flags, bg, _ar = struct.unpack_from("<HHBBB", b, 6)
+    _check_dims(w, h, "GIF")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -732,6 +750,7 @@ def _decode_bmp(blob: bytes) -> np.ndarray:
         raise ValueError(f"unsupported BMP bpp {bpp} (24/32 only)")
     top_down = h < 0
     h = abs(h)
+    _check_dims(w, h, "BMP")
     nbytes = bpp // 8
     stride = (w * nbytes + 3) & ~3
     end = offset + stride * h
@@ -762,6 +781,7 @@ def _decode_ppm(blob: bytes) -> np.ndarray:
         fields.append(int(blob[start:pos]))
     pos += 1  # single whitespace byte after maxval
     w, h, maxval = fields
+    _check_dims(w, h, "PPM")
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval} (255 only)")
     need = w * h * 3
@@ -780,19 +800,31 @@ def decode_image(blob: bytes) -> np.ndarray:
     array.  Dependency-free — these are real decoders for the formats a
     parser can own; other formats raise with the magic bytes so callers can
     route to a codec-backed path."""
-    b = bytes(blob)
-    if b[:8] == _PNG_SIG:
-        return _decode_png(b)
-    if b[:2] == b"\xff\xd8":
-        from .jpeg import decode_jpeg
+    import zlib
 
-        return decode_jpeg(b)
-    if b[:4] == b"GIF8":
-        return _decode_gif(b)
-    if b[:2] == b"BM":
-        return _decode_bmp(b)
-    if b[:2] == b"P6":
-        return _decode_ppm(b)
+    b = bytes(blob)
+    try:
+        if b[:8] == _PNG_SIG:
+            return _decode_png(b)
+        if b[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return decode_jpeg(b)
+        if b[:4] == b"GIF8":
+            return _decode_gif(b)
+        if b[:2] == b"BM":
+            return _decode_bmp(b)
+        if b[:2] == b"P6":
+            return _decode_ppm(b)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, EOFError, OverflowError,
+            zlib.error) as exc:
+        # uniform contract for crawl-grade inputs: a corrupt blob is a
+        # ValueError, never a parser-internal exception type
+        raise ValueError(
+            f"corrupt image blob: {type(exc).__name__}: {exc}"
+        ) from exc
     raise ValueError(
         f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/GIF/JPEG supported)"
     )
@@ -1358,8 +1390,19 @@ def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
     sample_rate)``.  Sample layouts: 16-bit PCM natively; 8-bit unsigned
     PCM shifts up (``(v-128)<<8``); 24- and 32-bit PCM keep the top 16
     bits; IEEE float32 (format tag 3) clips to [-1, 1] and scales by
-    32767.  Compressed format tags raise with the tag value."""
-    b = bytes(blob)
+    32767.  Compressed format tags raise with the tag value; any corrupt
+    stream raises ValueError (never a parser-internal exception)."""
+    try:
+        return _decode_audio_inner(bytes(blob))
+    except ValueError:
+        raise
+    except (struct.error, IndexError, EOFError, OverflowError) as exc:
+        raise ValueError(
+            f"corrupt audio blob: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_audio_inner(b: bytes) -> tuple[np.ndarray, int]:
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError(f"not a RIFF/WAVE stream (magic {b[:4]!r})")
     pos, end = 12, min(len(b), 8 + struct.unpack_from("<I", b, 4)[0])
