@@ -391,6 +391,13 @@ def _blob_section() -> dict:
                         blobs.append(multimodal.encode_bmp(a))
                     elif fmt == "png":
                         blobs.append(multimodal.encode_png(a))
+                    elif fmt == "gif":
+                        pal = rng.randint(0, 256, size=(200, 3)).astype(np.uint8)
+                        blobs.append(
+                            multimodal.encode_gif(
+                                pal[rng.randint(0, 200, size=(side, side))]
+                            )
+                        )
                     elif fmt == "jpeg":
                         blobs.append(
                             encode_jpeg(a, quality=75, subsampling="420")
@@ -416,7 +423,10 @@ def _blob_section() -> dict:
 
         return spark.range(0, n, 1, CPUS).mapInPandas(gen, schema)
 
-    exts = {"bmp": "bmp", "png": "png", "jpeg": "jpg", "jpeg_progressive": "jpg"}
+    exts = {
+        "bmp": "bmp", "png": "png", "gif": "gif",
+        "jpeg": "jpg", "jpeg_progressive": "jpg",
+    }
     out: dict = {"n_images": n, "px": f"{side}x{side}", "cores": CPUS}
 
     def synth_local(fmt: str, kside: int, count: int) -> list[bytes]:
@@ -428,6 +438,13 @@ def _blob_section() -> dict:
                 blobs.append(multimodal.encode_bmp(a))
             elif fmt == "png":
                 blobs.append(multimodal.encode_png(a))
+            elif fmt == "gif":
+                pal = rng0.randint(0, 256, size=(200, 3)).astype(np.uint8)
+                blobs.append(
+                    multimodal.encode_gif(
+                        pal[rng0.randint(0, 200, size=(kside, kside))]
+                    )
+                )
             elif fmt == "jpeg":
                 blobs.append(encode_jpeg(a, quality=75, subsampling="420"))
             elif fmt == "jpeg_progressive":
@@ -498,7 +515,7 @@ def _blob_section() -> dict:
             best = min(best, r_best)
         return best, per_round
 
-    for fmt in ("bmp", "png", "jpeg", "jpeg_progressive", "mjpeg"):
+    for fmt in ("bmp", "png", "gif", "jpeg", "jpeg_progressive", "mjpeg"):
         pq = f"{work}/{fmt}.parquet"
         synth(fmt).write.mode("overwrite").parquet(pq)
         blobs = spark.read.parquet(pq)
