@@ -373,6 +373,57 @@ def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(docs)
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021 Table A1) over
+    the real documents table.  Thresholds are tuned so the synthetic corpus
+    splits roughly in half on ``keep`` (min_words=50, min_stopword_hits=1);
+    every per-rule signal column is emitted and value-checked too."""
+    from ddspark.pipeline.curation import gopher_quality
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality(docs, min_words=50, min_stopword_hits=1)
+
+
+def _q_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 section 2.2) over a
+    deterministic multi-line page built from doc_id, exercising every rule:
+    terminal-punctuation, min-words-per-line, the javascript and policy
+    line drops, and the lorem-ipsum / curly-brace page drops.  The oracle
+    reconstructs the same page in SQL and applies the rules independently;
+    ``clean_text`` is compared verbatim."""
+    from ddspark.pipeline.curation import c4_clean
+
+    docs = _read(spark, sf_dir, "documents")
+    crafted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit("This is a good long sentence with many words inside."),
+            F.lit("short line"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("Please enable javascript to view this excellent page."),
+            ).otherwise(
+                F.lit("Another perfectly fine sentence appears right here today.")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("Read our privacy policy and the terms now."),
+            ).otherwise(F.lit("- bullet item that still ends properly today.")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("this page has lorem ipsum filler text here."),
+            ).otherwise(F.lit("A trailing thought that never quite ends...")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("code { block } here")
+            ).otherwise(
+                F.lit('He said "stop right there and listen carefully!"')
+            ),
+        ).alias("text"),
+    )
+    return c4_clean(crafted, min_kept_lines=1)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ddspark.pipeline.ann import cosine_topk
 
@@ -1079,6 +1130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mg_heavy_hitters_users": wrap(_q_mg_heavy_hitters),
         "theta_shingle_overlap": wrap(_q_theta_overlap),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
+        "curation_gopher_quality": wrap(_q_gopher_quality),  # new in r5
+        "curation_c4_clean": wrap(_q_c4_clean),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1242,6 +1295,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_hash_split": _hash_split_oracle(),
         "curation_stratified_sample": _stratified_sample_oracle(),
         "curation_decontam": _decontam_oracle(),
+        "curation_gopher_quality": _gopher_quality_oracle(),
+        "curation_c4_clean": _c4_clean_oracle(),
         "text_repetition_stats": _repetition_oracle(),
         "text_boilerplate_removal": _boilerplate_oracle(),
         "curation_pii_redaction": _pii_oracle(),
@@ -1740,6 +1795,35 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _gopher_quality_oracle() -> str:
+    from ddspark.pipeline.curation import gopher_quality_oracle_sql
+
+    return gopher_quality_oracle_sql(
+        "documents", min_words=50, min_stopword_hits=1
+    )
+
+
+def _c4_clean_oracle() -> str:
+    from ddspark.pipeline.curation import c4_clean_oracle_sql
+
+    # same deterministic page construction as _q_c4_clean, replayed in SQL
+    crafted = """(
+SELECT doc_id,
+  'This is a good long sentence with many words inside.' || chr(10) ||
+  'short line' || chr(10) ||
+  CASE WHEN doc_id % 3 = 0 THEN 'Please enable javascript to view this excellent page.'
+       ELSE 'Another perfectly fine sentence appears right here today.' END || chr(10) ||
+  CASE WHEN doc_id % 5 = 0 THEN 'Read our privacy policy and the terms now.'
+       ELSE '- bullet item that still ends properly today.' END || chr(10) ||
+  CASE WHEN doc_id % 7 = 0 THEN 'this page has lorem ipsum filler text here.'
+       ELSE 'A trailing thought that never quite ends...' END || chr(10) ||
+  CASE WHEN doc_id % 11 = 0 THEN 'code { block } here'
+       ELSE 'He said "stop right there and listen carefully!"' END AS text
+FROM documents
+)"""
+    return c4_clean_oracle_sql(crafted, min_kept_lines=1)
 
 
 def _boilerplate_oracle() -> str:

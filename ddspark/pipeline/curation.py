@@ -66,7 +66,13 @@ __all__ = [
     "target_mix_oracle_sql",
     "exact_k_sample_oracle_sql",
     "stratified_exact_k_sample_oracle_sql",
+    "gopher_quality",
+    "gopher_quality_oracle_sql",
+    "c4_clean",
+    "c4_clean_oracle_sql",
     "PII_PATTERNS",
+    "GOPHER_STOPWORDS",
+    "C4_POLICY_PHRASES",
 ]
 
 # bucket resolution: 1e6 buckets keeps split boundaries exact for any
@@ -732,4 +738,305 @@ SELECT * EXCLUDE (_b, _rn) FROM (
          ROW_NUMBER() OVER (PARTITION BY {strata_col} ORDER BY {b}, {id_col}) AS _rn
   FROM {table}
 ) WHERE _rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules (Rae et al. 2021, arXiv:2112.11446
+# Table A1) and C4 line-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+# section 2.2).  Both are pure per-row column expressions — zero shuffle, one
+# whole-stage-codegen pass over the corpus — and both carry exact ANSI twins.
+# ---------------------------------------------------------------------------
+
+# the Gopher stop-word presence list (the filter asks for >= 2 hits)
+GOPHER_STOPWORDS = ["and", "be", "have", "of", "that", "the", "to", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Gopher-style document quality filter (Rae et al. 2021 Table A1).
+
+    Emits every signal the paper's quality rules read, plus the combined
+    ``keep`` verdict, so downstream pipelines can re-threshold without a
+    second corpus pass:
+
+    * ``word_count``         — whitespace tokens; rule ``[min_words, max_words]``
+    * ``mean_word_len``      — rule ``[min_mean_len, max_mean_len]``
+    * ``symbol_word_ratio``  — ``#`` / ``...`` / ``…`` occurrences per word;
+      rule ``<= max_symbol_ratio``
+    * ``bullet_line_frac``   — lines starting with a bullet; ``<= max_bullet_frac``
+    * ``ellipsis_line_frac`` — lines ending in an ellipsis; ``<= max_ellipsis_frac``
+    * ``alpha_word_frac``    — words containing a letter; ``>= min_alpha_frac``
+    * ``stopword_hits``      — how many of :data:`GOPHER_STOPWORDS` appear;
+      rule ``>= min_stopword_hits``
+
+    Scale shape: the token and line arrays are materialized once behind a
+    projection (Catalyst does not CSE inside higher-order-function lambdas),
+    then every rule is a single lambda pass over the in-memory array — no
+    explode, no shuffle, no Python.  At 100 TB this is a map-only stage.
+    """
+    from .dedup import word_tokens
+
+    t = F.col(text_col)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("_txt"),
+        F.filter(word_tokens(t), lambda x: x != "").alias("_toks"),
+        F.filter(F.split(t, "\n"), lambda L: F.trim(L) != "").alias("_lines"),
+    )
+    wc = F.size("_toks")
+    nl = F.size("_lines")
+    sym = (
+        F.length("_txt")
+        - F.length(F.replace(F.col("_txt"), F.lit("#")))
+        + ((F.length("_txt") - F.length(F.replace(F.col("_txt"), F.lit("...")))) / 3).cast("long")
+        + F.length("_txt")
+        - F.length(F.replace(F.col("_txt"), F.lit("…")))
+    )
+    sig = base.select(
+        "id",
+        wc.alias("word_count"),
+        F.when(
+            wc > 0,
+            F.round(
+                F.aggregate("_toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+                / wc.cast("double"),
+                round_digits,
+            ),
+        ).otherwise(F.lit(0.0)).alias("mean_word_len"),
+        F.when(wc > 0, F.round(sym / wc.cast("double"), round_digits))
+        .otherwise(F.lit(0.0)).alias("symbol_word_ratio"),
+        F.when(
+            nl > 0,
+            F.round(
+                F.size(F.filter("_lines", lambda L: F.ltrim(L).rlike(r"^[-*•‣▪]")))
+                / nl.cast("double"),
+                round_digits,
+            ),
+        ).otherwise(F.lit(0.0)).alias("bullet_line_frac"),
+        F.when(
+            nl > 0,
+            F.round(
+                F.size(F.filter("_lines", lambda L: F.rtrim(L).rlike(r"(\.\.\.|…)$")))
+                / nl.cast("double"),
+                round_digits,
+            ),
+        ).otherwise(F.lit(0.0)).alias("ellipsis_line_frac"),
+        F.when(
+            wc > 0,
+            F.round(
+                F.size(F.filter("_toks", lambda x: x.rlike(r"\p{L}"))) / wc.cast("double"),
+                round_digits,
+            ),
+        ).otherwise(F.lit(0.0)).alias("alpha_word_frac"),
+        sum(
+            (F.array_contains("_toks", w).cast("int") for w in GOPHER_STOPWORDS),
+            F.lit(0),
+        ).alias("stopword_hits"),
+    )
+    return sig.select(
+        F.col("id").alias(id_col),
+        "word_count",
+        "mean_word_len",
+        "symbol_word_ratio",
+        "bullet_line_frac",
+        "ellipsis_line_frac",
+        "alpha_word_frac",
+        "stopword_hits",
+        (
+            F.col("word_count").between(min_words, max_words)
+            & F.col("mean_word_len").between(min_mean_len, max_mean_len)
+            & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+            & (F.col("bullet_line_frac") <= max_bullet_frac)
+            & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+            & (F.col("alpha_word_frac") >= min_alpha_frac)
+            & (F.col("stopword_hits") >= min_stopword_hits)
+        ).alias("keep"),
+    )
+
+
+def gopher_quality_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    round_digits: int = 6,
+    where: str | None = None,
+) -> str:
+    """Twin of :func:`gopher_quality` (DuckDB lambdas over the same arrays)."""
+    filt = f"WHERE {where}" if where else ""
+    stops = " + ".join(
+        f"CAST(list_contains(toks, '{w}') AS INT)" for w in GOPHER_STOPWORDS
+    )
+    r = round_digits
+    return rf"""
+WITH base AS (
+  SELECT {id_col} AS id, {text_col} AS txt,
+         list_filter(string_split(trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS toks,
+         list_filter(string_split({text_col}, chr(10)), L -> trim(L) != '') AS lines
+  FROM {table} {filt}
+),
+sig AS (
+  SELECT id,
+         len(toks) AS word_count,
+         CASE WHEN len(toks) > 0 THEN ROUND(
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+             / len(toks), {r}) ELSE 0.0 END AS mean_word_len,
+         CASE WHEN len(toks) > 0 THEN ROUND(CAST(
+             length(txt) - length(replace(txt, '#', ''))
+             + (length(txt) - length(replace(txt, '...', ''))) // 3
+             + length(txt) - length(replace(txt, '…', ''))
+           AS DOUBLE) / len(toks), {r}) ELSE 0.0 END AS symbol_word_ratio,
+         CASE WHEN len(lines) > 0 THEN ROUND(CAST(
+             len(list_filter(lines, L -> regexp_matches(ltrim(L), '^[-*•‣▪]')))
+           AS DOUBLE) / len(lines), {r}) ELSE 0.0 END AS bullet_line_frac,
+         CASE WHEN len(lines) > 0 THEN ROUND(CAST(
+             len(list_filter(lines, L -> regexp_matches(rtrim(L), '(\.\.\.|…)$')))
+           AS DOUBLE) / len(lines), {r}) ELSE 0.0 END AS ellipsis_line_frac,
+         CASE WHEN len(toks) > 0 THEN ROUND(CAST(
+             len(list_filter(toks, x -> regexp_matches(x, '[\p{{L}}]')))
+           AS DOUBLE) / len(toks), {r}) ELSE 0.0 END AS alpha_word_frac,
+         {stops} AS stopword_hits
+  FROM base
+)
+SELECT id AS {id_col}, word_count, mean_word_len, symbol_word_ratio,
+       bullet_line_frac, ellipsis_line_frac, alpha_word_frac, stopword_hits,
+       (word_count BETWEEN {min_words} AND {max_words}
+        AND mean_word_len BETWEEN {min_mean_len} AND {max_mean_len}
+        AND symbol_word_ratio <= {max_symbol_ratio}
+        AND bullet_line_frac <= {max_bullet_frac}
+        AND ellipsis_line_frac <= {max_ellipsis_frac}
+        AND alpha_word_frac >= {min_alpha_frac}
+        AND stopword_hits >= {min_stopword_hits}) AS keep
+FROM sig
+"""
+
+
+# page-level drop phrases and the line-level drop terms from C4
+C4_POLICY_PHRASES = ["terms of use", "privacy policy", "cookie policy", "uses cookies"]
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 section 2.2).
+
+    A line survives iff it ends in terminal punctuation (``.!?"`` or a
+    closing curly quote) after right-trim, has at least
+    ``min_words_per_line`` whitespace words, does not mention
+    ``javascript`` (case-insensitive), and contains none of
+    :data:`C4_POLICY_PHRASES`.  The page is dropped outright when it
+    contains ``lorem ipsum`` or a ``{`` (code page), or keeps fewer than
+    ``min_kept_lines`` lines (the paper's three-sentence rule applied at
+    line granularity).
+
+    Output: ``(id_col, n_lines, n_kept, lorem_ipsum, has_brace,
+    keep_page, clean_text)`` — ``clean_text`` joins the surviving lines
+    with ``\n`` so the kept corpus needs no second pass.
+
+    Scale shape: one projection materializes the line array, one lambda
+    filter applies all four line rules in a single pass — map-only, no
+    shuffle, no Python, fully whole-stage-codegen.
+    """
+    t = F.col(text_col)
+
+    def line_keep(L: Column) -> Column:
+        low = F.lower(L)
+        keep = (
+            F.rtrim(L).rlike(r'[.!?"”]$')
+            & (F.size(F.filter(F.split(F.trim(L), r"\s+"), lambda x: x != ""))
+               >= min_words_per_line)
+            & ~low.contains("javascript")
+        )
+        for p in C4_POLICY_PHRASES:
+            keep = keep & ~low.contains(p)
+        return keep
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        t.alias("_txt"),
+        F.filter(F.split(t, "\n"), lambda L: F.trim(L) != "").alias("_lines"),
+    ).select(
+        "id",
+        "_txt",
+        F.size("_lines").alias("n_lines"),
+        F.filter("_lines", line_keep).alias("_kept"),
+    )
+    return base.select(
+        F.col("id").alias(id_col),
+        "n_lines",
+        F.size("_kept").alias("n_kept"),
+        F.lower("_txt").contains("lorem ipsum").alias("lorem_ipsum"),
+        F.col("_txt").contains("{").alias("has_brace"),
+        (
+            ~F.lower("_txt").contains("lorem ipsum")
+            & ~F.col("_txt").contains("{")
+            & (F.size("_kept") >= min_kept_lines)
+        ).alias("keep_page"),
+        F.array_join("_kept", "\n").alias("clean_text"),
+    )
+
+
+def c4_clean_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+    where: str | None = None,
+) -> str:
+    """Twin of :func:`c4_clean`."""
+    filt = f"WHERE {where}" if where else ""
+    policy = " AND ".join(
+        f"NOT contains(lower(L), '{p}')" for p in C4_POLICY_PHRASES
+    )
+    return rf"""
+WITH base AS (
+  SELECT {id_col} AS id, {text_col} AS txt,
+         list_filter(string_split({text_col}, chr(10)), L -> trim(L) != '') AS lines
+  FROM {table} {filt}
+),
+k AS (
+  SELECT id, txt, len(lines) AS n_lines,
+         list_filter(lines, L ->
+           regexp_matches(rtrim(L), '[.!?"”]$')
+           AND len(list_filter(string_split_regex(trim(L), '\s+'), x -> x != ''))
+               >= {min_words_per_line}
+           AND NOT contains(lower(L), 'javascript')
+           AND {policy}) AS kept
+  FROM base
+)
+SELECT id AS {id_col}, n_lines, len(kept) AS n_kept,
+       contains(lower(txt), 'lorem ipsum') AS lorem_ipsum,
+       contains(txt, '{{') AS has_brace,
+       (NOT contains(lower(txt), 'lorem ipsum') AND NOT contains(txt, '{{')
+        AND len(kept) >= {min_kept_lines}) AS keep_page,
+       array_to_string(kept, chr(10)) AS clean_text
+FROM k
 """

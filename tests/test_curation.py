@@ -496,3 +496,130 @@ def test_stratified_exact_k_sample_quotas(spark):
     ).toPandas()
     assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
     assert set(out["doc_id"]).issubset({r[0] for r in rows})
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules + C4 line cleaning (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _gq(spark, rows, **kw):
+    from ddspark.pipeline.curation import gopher_quality
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = gopher_quality(df, **kw).toPandas().set_index("doc_id")
+    return out
+
+
+def test_gopher_quality_rule_fixtures(spark):
+    """Each fixture violates exactly one Gopher rule; the signal columns
+    prove which rule fired."""
+    good = " ".join(["the cat and dog have fun with that bird"] * 8)  # 72 words
+    rows = [
+        (0, good),
+        (1, "the cat and dog"),  # too few words
+        (2, " ".join(["a"] * 80) + " the and"),  # mean word len < 3
+        (3, good + " " + " ".join(["#"] * 10)),  # symbol ratio > 0.1
+        (4, "\n".join(["- " + good] * 10)),  # 100% bullet lines
+        (5, "\n".join([good + " so..."] * 10)),  # 100% ellipsis lines
+        (6, good + " " + " ".join(["123"] * 40)),  # alpha frac < 0.8
+        (7, " ".join(["cat dog bird fish"] * 20)),  # zero stopwords
+        (8, ""),  # empty
+    ]
+    out = _gq(spark, rows)
+    assert bool(out.loc[0, "keep"])
+    assert not out.loc[1, "keep"] and out.loc[1, "word_count"] == 4
+    assert not out.loc[2, "keep"] and out.loc[2, "mean_word_len"] < 3
+    assert not out.loc[3, "keep"] and out.loc[3, "symbol_word_ratio"] > 0.1
+    assert not out.loc[4, "keep"] and out.loc[4, "bullet_line_frac"] == 1.0
+    assert not out.loc[5, "keep"] and out.loc[5, "ellipsis_line_frac"] == 1.0
+    assert not out.loc[6, "keep"] and out.loc[6, "alpha_word_frac"] < 0.8
+    assert not out.loc[7, "keep"] and out.loc[7, "stopword_hits"] == 0
+    assert not out.loc[8, "keep"] and out.loc[8, "word_count"] == 0
+
+
+def test_gopher_quality_symbol_counting(spark):
+    """# / ... / … are counted per-occurrence; '...' counts once not thrice."""
+    out = _gq(spark, [(0, "a # b ... c … d")])
+    # 3 symbols over 7 words (symbols tokenize as words too)
+    assert abs(out.loc[0, "symbol_word_ratio"] - 3 / 7) < 1e-6
+
+
+def test_gopher_quality_matches_duckdb_twin(spark):
+    import duckdb
+    from ddspark.pipeline.curation import gopher_quality, gopher_quality_oracle_sql
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        gopher_quality(df, min_words=50, min_stopword_hits=1)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(
+        gopher_quality_oracle_sql("documents", min_words=50, min_stopword_hits=1)
+        + " ORDER BY doc_id"
+    ).df()
+    assert len(got) == len(want)
+    for col in got.columns:
+        assert (got[col].astype(str).values == want[col].astype(str).values).all(), col
+
+
+def test_gopher_quality_is_shuffle_free(spark):
+    """The filter is a map-only stage: no Exchange anywhere in the plan."""
+    from ddspark.pipeline.curation import gopher_quality
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_c4_clean_line_rules(spark):
+    from ddspark.pipeline.curation import c4_clean
+
+    page = "\n".join(
+        [
+            "This line has enough words and ends with a period.",  # kept
+            "No terminal punctuation here at all",  # dropped: punct
+            "Too short.",  # dropped: < 5 words
+            "Please enable JavaScript to continue browsing this site.",  # dropped
+            "Read our Privacy Policy before continuing to browse.",  # dropped
+            'A quoted ending also counts as terminal punctuation."',  # kept
+        ]
+    )
+    df = spark.createDataFrame([(0, page)], "doc_id long, text string")
+    out = c4_clean(df, min_kept_lines=1).toPandas()
+    assert out.loc[0, "n_lines"] == 6
+    assert out.loc[0, "n_kept"] == 2
+    assert bool(out.loc[0, "keep_page"])
+    assert out.loc[0, "clean_text"].count("\n") == 1
+
+
+def test_c4_clean_page_rules(spark):
+    from ddspark.pipeline.curation import c4_clean
+
+    good = "This line has enough words and ends with a period."
+    rows = [
+        (0, "\n".join([good] * 3)),
+        (1, "\n".join([good] * 3) + "\nsome lorem ipsum filler"),
+        (2, "\n".join([good] * 3) + "\nfunction f() { return 1; }"),
+        (3, "\n".join([good] * 2)),  # below min_kept_lines=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = c4_clean(df).toPandas().set_index("doc_id")
+    assert bool(out.loc[0, "keep_page"])
+    assert not out.loc[1, "keep_page"] and out.loc[1, "lorem_ipsum"]
+    assert not out.loc[2, "keep_page"] and out.loc[2, "has_brace"]
+    assert not out.loc[3, "keep_page"] and out.loc[3, "n_kept"] == 2
+
+
+def test_c4_clean_is_shuffle_free(spark):
+    from ddspark.pipeline.curation import c4_clean
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
