@@ -24,6 +24,7 @@ __all__ = [
     "write_results",
     "write_bucketed",
     "read_bucketed",
+    "read_blob_files",
 ]
 
 
@@ -186,3 +187,65 @@ def read_bucketed(spark: SparkSession, name: str) -> DataFrame:
     exchange-free (verify with ``.explain()`` — no Exchange above the
     scans)."""
     return spark.table(name)
+
+
+def read_blob_files(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    blob_col: str = "img",
+    glob: str | None = None,
+    recursive: bool = True,
+    max_bytes: int | None = None,
+    with_meta: bool = False,
+) -> DataFrame:
+    """Read a directory of blob FILES (images, audio, video, ...) into the
+    ``(id, blob)`` column shape every blob operator here consumes
+    (:func:`~ddspark.pipeline.multimodal.decode_stats`, ``audio_stats``,
+    ``video_frame_stats``, ...), via Spark's built-in ``binaryFile`` source.
+
+    This is the files->columns bridge for corpora that arrive as object-store
+    files rather than parquet rows.  The id is parsed from the file stem
+    (``{id}.{ext}`` — the same naming the JVM image route uses) with a pure
+    column expression, so the whole read is JVM-side.
+
+    Scale shape (what makes this hold at 100 TB of files):
+
+    * ``glob`` forwards ``pathGlobFilter`` — file PRUNING at listing time;
+      non-matching files are never opened.
+    * ``max_bytes`` becomes a filter on the source's ``length`` column,
+      which the binaryFile source PUSHES DOWN to the file index — oversized
+      blobs are skipped without reading a byte (same for caller-added
+      ``modificationTime`` filters, e.g. incremental loads).
+    * small files are packed into tasks by ``spark.sql.files.maxPartitionBytes``
+      (+ ``openCostInBytes`` per-file padding), so a billion 50 KB thumbnails
+      do not become a billion tasks.
+    * content is only materialized for files that survive pruning; select
+      only metadata and the scan reads no bytes at all (column pruning).
+
+    ``with_meta`` keeps ``(path, length, mtime)`` alongside the blob for
+    lineage/debugging.
+    """
+    from pyspark.sql import functions as F
+
+    reader = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", str(recursive).lower())
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.where(F.col("length") <= max_bytes)
+    stem = F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1)
+    cols = [
+        F.nullif(stem, F.lit("")).cast("long").alias(id_col),
+        F.col("content").alias(blob_col),
+    ]
+    if with_meta:
+        cols += [
+            F.col("path"),
+            F.col("length"),
+            F.col("modificationTime").alias("mtime"),
+        ]
+    return df.select(*cols)
