@@ -649,6 +649,26 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature pass over the same deterministic synth WAVs as
+    multimodal_audio_stats (sample i of doc d is ((d*7+i*13)%65536)-32768,
+    480 samples): zero crossings, RMS, and integer-exact silence framing
+    (frame=160, thresh=500).  The oracle replays every sample with
+    generate_series + LAG — a decode, sign, or framing bug is a value
+    mismatch."""
+    from ddspark.pipeline.multimodal import audio_features, synth_audio
+
+    docs = _read(spark, sf_dir, "documents")
+    wavs = synth_audio(docs, "doc_id", n_samples=480, sample_rate=16000)
+    return audio_features(wavs, "doc_id", "wav", frame=160, silence_thresh=500).select(
+        "doc_id", "n_samples", "zero_crossings",
+        F.round("zcr", 6).alias("zcr"),
+        F.round("rms", 6).alias("rms"),
+        "n_frames", "silence_frames",
+        F.round("silence_frac", 6).alias("silence_frac"),
+    )
+
+
 def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable hashing: the whole signature/band pipeline is replayed
     # bit-for-bit by the DuckDB oracle (ddspark/pipeline/oracles.py)
@@ -1132,6 +1152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
         "curation_gopher_quality": wrap(_q_gopher_quality),  # new in r5
         "curation_c4_clean": wrap(_q_c4_clean),  # new in r5
+        "multimodal_audio_features": wrap(_q_audio_features),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1360,6 +1381,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * v) AS BIGINT) AS sum_sq,
                    CAST(MAX(ABS(v)) AS INT) AS peak
             FROM s GROUP BY doc_id
+        """,
+        # sample-for-sample replay of the audio feature pass: zero
+        # crossings via LAG, integer-exact silence framing via i//160
+        "multimodal_audio_features": """
+            WITH s AS (
+              SELECT d.doc_id, u.i AS i,
+                     ((d.doc_id * 7 + u.i * 13) % 65536) - 32768 AS v
+              FROM documents d, UNNEST(generate_series(0, 479)) AS u(i)
+            ),
+            lagd AS (
+              SELECT doc_id, i, v,
+                     LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+              FROM s
+            ),
+            zc AS (
+              SELECT doc_id,
+                     COUNT(*) AS n,
+                     CAST(SUM(CASE WHEN pv IS NOT NULL
+                                    AND ((v < 0) != (pv < 0))
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+                     SUM(CAST(v AS BIGINT) * v) AS ss
+              FROM lagd GROUP BY doc_id
+            ),
+            fr AS (
+              SELECT doc_id, i // 160 AS f,
+                     SUM(CAST(v AS BIGINT) * v) AS fss, COUNT(*) AS fn
+              FROM s GROUP BY doc_id, i // 160
+            ),
+            sil AS (
+              SELECT doc_id, COUNT(*) AS n_frames,
+                     CAST(SUM(CASE WHEN fss < 500 * 500 * fn THEN 1 ELSE 0 END)
+                          AS BIGINT) AS silence_frames
+              FROM fr GROUP BY doc_id
+            )
+            SELECT zc.doc_id,
+                   CAST(n AS BIGINT) AS n_samples,
+                   zero_crossings,
+                   ROUND(zero_crossings / CAST(n - 1 AS DOUBLE), 6) AS zcr,
+                   ROUND(sqrt(ss / CAST(n AS DOUBLE)), 6) AS rms,
+                   CAST(n_frames AS BIGINT) AS n_frames,
+                   silence_frames,
+                   ROUND(silence_frames / CAST(n_frames AS DOUBLE), 6) AS silence_frac
+            FROM zc JOIN sil USING (doc_id)
         """,
         # pixel-for-pixel replay of the BMP decode+resize path: full image
         # is 7x5x3 raster bytes (doc_id + idx) % 256 with channel idx%3

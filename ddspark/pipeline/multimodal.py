@@ -61,6 +61,9 @@ __all__ = [
     "decode_audio",
     "synth_audio",
     "audio_stats",
+    "audio_features",
+    "resample_audio",
+    "downmix_mono",
     "byte_features",
     "extract_features",
     "sample_frames",
@@ -1519,5 +1522,143 @@ def audio_stats(
                     )
                 )
             yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "wav",
+    frame: int = 160,
+    silence_thresh: int = 500,
+) -> DataFrame:
+    """Per-blob audio features over decoded PCM — the audio leg of a
+    training-data quality pass: ``(id, n_samples, zero_crossings, zcr,
+    rms, n_frames, silence_frames, silence_frac)``.
+
+    Semantics are chosen to be EXACT in integer arithmetic so an ANSI
+    oracle can replay them sample-for-sample:
+
+    * multichannel is downmixed by floor integer mean before analysis;
+    * a zero crossing is a sign-bit change between consecutive samples
+      (``(v[i-1] < 0) != (v[i] < 0)``);
+    * the stream is framed into windows of ``frame`` samples (last frame
+      short); a frame is silent iff ``sum(v^2) < silence_thresh^2 * len``
+      — an integer comparison, no float RMS involved.
+
+    ``zcr`` (crossings per transition), ``rms`` and ``silence_frac`` are
+    emitted at full double precision; round at the query edge if comparing
+    across engines.  Arrow-batched ``mapInPandas``; only ``(id, blob)``
+    crosses the Python boundary and all kernels are numpy-vectorized."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_samples", LongType()),
+            StructField("zero_crossings", LongType()),
+            StructField("zcr", DoubleType()),
+            StructField("rms", DoubleType()),
+            StructField("n_frames", LongType()),
+            StructField("silence_frames", LongType()),
+            StructField("silence_frac", DoubleType()),
+        ]
+    )
+    thr2 = int(silence_thresh) * int(silence_thresh)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                a, _rate = decode_audio(bytes(b))
+                x = a.astype(np.int64).sum(axis=1) // a.shape[1]
+                n = int(x.shape[0])
+                if n == 0:
+                    recs.append((rid, 0, 0, 0.0, 0.0, 0, 0, 0.0))
+                    continue
+                neg = x < 0
+                zc = int((neg[1:] != neg[:-1]).sum())
+                ss = int((x * x).sum())
+                nf = (n + frame - 1) // frame
+                pad = np.zeros(nf * frame, dtype=np.int64)
+                pad[:n] = x
+                fss = (pad * pad).reshape(nf, frame).sum(axis=1)
+                flen = np.full(nf, frame, dtype=np.int64)
+                flen[-1] = n - (nf - 1) * frame
+                sil = int((fss < thr2 * flen).sum())
+                recs.append(
+                    (
+                        rid, n, zc,
+                        zc / (n - 1) if n > 1 else 0.0,
+                        float(np.sqrt(ss / n)),
+                        nf, sil, sil / nf,
+                    )
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def downmix_mono(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "wav"
+) -> DataFrame:
+    """Downmix each WAV to mono (floor integer mean across channels) and
+    re-encode; output ``(id, wav)`` with the source sample rate kept."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(blob_col, BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                a, rate = decode_audio(bytes(b))
+                mono = (a.astype(np.int64).sum(axis=1) // a.shape[1]).astype(
+                    np.int16
+                )
+                ids.append(rid)
+                outs.append(encode_wav(mono, rate))
+            yield pd.DataFrame({id_col: ids, blob_col: outs})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    id_col: str = "doc_id",
+    blob_col: str = "wav",
+) -> DataFrame:
+    """Linear-interpolation resample of each (mono or downmixed) WAV to
+    ``target_rate``; output ``(id, wav)`` blobs at the new rate.
+
+    Output length is ``round(n * target/src)``; sample ``j`` interpolates
+    source position ``j * src/target`` (``numpy.interp``, clamped at the
+    edges), rounded half-away-from-zero back to int16 — deterministic, no
+    dither.  Arrow-batched ``mapInPandas``, vectorized per blob."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField(blob_col, BinaryType())]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, outs = [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                a, rate = decode_audio(bytes(b))
+                x = (a.astype(np.int64).sum(axis=1) // a.shape[1]).astype(
+                    np.float64
+                )
+                n = x.shape[0]
+                m = int(round(n * target_rate / rate))
+                pos = np.arange(m, dtype=np.float64) * (rate / target_rate)
+                y = np.interp(pos, np.arange(n, dtype=np.float64), x)
+                # half-away-from-zero: floor(y+.5) for y>=0, ceil(y-.5) for
+                # y<0 (floor(y-.5) would send exact negative integers down)
+                out = np.clip(
+                    np.where(y >= 0, np.floor(y + 0.5), np.ceil(y - 0.5)),
+                    -32768, 32767,
+                ).astype(np.int16)
+                ids.append(rid)
+                outs.append(encode_wav(out, target_rate))
+            yield pd.DataFrame({id_col: ids, blob_col: outs})
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)

@@ -74,3 +74,74 @@ def test_read_blob_files_non_numeric_stem_is_null(spark, tmp_path):
     (tmp_path / "notanid.png").write_bytes(b"x")
     out = read_blob_files(spark, str(tmp_path)).collect()
     assert len(out) == 1 and out[0].doc_id is None
+
+
+# ---------------------------------------------------------------------------
+# Audio feature extraction (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_closed_form(spark):
+    """Square wave: crossings and silence framing have closed forms."""
+    from ddspark.pipeline.multimodal import audio_features
+
+    # 400 samples: 100 silent, then a +-1000 square wave flipping every 10
+    x = np.zeros(400, dtype=np.int16)
+    wave = np.where((np.arange(300) // 10) % 2 == 0, 1000, -1000)
+    x[100:] = wave
+    from ddspark.pipeline.multimodal import encode_wav
+
+    df = spark.createDataFrame([(1, bytearray(encode_wav(x, 8000)))],
+                               "doc_id long, wav binary")
+    r = audio_features(df, frame=100, silence_thresh=500).collect()[0]
+    assert r.n_samples == 400
+    # flips: 30 blocks of 10 -> 29 sign changes; the 0->1000 edge is not a
+    # crossing (0 counts as non-negative)
+    assert r.zero_crossings == 29
+    assert r.n_frames == 4
+    assert r.silence_frames == 1  # only the first frame is silent
+    assert abs(r.silence_frac - 0.25) < 1e-12
+    assert abs(r.rms - np.sqrt((wave.astype(np.int64) ** 2).sum() / 400)) < 1e-9
+
+
+def test_downmix_mono_integer_mean(spark):
+    from ddspark.pipeline.multimodal import decode_audio, downmix_mono, encode_wav
+    import struct
+
+    # stereo WAV: L = i*100, R = -i*50  -> floor mean
+    n = 50
+    inter = np.empty(2 * n, dtype=np.int16)
+    inter[0::2] = (np.arange(n) * 100) % 30000
+    inter[1::2] = -((np.arange(n) * 50) % 30000)
+    stereo = inter.reshape(n, 2)
+    # encode_wav writes mono; build a stereo RIFF by hand
+    data = inter.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 4, 4, 16)
+    blob = hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+    df = spark.createDataFrame([(3, bytearray(blob))], "doc_id long, wav binary")
+    out = downmix_mono(df).collect()[0]
+    mono, rate = decode_audio(bytes(out.wav))
+    assert rate == 8000 and mono.shape == (n, 1)
+    want = stereo.astype(np.int64).sum(axis=1) // 2
+    assert (mono[:, 0].astype(np.int64) == want).all()
+
+
+def test_resample_audio_linear_interp(spark):
+    from ddspark.pipeline.multimodal import decode_audio, encode_wav, resample_audio
+
+    x = ((np.arange(200) * 37) % 2000 - 1000).astype(np.int16)
+    df = spark.createDataFrame([(7, bytearray(encode_wav(x, 8000)))],
+                               "doc_id long, wav binary")
+    # identity resample: bit-equal samples
+    same, rate = decode_audio(
+        bytes(resample_audio(df, 8000).collect()[0].wav)
+    )
+    assert rate == 8000 and (same[:, 0] == x).all()
+    # 2x upsample: numpy.interp replay
+    up, rate2 = decode_audio(bytes(resample_audio(df, 16000).collect()[0].wav))
+    assert rate2 == 16000 and up.shape[0] == 400
+    pos = np.arange(400) * 0.5
+    want = np.interp(pos, np.arange(200), x.astype(np.float64))
+    want = np.where(want >= 0, np.floor(want + 0.5), np.ceil(want - 0.5))
+    assert (up[:, 0].astype(np.float64) == want).all()
