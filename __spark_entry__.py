@@ -649,6 +649,41 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (4x storage/shuffle cut for
+    embedding corpora): per-vector scale, the quantized-component sum and
+    extremes, and the max reconstruction error — every component of every
+    vector feeds a checked value, and the oracle replays round(v*127/scale)
+    elementwise in SQL."""
+    from ddspark.pipeline.ann import quantize_embeddings
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    joined = emb.join(q, "vec_id")
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "qvec",
+            lambda v, qq: F.abs(
+                v.cast("double") - qq.cast("double") * F.col("scale") / 127.0
+            ),
+        )
+    )
+    # floor(x*1e6) instead of round(x, 6): the unrounded doubles are
+    # bit-identical across engines (same IEEE ops), so floor of the same
+    # product is too — while Spark's round() goes through the shortest
+    # DECIMAL repr and DuckDB's rounds the binary double, which disagree
+    # on ~7% of float32-derived values
+    return joined.select(
+        "vec_id",
+        F.floor(F.col("scale") * 1e6).cast("long").alias("scale_e6"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.floor(err * 1e6).cast("long").alias("max_abs_err_e6"),
+    )
+
+
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature pass over the same deterministic synth WAVs as
     multimodal_audio_stats (sample i of doc d is ((d*7+i*13)%65536)-32768,
@@ -1153,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_gopher_quality": wrap(_q_gopher_quality),  # new in r5
         "curation_c4_clean": wrap(_q_c4_clean),  # new in r5
         "multimodal_audio_features": wrap(_q_audio_features),  # new in r5
+        "emb_quantize_stats": wrap(_q_emb_quantize),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1381,6 +1417,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(v * v) AS BIGINT) AS sum_sq,
                    CAST(MAX(ABS(v)) AS INT) AS peak
             FROM s GROUP BY doc_id
+        """,
+        # elementwise replay of int8 quantization: scale = max|v|,
+        # q = round(v*127/scale); both engines round half-away-from-zero
+        "emb_quantize_stats": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS scale
+              FROM embeddings
+            ),
+            q AS (
+              SELECT vec_id, embedding, scale,
+                     CASE WHEN scale = 0
+                          THEN list_transform(embedding, x -> 0)
+                          ELSE list_transform(embedding,
+                              x -> CAST(ROUND(CAST(x AS DOUBLE) * 127 / scale)
+                                        AS INT))
+                     END AS qvec
+              FROM s
+            )
+            SELECT vec_id,
+                   CAST(FLOOR(scale * 1e6) AS BIGINT) AS scale_e6,
+                   CAST(list_aggregate(qvec, 'sum') AS BIGINT) AS q_sum,
+                   CAST(list_min(qvec) AS INT) AS q_min,
+                   CAST(list_max(qvec) AS INT) AS q_max,
+                   CAST(FLOOR(list_max(list_transform(list_zip(embedding, qvec),
+                       z -> abs(CAST(z[1] AS DOUBLE)
+                                - CAST(z[2] AS DOUBLE) * scale / 127))) * 1e6)
+                     AS BIGINT) AS max_abs_err_e6
+            FROM q
         """,
         # sample-for-sample replay of the audio feature pass: zero
         # crossings via LAG, integer-exact silence framing via i//160

@@ -48,6 +48,8 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "semantic_dedup_pairs",
+    "quantize_embeddings",
+    "dequantize_embeddings",
 ]
 
 
@@ -403,4 +405,49 @@ def load_ivf_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return (
         spark.read.parquet(f"{path}/centroids"),
         spark.read.parquet(f"{path}/assignments"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|v_i|``,
+    ``q_i = round(v_i * 127 / scale)`` (half away from zero, the rounding
+    both Spark and ANSI engines use) — a 4x storage/shuffle reduction for
+    embedding corpora, reversible to within ``scale/254`` per component.
+
+    Output: ``(id_col, scale DOUBLE, qvec ARRAY<INT> in [-127, 127])``.
+    All-zero vectors quantize to zeros with ``scale = 0``.
+
+    Pure column expressions (zero shuffle, no Python).  ``scale`` is
+    materialized behind a projection first: Catalyst does not CSE inside
+    higher-order-function lambdas, so computing it inline would re-reduce
+    the whole array once per element (64x work at dim 64)."""
+    absmax = F.array_max(
+        F.transform(vec_col, lambda x: F.abs(x.cast("double")))
+    )
+    staged = df.select(
+        F.col(id_col), F.col(vec_col).alias("_v"), absmax.alias("scale")
+    )
+    q = F.when(F.col("scale") == 0.0, F.transform("_v", lambda x: F.lit(0))).otherwise(
+        F.transform(
+            "_v",
+            lambda x: F.round(x.cast("double") * 127.0 / F.col("scale")).cast("int"),
+        )
+    )
+    return staged.select(id_col, "scale", q.alias("qvec"))
+
+
+def dequantize_embeddings(
+    df: DataFrame, id_col: str = "vec_id", qvec_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: ``v_i ~= q_i * scale / 127``
+    as ``ARRAY<DOUBLE>`` — feed straight back into :func:`cosine_topk` /
+    :func:`semantic_dedup_pairs` for quantized-corpus search."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            qvec_col, lambda x: x.cast("double") * F.col(scale_col) / 127.0
+        ).alias("vec"),
     )

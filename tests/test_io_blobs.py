@@ -145,3 +145,72 @@ def test_resample_audio_linear_interp(spark):
     want = np.interp(pos, np.arange(200), x.astype(np.float64))
     want = np.where(want >= 0, np.floor(want + 0.5), np.ceil(want - 0.5))
     assert (up[:, 0].astype(np.float64) == want).all()
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_roundtrip_error_bound(spark):
+    from ddspark.pipeline.ann import dequantize_embeddings, quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = quantize_embeddings(emb)
+    rows = q.collect()
+    assert all(-127 <= min(r.qvec) and max(r.qvec) <= 127 for r in rows)
+    back = {r.vec_id: r.vec for r in dequantize_embeddings(q).collect()}
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    scales = {r.vec_id: r.scale for r in rows}
+    for vid, v in orig.items():
+        bound = scales[vid] / 254 + 1e-12  # half a quantization step
+        assert all(abs(a - b) <= bound for a, b in zip(v, back[vid])), vid
+
+
+def test_quantize_zero_vector(spark):
+    from ddspark.pipeline.ann import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    assert out[1].scale == 0.0 and out[1].qvec == [0, 0, 0]
+    assert out[2].scale == 2.0 and out[2].qvec == [64, -127, 32]
+
+
+def test_quantize_is_shuffle_free(spark):
+    from ddspark.pipeline.ann import quantize_embeddings
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        quantize_embeddings(emb)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_quantized_search_agrees_on_top1(spark):
+    """cosine_topk over dequantized vectors finds the same top-1 neighbor
+    as over the originals (int8 noise is far below the neighbor margin)."""
+    from ddspark.pipeline.ann import (
+        cosine_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    deq = dequantize_embeddings(quantize_embeddings(emb)).withColumnRenamed(
+        "vec", "embedding"
+    )
+    qs = emb.where(F.col("vec_id") < 3)
+    qs_deq = deq.where(F.col("vec_id") < 3)
+    top_orig = {
+        r.qid: r.nid
+        for r in cosine_topk(emb, qs, k=1).where(F.col("rank") == 1).collect()
+    }
+    top_deq = {
+        r.qid: r.nid
+        for r in cosine_topk(deq, qs_deq, k=1).where(F.col("rank") == 1).collect()
+    }
+    assert top_orig == top_deq
