@@ -649,6 +649,18 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2021 ExactSubstr at word
+    granularity, n=8): every 8-token window occurring >= 2 times anywhere
+    in the corpus slice, merged per document into maximal token spans via
+    a gaps-and-islands window.  Portable hashing makes the full pipeline
+    — gram hash, global count, join, island merge — ANSI-replayable."""
+    from ddspark.pipeline.dedup import duplicated_spans
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    return duplicated_spans(docs, n=8, portable=True)
+
+
 def _q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (4x storage/shuffle cut for
     embedding corpora): per-vector scale, the quantized-component sum and
@@ -1189,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_c4_clean": wrap(_q_c4_clean),  # new in r5
         "multimodal_audio_features": wrap(_q_audio_features),  # new in r5
         "emb_quantize_stats": wrap(_q_emb_quantize),  # new in r5
+        "dedup_substring_spans": wrap(_q_substring_spans),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1418,6 +1431,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(ABS(v)) AS INT) AS peak
             FROM s GROUP BY doc_id
         """,
+        "dedup_substring_spans": _substring_spans_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
         # q = round(v*127/scale); both engines round half-away-from-zero
         "emb_quantize_stats": """
@@ -1925,6 +1939,12 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _substring_spans_oracle() -> str:
+    from ddspark.pipeline.dedup import duplicated_spans_oracle_sql
+
+    return duplicated_spans_oracle_sql("documents", n=8, where="doc_id < 300")
 
 
 def _gopher_quality_oracle() -> str:

@@ -28,6 +28,8 @@ from .textops import fingerprint
 
 __all__ = [
     "exact_dedup",
+    "duplicated_spans",
+    "duplicated_spans_oracle_sql",
     "word_gram_array",
     "word_tokens",
     "grams_from_tokens",
@@ -710,4 +712,141 @@ reb AS (
   FROM k GROUP BY id
 )
 SELECT id AS {id_col}, {proj} FROM reb
+"""
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    portable: bool = False,
+) -> DataFrame:
+    """Exact substring-span deduplication (the ExactSubstr pass of Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at word granularity): find every ``n``-token window
+    whose content occurs at least ``min_count`` times ANYWHERE in the
+    corpus, then merge each document's duplicated windows into maximal
+    token spans.
+
+    Output: one row per merged span —
+    ``(id_col, span_start, span_end, n_windows)`` with token indices
+    ``[span_start, span_end)`` and ``n_windows`` the number of duplicated
+    windows the span absorbed.  Cutting these spans out removes every
+    corpus-duplicated substring of ``>= n`` tokens.
+
+    Plan shape (all linear, nothing all-pairs):
+
+    1. tokenize once behind a projection, ``posexplode`` the gram array —
+       O(words) rows total;
+    2. count occurrences per gram hash (partial agg before the shuffle)
+       and keep hashes seen ``>= min_count`` times;
+    3. one hash-keyed join window-positions x duplicated-hashes (both
+       sides shrink first: positions project ``(id, pos, h)``, the dup
+       side is ``(h)`` only);
+    4. per-document gaps-and-islands merge: a window over ``(id, pos)``
+       computes the running max window-end; a new island starts where
+       ``pos`` jumps past it.  The window key includes the unique doc id,
+       so the merge cannot skew.
+
+    With ``portable`` the gram hash is the md5-derived
+    :func:`~ddspark.pipeline.hashing.portable_hash63`, making the whole
+    operator replayable bit-for-bit in ANSI SQL."""
+    from pyspark.sql import Window
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id",
+        F.posexplode(grams_from_tokens(F.col("_toks"), n)).alias("pos", "g"),
+    )
+    pos = grams.select("id", "pos", _hash63("g", portable).alias("h"))
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("h")
+    )
+    cand = pos.join(dup, "h").select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = cand.select(
+        "id",
+        "pos",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).select(
+        "id", "pos", F.sum("_new").over(w).alias("_island")
+    )
+    return (
+        islands.groupBy("id", "_island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            F.col("id").alias(id_col), "span_start", "span_end", "n_windows"
+        )
+    )
+
+
+def duplicated_spans_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 50,
+    min_count: int = 2,
+    where: str | None = None,
+) -> str:
+    """Twin of :func:`duplicated_spans` (``portable=True``)."""
+    from .hashing import portable_hash63_sql
+
+    filt = f"WHERE {where}" if where else ""
+    gram = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    h = portable_hash63_sql(f"({gram})")
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' ') AS t
+  FROM {table} {filt}
+),
+pos AS (
+  SELECT id, u.i - 1 AS pos, {h} AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+dup AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(*) >= {min_count}
+),
+cand AS (
+  SELECT id, pos FROM pos JOIN dup USING (h)
+),
+marked AS (
+  SELECT id, pos,
+         CASE WHEN MAX(pos + {n}) OVER (
+                PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > MAX(pos + {n}) OVER (
+                PARTITION BY id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS newi
+  FROM cand
+),
+islands AS (
+  SELECT id, pos,
+         SUM(newi) OVER (PARTITION BY id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+)
+SELECT id AS {id_col},
+       CAST(MIN(pos) AS INT) AS span_start,
+       CAST(MAX(pos) + {n} AS INT) AS span_end,
+       COUNT(*) AS n_windows
+FROM islands GROUP BY id, island
 """

@@ -214,3 +214,76 @@ def test_quantized_search_agrees_on_top1(spark):
         for r in cosine_topk(deq, qs_deq, k=1).where(F.col("rank") == 1).collect()
     }
     assert top_orig == top_deq
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicated_spans_cross_doc(spark):
+    """Two docs share an exact 6-word run inside distinct text; with n=4
+    the 3 duplicated windows merge into one span at the right offsets."""
+    from ddspark.pipeline.dedup import duplicated_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, "one two three " + shared + " four five six"),
+        (2, "seven eight " + shared + " nine ten eleven twelve"),
+        (3, "totally unrelated words only here nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in duplicated_spans(df, n=4).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: shared run at tokens [3, 9) -> windows at 3,4,5 merge
+    assert (out[1].span_start, out[1].span_end, out[1].n_windows) == (3, 9, 3)
+    # doc 2: shared run at tokens [2, 8)
+    assert (out[2].span_start, out[2].span_end, out[2].n_windows) == (2, 8, 3)
+
+
+def test_duplicated_spans_within_doc_and_islands(spark):
+    """A doc repeating its own phrase twice produces two separate spans
+    (the gap breaks the island)."""
+    from ddspark.pipeline.dedup import duplicated_spans
+
+    phrase = "red green blue yellow"
+    df = spark.createDataFrame(
+        [(9, phrase + " w1 w2 w3 w4 w5 " + phrase)],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        duplicated_spans(df, n=4).collect(), key=lambda r: r.span_start
+    )
+    assert len(out) == 2
+    assert (out[0].span_start, out[0].span_end) == (0, 4)
+    assert (out[1].span_start, out[1].span_end) == (9, 13)
+
+
+def test_duplicated_spans_parallelism_invariant(spark):
+    from ddspark.pipeline.dedup import duplicated_spans
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = sorted(map(tuple, duplicated_spans(docs, n=6).collect()))
+    b = sorted(map(tuple, duplicated_spans(docs.repartition(13), n=6).collect()))
+    assert a == b and len(a) > 0
+
+
+def test_duplicated_spans_matches_duckdb_twin(spark):
+    import duckdb
+    from ddspark.pipeline.dedup import duplicated_spans, duplicated_spans_oracle_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        map(tuple, duplicated_spans(docs, n=6, portable=True).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = sorted(
+        map(tuple, con.execute(duplicated_spans_oracle_sql("documents", n=6)).fetchall())
+    )
+    assert got == want
