@@ -34,6 +34,7 @@ from __future__ import annotations
 import random
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .hashing import portable_hash63
@@ -50,6 +51,8 @@ __all__ = [
     "semantic_dedup_pairs",
     "quantize_embeddings",
     "dequantize_embeddings",
+    "pca_fit",
+    "pca_project",
 ]
 
 
@@ -451,3 +454,90 @@ def dequantize_embeddings(
             qvec_col, lambda x: x.cast("double") * F.col(scale_col) / 127.0
         ).alias("vec"),
     )
+
+
+def pca_fit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit a PCA basis over an embedding corpus in ONE distributed pass.
+
+    Returns ``(mean [d], components [k, d], eigenvalues [k])`` with
+    components sorted by descending eigenvalue.  Sign convention: each
+    component's largest-|.| coordinate is positive, so results are
+    deterministic up to float summation order.
+
+    Scale shape: each Arrow batch reduces to a single partial
+    ``(n, sum[d], outer-product sum [d*d])`` row — the driver collects
+    one tiny row PER BATCH (not per input row; bounded by corpus/batch
+    size), combines partials, and runs the d x d eigendecomposition
+    locally (d is the embedding dim, e.g. 64 — microseconds).  The 100 TB
+    corpus is read once; nothing else crosses the driver."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
+    from pyspark.sql.types import StructField as SF, StructType as ST
+
+    schema = ST([
+        SF("n", LongType()),
+        SF("s", ArrayType(DoubleType())),
+        SF("ss", ArrayType(DoubleType())),
+    ])
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            yield pd.DataFrame({
+                "n": [m.shape[0]],
+                "s": [m.sum(axis=0).tolist()],
+                "ss": [(m.T @ m).ravel().tolist()],
+            })
+
+    parts = df.select(vec_col).mapInPandas(partials, schema).collect()
+    if not parts:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p.n for p in parts)
+    s = np.sum([p.s for p in parts], axis=0)
+    d = s.shape[0]
+    ss = np.sum([p.ss for p in parts], axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T
+    flip = np.sign(comps[np.arange(comps.shape[0]),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return mean, comps, evals[order]
+
+
+def pca_project(
+    df: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pvec",
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis: ``(id, pvec [k])``.
+
+    The (tiny) basis ships inside the UDF closure — effectively a
+    broadcast; the projection is one vectorized numpy matmul per Arrow
+    batch, map-only, no shuffle."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType
+    from pyspark.sql.types import StructField as SF, StructType as ST
+
+    mu = np.asarray(mean, dtype=np.float64)
+    w = np.asarray(components, dtype=np.float64)
+    schema = ST([SF(id_col, LongType()), SF(out_col, ArrayType(DoubleType()))])
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            p = (m - mu) @ w.T
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                out_col: list(p)})
+
+    return df.select(id_col, vec_col).mapInPandas(gen, schema)

@@ -287,3 +287,52 @@ def test_duplicated_spans_matches_duckdb_twin(spark):
         map(tuple, con.execute(duplicated_spans_oracle_sql("documents", n=6)).fetchall())
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# PCA over embeddings (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_matches_numpy(spark):
+    """Distributed one-pass covariance + driver eig == local numpy PCA."""
+    from ddspark.pipeline.ann import pca_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps, evals = pca_fit(emb, k=5)
+    m = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    assert np.allclose(mean, m.mean(axis=0), atol=1e-9)
+    cov = np.cov(m, rowvar=False, bias=True)
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:5]
+    assert np.allclose(evals, ev[order], rtol=1e-8)
+    for i, col in enumerate(order):  # same subspace up to sign
+        want = evec[:, col]
+        assert np.allclose(np.abs(comps[i] @ want), 1.0, atol=1e-8)
+
+
+def test_pca_project_reduces_and_preserves_variance(spark):
+    from ddspark.pipeline.ann import pca_fit, pca_project
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    mean, comps, evals = pca_fit(emb, k=5)
+    proj = pca_project(emb, mean, comps)
+    rows = proj.collect()
+    assert all(len(r.pvec) == 5 for r in rows)
+    p = np.array([r.pvec for r in rows])
+    # per-axis variance of the projection equals the eigenvalue
+    assert np.allclose(p.var(axis=0), evals, rtol=1e-6)
+    # axes are uncorrelated
+    c = np.cov(p, rowvar=False, bias=True)
+    assert np.allclose(c - np.diag(np.diag(c)), 0, atol=1e-8)
+
+
+def test_pca_fit_parallelism_stable(spark):
+    from ddspark.pipeline.ann import pca_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    m1, c1, e1 = pca_fit(emb, k=3)
+    m2, c2, e2 = pca_fit(emb.repartition(7), k=3)
+    assert np.allclose(m1, m2, atol=1e-12)
+    assert np.allclose(e1, e2, rtol=1e-9)
+    assert np.allclose(np.abs((c1 * c2).sum(axis=1)), 1.0, atol=1e-9)
