@@ -649,6 +649,20 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel over the documents table: exact-dedup ->
+    language-id -> Gopher quality -> repetition, each stage's attrition
+    counted in one aggregate (a doc is charged to the FIRST stage that
+    drops it).  The oracle composes the four stage twins and must agree
+    on every entered/dropped counter."""
+    from ddspark.pipeline.curation import quality_funnel
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_funnel(
+        docs, min_words=50, min_stopword_hits=1, max_dup_word_frac=0.6
+    )
+
+
 def _q_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-span dedup (Lee et al. 2021 ExactSubstr at word
     granularity, n=8): every 8-token window occurring >= 2 times anywhere
@@ -1202,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_features": wrap(_q_audio_features),  # new in r5
         "emb_quantize_stats": wrap(_q_emb_quantize),  # new in r5
         "dedup_substring_spans": wrap(_q_substring_spans),  # new in r5
+        "curation_funnel": wrap(_q_quality_funnel),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1432,6 +1447,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY doc_id
         """,
         "dedup_substring_spans": _substring_spans_oracle(),
+        "curation_funnel": _quality_funnel_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
         # q = round(v*127/scale); both engines round half-away-from-zero
         "emb_quantize_stats": """
@@ -1939,6 +1955,16 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _quality_funnel_oracle() -> str:
+    from ddspark.pipeline.curation import quality_funnel_oracle_sql
+
+    return quality_funnel_oracle_sql(
+        "documents",
+        max_dup_word_frac=0.6,
+        gopher_sql_kwargs={"min_words": 50, "min_stopword_hits": 1},
+    )
 
 
 def _substring_spans_oracle() -> str:

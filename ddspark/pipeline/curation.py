@@ -70,6 +70,9 @@ __all__ = [
     "gopher_quality_oracle_sql",
     "c4_clean",
     "c4_clean_oracle_sql",
+    "quality_funnel",
+    "quality_funnel_oracle_sql",
+    "FUNNEL_STAGES",
     "PII_PATTERNS",
     "GOPHER_STOPWORDS",
     "C4_POLICY_PHRASES",
@@ -1039,4 +1042,138 @@ SELECT id AS {id_col}, n_lines, len(kept) AS n_kept,
         AND len(kept) >= {min_kept_lines}) AS keep_page,
        array_to_string(kept, chr(10)) AS clean_text
 FROM k
+"""
+
+
+FUNNEL_STAGES = ["exact_dup", "lang_id", "gopher", "repetition"]
+
+
+def quality_funnel(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.3,
+    **gopher_kwargs,
+) -> DataFrame:
+    """End-to-end curation funnel: run the standard filter chain
+    exact-dedup -> language-id -> Gopher quality -> repetition in ONE
+    logical pass and report per-stage attrition — the first table a
+    100 TB curation run looks at.
+
+    Stages (a document is charged to the FIRST stage that drops it):
+
+    1. ``exact_dup``   — not the first occurrence of the normalized
+       fingerprint (:func:`~ddspark.pipeline.textops.fingerprint`);
+    2. ``lang_id``     — :func:`~ddspark.pipeline.textops.language_id`
+       returns ``'und'``;
+    3. ``gopher``      — :func:`gopher_quality` ``keep`` is false
+       (``gopher_kwargs`` forwarded);
+    4. ``repetition``  — ``dup_word_frac > max_dup_word_frac``
+       (:func:`repetition_stats`).
+
+    Output: ``(stage_no INT, stage STRING, entered BIGINT,
+    dropped BIGINT)`` — four rows; ``entered - dropped`` of the last row
+    is the surviving corpus size.
+
+    Plan shape: three doc-keyed side computations (first-occurrence via a
+    fingerprint groupBy, Gopher flags map-only, repetition's explode+agg)
+    joined on the unique id, then a single global aggregate emits every
+    stage counter at once — no per-stage corpus rescan."""
+    from .textops import fingerprint, language_id
+
+    fp = df.select(
+        F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("_fp")
+    )
+    first = fp.groupBy("_fp").agg(F.min("id").alias("_keep_id"))
+    f1 = fp.join(first, "_fp").select(
+        "id", (F.col("id") == F.col("_keep_id")).alias("f1")
+    )
+    f2 = df.select(
+        F.col(id_col).alias("id"),
+        (language_id(F.col(text_col)) != "und").alias("f2"),
+    )
+    f3 = gopher_quality(df, id_col=id_col, text_col=text_col, **gopher_kwargs).select(
+        F.col(id_col).alias("id"), F.col("keep").alias("f3")
+    )
+    f4 = repetition_stats(df, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("id"),
+        (F.col("dup_word_frac") <= max_dup_word_frac).alias("f4"),
+    )
+    flags = f1.join(f2, "id").join(f3, "id").join(f4, "id")
+    i = lambda c: c.cast("int")  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("e1"),
+        F.sum(i(~F.col("f1"))).alias("d1"),
+        F.sum(i(F.col("f1"))).alias("e2"),
+        F.sum(i(F.col("f1") & ~F.col("f2"))).alias("d2"),
+        F.sum(i(F.col("f1") & F.col("f2"))).alias("e3"),
+        F.sum(i(F.col("f1") & F.col("f2") & ~F.col("f3"))).alias("d3"),
+        F.sum(i(F.col("f1") & F.col("f2") & F.col("f3"))).alias("e4"),
+        F.sum(i(F.col("f1") & F.col("f2") & F.col("f3") & ~F.col("f4"))).alias("d4"),
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(j + 1).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"e{j + 1}").cast("long").alias("entered"),
+                F.col(f"d{j + 1}").cast("long").alias("dropped"),
+            )
+            for j, name in enumerate(FUNNEL_STAGES)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+def quality_funnel_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_word_frac: float = 0.3,
+    gopher_sql_kwargs: dict | None = None,
+) -> str:
+    """Twin of :func:`quality_funnel` (composes the stage twins)."""
+    from .textops import language_id_oracle_sql
+
+    g = gopher_quality_oracle_sql(table, id_col, text_col,
+                                  **(gopher_sql_kwargs or {}))
+    r = repetition_stats_oracle_sql(table, id_col, text_col)
+    lid = language_id_oracle_sql(table, id_col, text_col)
+    return rf"""
+WITH fp AS (
+  SELECT {id_col} AS id,
+         md5(regexp_replace(lower(trim({text_col})), '\s+', ' ', 'g')) AS f
+  FROM {table}
+),
+f1s AS (
+  SELECT id, (id = MIN(id) OVER (PARTITION BY f)) AS f1 FROM fp
+),
+f2s AS (
+  SELECT {id_col} AS id, (pred_lang != 'und') AS f2 FROM ({lid})
+),
+f3s AS (
+  SELECT {id_col} AS id, keep AS f3 FROM ({g})
+),
+f4s AS (
+  SELECT {id_col} AS id, (dup_word_frac <= {max_dup_word_frac}) AS f4 FROM ({r})
+),
+flags AS (
+  SELECT f1, f2, f3, f4
+  FROM f1s JOIN f2s USING (id) JOIN f3s USING (id) JOIN f4s USING (id)
+),
+a AS (
+  SELECT COUNT(*) AS e1,
+         SUM(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS d1,
+         SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS e2,
+         SUM(CASE WHEN f1 AND NOT f2 THEN 1 ELSE 0 END) AS d2,
+         SUM(CASE WHEN f1 AND f2 THEN 1 ELSE 0 END) AS e3,
+         SUM(CASE WHEN f1 AND f2 AND NOT f3 THEN 1 ELSE 0 END) AS d3,
+         SUM(CASE WHEN f1 AND f2 AND f3 THEN 1 ELSE 0 END) AS e4,
+         SUM(CASE WHEN f1 AND f2 AND f3 AND NOT f4 THEN 1 ELSE 0 END) AS d4
+  FROM flags
+)
+SELECT 1 AS stage_no, 'exact_dup' AS stage, CAST(e1 AS BIGINT) AS entered, CAST(d1 AS BIGINT) AS dropped FROM a
+UNION ALL SELECT 2, 'lang_id', CAST(e2 AS BIGINT), CAST(d2 AS BIGINT) FROM a
+UNION ALL SELECT 3, 'gopher', CAST(e3 AS BIGINT), CAST(d3 AS BIGINT) FROM a
+UNION ALL SELECT 4, 'repetition', CAST(e4 AS BIGINT), CAST(d4 AS BIGINT) FROM a
 """

@@ -24,6 +24,7 @@ __all__ = [
     "stopword_ratio",
     "quality_score",
     "language_id",
+    "language_id_oracle_sql",
     "fingerprint",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
@@ -398,3 +399,38 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(gen, schema)
+
+
+def language_id_oracle_sql(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """Per-document ANSI twin of :func:`language_id`:
+    ``SELECT (id_col, pred_lang)`` — marker-hit argmax with the same
+    double-spaced padding trick and deterministic tie-break."""
+    hit_exprs = {}
+    for lang, words in sorted(LANG_MARKERS.items()):
+        parts = [
+            f"CAST((length(p) - length(replace(p, ' {w} ', ''))) / {len(w) + 2} AS INT)"
+            for w in words
+        ]
+        hit_exprs[lang] = " + ".join(parts)
+    hits_sel = ",\n         ".join(
+        f"{e} AS h_{lang}" for lang, e in hit_exprs.items()
+    )
+    langs = sorted(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN h_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return rf"""
+WITH lid_padded AS (
+  SELECT {id_col} AS id,
+         ' ' || regexp_replace(lower({text_col}), '\s+', '  ', 'g') || ' ' AS p
+  FROM {table}
+),
+lid_hits AS (
+  SELECT id, {hits_sel} FROM lid_padded
+)
+SELECT id AS {id_col}, {case} AS pred_lang FROM lid_hits
+"""

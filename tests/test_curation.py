@@ -623,3 +623,53 @@ def test_c4_clean_is_shuffle_free(spark):
     df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_quality_funnel_stage_attribution(spark):
+    """Each crafted doc is charged to exactly the first stage it fails."""
+    from ddspark.pipeline.curation import quality_funnel
+
+    good = " ".join(["the cat and dog have fun with that bird"] * 8)
+    rows = [
+        (0, good),
+        (1, good),  # exact duplicate of 0 -> exact_dup
+        (2, "zz qq xx " * 30),  # no markers -> lang_id ('und')
+        (3, "the " + " ".join(f"w{i}" for i in range(20))),  # en but <50 words -> gopher
+        (4, good + " " + good),  # passes gopher, heavy repetition -> repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.stage: r
+        for r in quality_funnel(
+            df, min_words=50, min_stopword_hits=1, max_dup_word_frac=0.5
+        ).collect()
+    }
+    assert (out["exact_dup"].entered, out["exact_dup"].dropped) == (5, 1)
+    assert (out["lang_id"].entered, out["lang_id"].dropped) == (4, 1)
+    assert (out["gopher"].entered, out["gopher"].dropped) == (3, 1)
+    # doc 0: dup_word_frac = (72-9)/72 = 0.875 > 0.5 -> dropped too
+    assert (out["repetition"].entered, out["repetition"].dropped) == (2, 2)
+
+
+def test_quality_funnel_matches_duckdb_twin(spark):
+    import duckdb
+    from ddspark.pipeline.curation import quality_funnel, quality_funnel_oracle_sql
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = (
+        quality_funnel(docs, min_words=50, min_stopword_hits=1)
+        .orderBy("stage_no")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    want = con.execute(
+        quality_funnel_oracle_sql(
+            "documents", gopher_sql_kwargs={"min_words": 50, "min_stopword_hits": 1}
+        )
+        + " ORDER BY stage_no"
+    ).df()
+    assert (got.values.astype(str) == want.values.astype(str)).all()
