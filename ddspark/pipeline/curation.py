@@ -811,7 +811,7 @@ def gopher_quality(
     )
     sig = base.select(
         "id",
-        wc.alias("word_count"),
+        wc.cast("long").alias("word_count"),
         F.when(
             wc > 0,
             F.round(
@@ -993,8 +993,8 @@ def c4_clean(
     )
     return base.select(
         F.col("id").alias(id_col),
-        "n_lines",
-        F.size("_kept").alias("n_kept"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept"),
         F.lower("_txt").contains("lorem ipsum").alias("lorem_ipsum"),
         F.col("_txt").contains("{").alias("has_brace"),
         (

@@ -48,13 +48,13 @@ def main() -> None:
     )
     docs.count()  # materialize
 
-    def timed(name, fn, warm=1):
+    def timed(name, fn, warm=1, rows=None):
         for _ in range(warm):
             fn()
         t0 = time.monotonic()
         fn()
         dt = time.monotonic() - t0
-        print(f"| {name} | {dt:.2f} | {N / dt / 1e6:.1f} M |")
+        print(f"| {name} | {dt:.2f} | {(rows or N) / dt / 1e6:.1f} M |")
 
     from ddspark.pipeline.curation import (
         hash_split,
@@ -129,6 +129,45 @@ def main() -> None:
         lambda: bloom_prefilter(big, keys, "key", m=1 << 22, k=5)
         .agg(F.count(F.lit(1)))
         .collect(),
+    )
+
+    from ddspark.pipeline.curation import c4_clean, gopher_quality, quality_funnel
+    from ddspark.pipeline.dedup import duplicated_spans
+
+    timed(
+        "gopher_quality (7 rules, map-only, r5)",
+        lambda: gopher_quality(docs).agg(F.sum(F.col("keep").cast("int"))).collect(),
+    )
+    timed(
+        "c4_clean (line rules, map-only, r5)",
+        lambda: c4_clean(docs).agg(F.sum("n_kept")).collect(),
+    )
+    timed(
+        "duplicated_spans (n=8 windows, r5)",
+        lambda: duplicated_spans(docs, n=8).agg(F.count(F.lit(1))).collect(),
+    )
+    timed(
+        "quality_funnel (4-stage chain, r5)",
+        lambda: quality_funnel(docs).collect(),
+    )
+
+    from ddspark.pipeline.ann import quantize_embeddings
+    from ddspark.pipeline.multimodal import audio_features
+
+    vecs = spark.range(N // 4, numPartitions=64).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 63), i -> cast(sin(id * 0.37 + i) as float))"
+        ).alias("embedding"),
+    )
+    timed(
+        "quantize_embeddings (dim 64, map-only, r5)",
+        lambda: quantize_embeddings(vecs).agg(F.sum("q_sum")).collect(),
+        rows=N // 4,
+    )
+    timed(
+        "audio_features (480-sample WAV, r5)",
+        lambda: audio_features(synth_audio(ids)).agg(F.sum("zero_crossings")).collect(),
     )
     spark.stop()
 

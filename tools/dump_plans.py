@@ -312,6 +312,41 @@ def main() -> None:
         spark.sql("DROP TABLE IF EXISTS plans_dd_c")
         spark.sql("DROP TABLE IF EXISTS plans_dd_k")
 
+    from ddspark.pipeline.curation import gopher_quality
+
+    gq = gopher_quality(docs)
+    sections.append(
+        (
+            "Gopher quality rules (round 5): map-only",
+            "Things to check: NO Exchange and no Python node anywhere — the "
+            "token and line arrays materialize once in a projection, every "
+            "rule is one higher-order-function pass over the in-memory "
+            "array, and the whole filter runs inside the scan's "
+            "WholeStageCodegen stage.  At 100 TB this operator adds zero "
+            "shuffle to any pipeline it composes with (same shape as "
+            "hash_split); c4_clean compiles to the same map-only form.",
+            formatted(gq),
+        )
+    )
+
+    from ddspark.pipeline.dedup import duplicated_spans
+
+    spans = duplicated_spans(docs, n=8)
+    sections.append(
+        (
+            "Exact substring-span dedup (round 5)",
+            "Things to check: windows travel as xxhash64 longs, never gram "
+            "strings; the global occurrence count is a partial+final "
+            "HashAggregate on the hash (map-side combine absorbs hot "
+            "grams); ONE hash-keyed join marks duplicated positions; the "
+            "gaps-and-islands merge runs two window functions over the "
+            "SAME (doc_id, pos) sort — Spark plans a single Exchange + "
+            "Sort for both, and the key includes the unique doc id so it "
+            "cannot skew.",
+            formatted(spans),
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the flagship pipelines\n"]
     out.append("Generated by `python tools/dump_plans.py` against " + SF_DIR + ".\n")
     for title, note, plan in sections:
