@@ -468,11 +468,12 @@ def pca_fit(
     deterministic up to float summation order.
 
     Scale shape: each Arrow batch reduces to a single partial
-    ``(n, sum[d], outer-product sum [d*d])`` row — the driver collects
-    one tiny row PER BATCH (not per input row; bounded by corpus/batch
-    size), combines partials, and runs the d x d eigendecomposition
-    locally (d is the embedding dim, e.g. 64 — microseconds).  The 100 TB
-    corpus is read once; nothing else crosses the driver."""
+    ``(n, sum[d], outer-product sum [d*d])`` row; the partials are then
+    combined DISTRIBUTED (posexplode + sum per coordinate), so the driver
+    collects exactly ``d*d + d + 1`` numbers no matter the corpus size,
+    and runs the d x d eigendecomposition locally (d is the embedding
+    dim, e.g. 64 — microseconds).  The corpus is read once; the partial
+    frame is persisted for its three tiny follow-up aggregations."""
     from pyspark.sql.types import ArrayType, DoubleType, LongType
     from pyspark.sql.types import StructField as SF, StructType as ST
 
@@ -493,13 +494,31 @@ def pca_fit(
                 "ss": [(m.T @ m).ravel().tolist()],
             })
 
-    parts = df.select(vec_col).mapInPandas(partials, schema).collect()
-    if not parts:
-        raise ValueError("pca_fit: empty input")
-    n = sum(p.n for p in parts)
-    s = np.sum([p.s for p in parts], axis=0)
-    d = s.shape[0]
-    ss = np.sum([p.ss for p in parts], axis=0).reshape(d, d)
+    parts = df.select(vec_col).mapInPandas(partials, schema).persist()
+    try:
+        total = parts.agg(F.sum("n")).collect()[0][0]
+        if not total:
+            raise ValueError("pca_fit: empty input")
+        n = int(total)
+        s = np.array(
+            [
+                r[1]
+                for r in parts.select(F.posexplode("s"))
+                .groupBy("pos").agg(F.sum("col"))
+                .orderBy("pos").collect()
+            ]
+        )
+        d = s.shape[0]
+        ss = np.array(
+            [
+                r[1]
+                for r in parts.select(F.posexplode("ss"))
+                .groupBy("pos").agg(F.sum("col"))
+                .orderBy("pos").collect()
+            ]
+        ).reshape(d, d)
+    finally:
+        parts.unpersist()
     mean = s / n
     cov = ss / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending

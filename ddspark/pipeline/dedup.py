@@ -752,7 +752,12 @@ def duplicated_spans(
 
     With ``portable`` the gram hash is the md5-derived
     :func:`~ddspark.pipeline.hashing.portable_hash63`, making the whole
-    operator replayable bit-for-bit in ANSI SQL."""
+    operator replayable bit-for-bit in ANSI SQL.
+
+    Note: the corpus is scanned twice (window positions + the global
+    count feed from the same source).  When scan+tokenize dominates,
+    ``df.persist()`` (or a pre-materialized token table) before calling
+    collapses the two reads into one."""
     from pyspark.sql import Window
 
     grams = df.select(

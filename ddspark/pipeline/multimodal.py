@@ -1563,6 +1563,12 @@ def audio_features(
             StructField("silence_frac", DoubleType()),
         ]
     )
+    if frame <= 0:
+        raise ValueError(f"audio_features: frame must be positive, got {frame}")
+    if silence_thresh < 0:
+        raise ValueError(
+            f"audio_features: silence_thresh must be >= 0, got {silence_thresh}"
+        )
     thr2 = int(silence_thresh) * int(silence_thresh)
 
     def gen(batches):
