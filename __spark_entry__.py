@@ -649,6 +649,38 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-crawl URL curation over deterministic synth URLs (scheme,
+    subdomain, site, TLD, path depth, tracking params, fragment all keyed
+    on doc_id): host + registered-domain extraction (two-level public
+    suffixes), path depth, tracking detection, canonicalization, and
+    blocklist verdicts — every rule shares one regex set with the SQL
+    twin."""
+    from ddspark.pipeline.urlops import url_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    m = lambda k: F.col("doc_id") % k  # noqa: E731
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(m(2) == 0, F.lit("https://")).otherwise(F.lit("http://")),
+            F.when(m(3) == 0, F.lit("")).when(m(3) == 1, F.lit("www."))
+            .otherwise(F.lit("blog.sub.")),
+            F.concat(F.lit("site"), m(7).cast("string")),
+            F.when(m(3) == 0, F.lit(".com")).when(m(3) == 1, F.lit(".co.uk"))
+            .otherwise(F.lit(".org")),
+            F.when(m(4) == 0, F.lit("")).when(m(4) == 1, F.lit("/a"))
+            .when(m(4) == 2, F.lit("/a/b")).otherwise(F.lit("/a/b/c/")),
+            F.when(m(5) == 0, F.lit("")).when(m(5) == 1, F.lit("?id=7"))
+            .when(m(5) == 2, F.lit("?utm_source=x&id=7"))
+            .when(m(5) == 3, F.lit("?id=7&utm_campaign=z"))
+            .otherwise(F.lit("?fbclid=abc")),
+            F.when(m(6) == 0, F.lit("#top")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return url_stats(urls, blocklist=["site1.com", "site3.co.uk"])
+
+
 def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the documents table: exact-dedup ->
     language-id -> Gopher quality -> repetition, each stage's attrition
@@ -1217,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize_stats": wrap(_q_emb_quantize),  # new in r5
         "dedup_substring_spans": wrap(_q_substring_spans),  # new in r5
         "curation_funnel": wrap(_q_quality_funnel),  # new in r5
+        "curation_url_stats": wrap(_q_url_stats),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1448,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_substring_spans": _substring_spans_oracle(),
         "curation_funnel": _quality_funnel_oracle(),
+        "curation_url_stats": _url_stats_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
         # q = round(v*127/scale); both engines round half-away-from-zero
         "emb_quantize_stats": """
@@ -1955,6 +1989,29 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _url_stats_oracle() -> str:
+    from ddspark.pipeline.urlops import url_stats_oracle_sql
+
+    crafted = """(
+SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+  || (CASE WHEN doc_id % 3 = 0 THEN '' WHEN doc_id % 3 = 1 THEN 'www.'
+           ELSE 'blog.sub.' END)
+  || 'site' || CAST(doc_id % 7 AS VARCHAR)
+  || (CASE WHEN doc_id % 3 = 0 THEN '.com' WHEN doc_id % 3 = 1 THEN '.co.uk'
+           ELSE '.org' END)
+  || (CASE WHEN doc_id % 4 = 0 THEN '' WHEN doc_id % 4 = 1 THEN '/a'
+           WHEN doc_id % 4 = 2 THEN '/a/b' ELSE '/a/b/c/' END)
+  || (CASE WHEN doc_id % 5 = 0 THEN '' WHEN doc_id % 5 = 1 THEN '?id=7'
+           WHEN doc_id % 5 = 2 THEN '?utm_source=x&id=7'
+           WHEN doc_id % 5 = 3 THEN '?id=7&utm_campaign=z'
+           ELSE '?fbclid=abc' END)
+  || (CASE WHEN doc_id % 6 = 0 THEN '#top' ELSE '' END) AS url
+FROM documents
+)"""
+    return url_stats_oracle_sql(crafted, blocklist=["site1.com", "site3.co.uk"])
 
 
 def _quality_funnel_oracle() -> str:
