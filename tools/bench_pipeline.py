@@ -162,7 +162,14 @@ def main() -> None:
     )
     timed(
         "quantize_embeddings (dim 64, map-only, r5)",
-        lambda: quantize_embeddings(vecs).agg(F.sum("q_sum")).collect(),
+        lambda: quantize_embeddings(vecs)
+        .select(
+            F.aggregate(
+                "qvec", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("s")
+        )
+        .agg(F.sum("s"))
+        .collect(),
         rows=N // 4,
     )
     timed(
