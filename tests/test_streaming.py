@@ -683,3 +683,60 @@ def test_sessionize_duplicate_timestamps_share_a_session(spark):
     assert (per_ts == 1).all(), per_ts
     counts = res.groupby("session_start").size().sort_index()
     assert counts.tolist() == [6, 6]  # 2 sessions x (2 events x 3 copies)
+
+
+def test_curation_filters_run_on_streams(spark, tmp_path):
+    """The r5 map-only curation operators (gopher_quality, c4_clean,
+    url_stats) are stateless column pipelines, so they run UNCHANGED on a
+    streaming DataFrame and agree row-for-row with the batch result."""
+    from ddspark.pipeline.curation import c4_clean, gopher_quality
+    from ddspark.pipeline.urlops import url_stats
+
+    rows = [
+        (i, ("the cat and dog have fun with that bird " * (3 + i % 5)).strip())
+        for i in range(40)
+    ]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.write.parquet(f"{src}/f0.parquet")
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+
+    for name, fn in [
+        ("gq", lambda d: gopher_quality(d, min_words=50, min_stopword_hits=1)),
+        ("c4", lambda d: c4_clean(d, min_kept_lines=1)),
+        (
+            "us",
+            lambda d: url_stats(
+                d.select(
+                    "doc_id",
+                    F.concat(
+                        F.lit("https://h"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(".example.com/x?utm_source=a&id=1"),
+                    ).alias("url"),
+                ),
+                blocklist=["example.com"],
+            ),
+        ),
+    ]:
+        q = (
+            fn(sdf)
+            .writeStream.format("memory")
+            .queryName(f"cur_stream_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql(f"SELECT * FROM cur_stream_{name}")
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        want = fn(batch).orderBy("doc_id").toPandas()
+        assert got.shape == want.shape
+        for c in got.columns:
+            assert (got[c].astype(str).values == want[c].astype(str).values).all(), (
+                name, c,
+            )
