@@ -25,6 +25,7 @@ __all__ = [
     "write_bucketed",
     "read_bucketed",
     "read_blob_files",
+    "write_corpus_jsonl",
 ]
 
 
@@ -249,3 +250,25 @@ def read_blob_files(
             F.col("modificationTime").alias("mtime"),
         ]
     return df.select(*cols)
+
+
+def write_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    compression: str | None = "gzip",
+    partitions: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Export a corpus as sharded JSONL — the interchange format most
+    training stacks ingest (one JSON object per line, one file per
+    shard).  ``compression="gzip"`` writes ``.json.gz`` shards (use
+    ``None`` for plain text); ``partitions`` controls the shard count
+    (default: the DataFrame's current partitioning — at scale, size
+    shards to ~100-500 MB compressed so downstream loaders parallelize
+    without tiny-file overhead).  Roundtrips through
+    :func:`read_corpus_jsonl`."""
+    out = df.repartition(partitions) if partitions else df
+    w = out.write.mode(mode)
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -336,3 +336,19 @@ def test_pca_fit_parallelism_stable(spark):
     assert np.allclose(m1, m2, atol=1e-12)
     assert np.allclose(e1, e2, rtol=1e-9)
     assert np.allclose(np.abs((c1 * c2).sum(axis=1)), 1.0, atol=1e-9)
+
+
+def test_write_corpus_jsonl_roundtrip(spark, tmp_path):
+    from ddspark.io import read_corpus_jsonl, write_corpus_jsonl
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "export")
+    write_corpus_jsonl(docs, out, compression="gzip", partitions=4)
+    import glob
+
+    shards = glob.glob(out + "/part-*.json.gz")
+    assert len(shards) == 4
+    back = read_corpus_jsonl(spark, out + "/*.json.gz", schema=docs.schema)
+    a = sorted(map(tuple, docs.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
