@@ -41,9 +41,12 @@ _HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host without port; NULL for non-URL strings."""
+    """Lowercased host without userinfo or port; NULL for non-URL
+    strings."""
     raw = F.regexp_extract(url, _HOST_RE, 1)
-    host = F.lower(F.regexp_replace(raw, r":\d+$", ""))
+    host = F.lower(
+        F.regexp_replace(F.regexp_replace(raw, r"^.*@", ""), r":\d+$", "")
+    )
     return F.nullif(host, F.lit(""))
 
 
@@ -168,8 +171,9 @@ def url_stats_oracle_sql(
     return rf"""
 WITH base AS (
   SELECT {id_col} AS id, {url_col} AS u,
-         NULLIF(lower(regexp_replace(regexp_extract({url_col}, '{host_re}', 1),
-                                     ':\d+$', '')), '') AS host
+         NULLIF(lower(regexp_replace(regexp_replace(
+                   regexp_extract({url_col}, '{host_re}', 1),
+                   '^.*@', ''), ':\d+$', '')), '') AS host
   FROM {table} {filt}
 ),
 lab AS (

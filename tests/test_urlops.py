@@ -89,3 +89,16 @@ def test_url_stats_is_shuffle_free(spark):
     out = url_stats(docs)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_url_host_strips_userinfo(spark):
+    from ddspark.pipeline.urlops import url_stats
+
+    df = spark.createDataFrame(
+        [(0, "https://user:p@ss@www.example.com:8080/a")],
+        "doc_id long, url string",
+    )
+    r = url_stats(df).collect()[0]
+    # everything up to the LAST @ is userinfo
+    assert r.host == "www.example.com"
+    assert r.domain == "example.com"
