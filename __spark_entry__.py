@@ -649,6 +649,18 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hashed_bow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bag-of-words linear scorer (fastText/CCNet-style quality
+    classifier plumbing, weights a deterministic closed form in integer
+    milli-units so the weight sum is exact under any summation order).
+    The oracle replays hash, bucket, weight, sum, and the floor'd
+    logistic squash per token."""
+    from ddspark.pipeline.textops import hashed_bow_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return hashed_bow_score(docs)
+
+
 def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-crawl URL curation over deterministic synth URLs (scheme,
     subdomain, site, TLD, path depth, tracking params, fragment all keyed
@@ -1250,6 +1262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": wrap(_q_substring_spans),  # new in r5
         "curation_funnel": wrap(_q_quality_funnel),  # new in r5
         "curation_url_stats": wrap(_q_url_stats),  # new in r5
+        "text_hashed_bow_score": wrap(_q_hashed_bow_score),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1482,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _substring_spans_oracle(),
         "curation_funnel": _quality_funnel_oracle(),
         "curation_url_stats": _url_stats_oracle(),
+        "text_hashed_bow_score": _hashed_bow_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
         # q = round(v*127/scale); both engines round half-away-from-zero
         "emb_quantize_stats": """
@@ -1989,6 +2003,12 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _hashed_bow_oracle() -> str:
+    from ddspark.pipeline.textops import hashed_bow_score_oracle_sql
+
+    return hashed_bow_score_oracle_sql("documents")
 
 
 def _url_stats_oracle() -> str:

@@ -25,6 +25,8 @@ __all__ = [
     "quality_score",
     "language_id",
     "language_id_oracle_sql",
+    "hashed_bow_score",
+    "hashed_bow_score_oracle_sql",
     "fingerprint",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
@@ -433,4 +435,99 @@ lid_hits AS (
   SELECT id, {hits_sel} FROM lid_padded
 )
 SELECT id AS {id_col}, {case} AS pred_lang FROM lid_hits
+"""
+
+
+def hashed_bow_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    salt: str = "bow",
+) -> DataFrame:
+    """Hashed bag-of-words linear scorer — the Spark-side plumbing of a
+    fastText/CCNet-style model-based quality filter: each token hashes
+    into one of ``dim`` weight buckets, the per-token weights sum, and a
+    logistic squash yields a [0, 1] score.
+
+    The WEIGHT TABLE is a deterministic closed form in INTEGER
+    milli-units (``w[b] = (b * 2654435761) % 2000 - 1000``, Knuth
+    multiplicative hashing spread over [-1000, 1000)) standing in for
+    trained parameters — swap the weight expression for a broadcast
+    weight array to deploy a real model; the hashing, aggregation, and
+    plan shape are exactly what the trained version runs.  Integer
+    weights make the sum EXACT under any summation order, so the ANSI
+    twin agrees bit-for-bit (a float weight sum would differ in the last
+    ulp between engines, which can flip a rounded 6th decimal).
+
+    Output: ``(id, token_count, raw_milli BIGINT, score_e6 BIGINT)``
+    where ``raw_milli`` is the weight sum in milli-units and ``score_e6``
+    is ``floor(1e6 * sigmoid(raw_milli / 1000))``.  Map-only: tokens
+    materialize behind a projection, one lambda pass aggregates the
+    weights — no explode, no shuffle, no Python."""
+    from .dedup import word_tokens
+    from .hashing import portable_hash63
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(word_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+
+    def weight(t):
+        bucket = F.pmod(
+            portable_hash63(F.concat(t, F.lit(":" + salt))), F.lit(dim)
+        )
+        return F.pmod(bucket * 2654435761, F.lit(2000)) - 1000
+
+    raw = F.aggregate(
+        "_toks", F.lit(0).cast("long"), lambda acc, t: acc + weight(t)
+    )
+    out = base.select(
+        F.col("id").alias(id_col),
+        F.size("_toks").cast("long").alias("token_count"),
+        raw.alias("raw_milli"),
+    )
+    sig = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw_milli").cast("double") / 1000.0))
+    return out.select(
+        id_col,
+        "token_count",
+        "raw_milli",
+        F.floor(sig * 1e6).cast("long").alias("score_e6"),
+    )
+
+
+def hashed_bow_score_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 4096,
+    salt: str = "bow",
+    where: str | None = None,
+) -> str:
+    """Twin of :func:`hashed_bow_score`."""
+    from .hashing import portable_hash63_sql
+
+    filt = f"WHERE {where}" if where else ""
+    h = portable_hash63_sql(f"(u.t || ':{salt}')")
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split(trim(regexp_replace(lower({text_col}), '\s+', ' ', 'g')), ' '),
+                     x -> x != '') AS t
+  FROM {table} {filt}
+),
+tw AS (
+  SELECT id, (({h} % {dim}) * 2654435761) % 2000 - 1000 AS w
+  FROM toks, UNNEST(t) AS u(t)
+),
+agg AS (
+  SELECT t.id, len(t.t) AS token_count, COALESCE(CAST(SUM(tw.w) AS BIGINT), 0) AS raw
+  FROM toks t LEFT JOIN tw ON t.id = tw.id
+  GROUP BY t.id, len(t.t)
+)
+SELECT id AS {id_col}, CAST(token_count AS BIGINT) AS token_count,
+       raw AS raw_milli,
+       CAST(FLOOR((1.0 / (1.0 + exp(-CAST(raw AS DOUBLE) / 1000.0))) * 1e6) AS BIGINT)
+         AS score_e6
+FROM agg
 """

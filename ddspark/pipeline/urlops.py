@@ -27,6 +27,7 @@ __all__ = [
     "url_stats",
     "url_stats_oracle_sql",
     "filter_blocked_domains",
+    "filter_blocked_domains_table",
 ]
 
 # common two-level public suffixes: the registered domain keeps THREE
@@ -239,5 +240,42 @@ def filter_blocked_domains(
         else F.lit(False)
     )
     return staged.where(~cond | F.col("_ub_domain").isNull()).drop(
+        "_ub_host", "_ub_labels", "_ub_domain"
+    )
+
+
+def filter_blocked_domains_table(
+    df: DataFrame,
+    blocked: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Blocklist filtering against a TABLE of blocked registered domains
+    (for lists too large to inline as literals — e.g. UT1/adult
+    blocklists with millions of entries).  The corpus side computes its
+    registered domain map-only, then a broadcast LEFT ANTI join drops the
+    matches — the corpus never shuffles; only the (small) blocklist
+    broadcasts.  Rows with unparseable URLs (NULL domain) are kept, like
+    :func:`filter_blocked_domains`."""
+    from pyspark.sql.functions import broadcast
+
+    staged = df.select(
+        "*", url_host(F.col(url_col)).alias("_ub_host")
+    ).select(
+        "*", F.split("_ub_host", r"\.").alias("_ub_labels")
+    ).select(
+        "*",
+        _domain_from_labels(F.col("_ub_labels"), F.col("_ub_host")).alias(
+            "_ub_domain"
+        ),
+    )
+    # no distinct(): LEFT ANTI drops a row on ANY match, so duplicate
+    # blocklist keys are harmless and the dedup shuffle would be the only
+    # Exchange in the whole plan
+    bl = broadcast(
+        blocked.select(F.lower(F.col(domain_col)).alias("_ub_domain"))
+    )
+    return staged.join(bl, "_ub_domain", "left_anti").drop(
         "_ub_host", "_ub_labels", "_ub_domain"
     )

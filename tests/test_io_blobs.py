@@ -352,3 +352,30 @@ def test_write_corpus_jsonl_roundtrip(spark, tmp_path):
     a = sorted(map(tuple, docs.collect()))
     b = sorted(map(tuple, back.collect()))
     assert a == b
+
+
+def test_hashed_bow_score_properties(spark):
+    """Deterministic, order-exact, shuffle-free, and score == closed-form
+    replay of the weight table."""
+    from ddspark.pipeline.hashing import portable_hash63
+    from ddspark.pipeline.textops import hashed_bow_score
+    import hashlib
+    import math
+
+    rows = [(0, "alpha beta alpha"), (1, ""), (2, "gamma")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hashed_bow_score(df, dim=64, salt="s").collect()}
+
+    def w(tok):
+        h = int(hashlib.md5(f"{tok}:s".encode()).hexdigest()[:15], 16)
+        return (h % 64) * 2654435761 % 2000 - 1000
+
+    assert out[0].raw_milli == 2 * w("alpha") + w("beta")
+    assert out[0].token_count == 3
+    assert out[1].raw_milli == 0 and out[1].token_count == 0
+    assert out[1].score_e6 == 500000  # sigmoid(0) = 0.5
+    assert out[2].raw_milli == w("gamma")
+    sig = 1.0 / (1.0 + math.exp(-out[0].raw_milli / 1000.0))
+    assert out[0].score_e6 == math.floor(sig * 1e6)
+    plan = hashed_bow_score(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan

@@ -102,3 +102,23 @@ def test_url_host_strips_userinfo(spark):
     # everything up to the LAST @ is userinfo
     assert r.host == "www.example.com"
     assert r.domain == "example.com"
+
+
+def test_filter_blocked_domains_table_broadcast_anti(spark, urls):
+    from ddspark.pipeline.urlops import filter_blocked_domains, filter_blocked_domains_table
+
+    bl = spark.createDataFrame(
+        [("Example.com",), ("site2.com",)], "domain string"
+    )
+    out = filter_blocked_domains_table(urls, bl)
+    kept = sorted(r.doc_id for r in out.collect())
+    # identical verdicts to the literal-list form
+    lit = sorted(
+        r.doc_id
+        for r in filter_blocked_domains(urls, ["example.com", "site2.com"]).collect()
+    )
+    assert kept == lit == [0, 4, 5, 6, 7]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the corpus side never shuffles: the only exchange is the broadcast
+    assert "Exchange hashpartitioning" not in plan
