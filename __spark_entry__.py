@@ -649,6 +649,20 @@ def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dHash over synth 9x8 BMPs (the dHash grid size,
+    so the resample is identity and every bit has a closed form: pixel
+    (y,x,c) is (doc_id + (y*9+x)*3 + c) % 256, gray = channel mean // 3,
+    bit y*8+x = gray(y,x+1) > gray(y,x), packed LSB-first with bit 63
+    wrapping two's-complement).  The oracle replays all 64 bits per
+    document."""
+    from ddspark.pipeline.multimodal import image_dhash, synth_images
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = synth_images(docs, "doc_id", width=9, height=8)
+    return image_dhash(imgs)
+
+
 def _q_hashed_bow_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed bag-of-words linear scorer (fastText/CCNet-style quality
     classifier plumbing, weights a deterministic closed form in integer
@@ -1263,6 +1277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_funnel": wrap(_q_quality_funnel),  # new in r5
         "curation_url_stats": wrap(_q_url_stats),  # new in r5
         "text_hashed_bow_score": wrap(_q_hashed_bow_score),  # new in r5
+        "multimodal_image_dhash": wrap(_q_image_dhash),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1496,6 +1511,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_funnel": _quality_funnel_oracle(),
         "curation_url_stats": _url_stats_oracle(),
         "text_hashed_bow_score": _hashed_bow_oracle(),
+        "multimodal_image_dhash": _image_dhash_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
         # q = round(v*127/scale); both engines round half-away-from-zero
         "emb_quantize_stats": """
@@ -2003,6 +2019,33 @@ def _repetition_oracle() -> str:
     from ddspark.pipeline.curation import repetition_stats_oracle_sql
 
     return repetition_stats_oracle_sql("documents")
+
+
+def _image_dhash_oracle() -> str:
+    # bit k (k = y*8 + x): gray(y, x+1) > gray(y, x) over the closed-form
+    # 9x8 synth raster; HUGEINT bit pack, two's-complement wrap to BIGINT
+    gray = (
+        "((d.doc_id + {i}) % 256 + (d.doc_id + {i} + 1) % 256"
+        " + (d.doc_id + {i} + 2) % 256) // 3"
+    )
+    g_at = lambda xexpr: gray.format(i=f"(((u.k // 8) * 9 + {xexpr}) * 3)")
+    return f"""
+WITH bits AS (
+  SELECT d.doc_id, u.k AS k,
+         CASE WHEN ({g_at('(u.k % 8) + 1')}) > ({g_at('u.k % 8')})
+              THEN 1 ELSE 0 END AS bit
+  FROM documents d, UNNEST(generate_series(0, 63)) AS u(k)
+),
+packed AS (
+  SELECT doc_id, SUM(CASE WHEN bit = 1 THEN (1::HUGEINT << k) ELSE 0::HUGEINT END) AS s
+  FROM bits GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(s - CASE WHEN s >= 9223372036854775808
+                     THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END
+            AS BIGINT) AS dhash
+FROM packed
+"""
 
 
 def _hashed_bow_oracle() -> str:

@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "simhash_chunk_layout",
     "simhash_pairs",
+    "hamming_pairs",
     "embedding_neardup_pairs",
     "connected_components",
     "dedup_keepers",
@@ -377,6 +378,63 @@ def simhash_chunk_layout(n_bits: int, max_hamming: int) -> list[tuple[int, int]]
     return list(zip(offsets, widths))
 
 
+def hamming_pairs(
+    fp: DataFrame,
+    id_col: str = "id",
+    hash_col: str = "fingerprint",
+    max_hamming: int = 3,
+    n_bits: int = 64,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance over ANY 64-bit-or-less
+    fingerprint column (SimHash, image dHash, audio chromaprint-style
+    hashes, ...): pigeonhole chunk blocking + bit_count verify, exactly
+    the :func:`simhash_pairs` engine factored out.  Input: one row per
+    item ``(id_col, hash_col)``; output ``(id_a, id_b, hamming)`` with
+    ``id_a < id_b``.  See :func:`simhash_pairs` for the scale envelope
+    and the ``max_bucket`` trade-off."""
+    layout = simhash_chunk_layout(n_bits, max_hamming)
+    base = fp.select(F.col(id_col).alias("id"), F.col(hash_col).alias("_h"))
+    chunk_cols = [
+        F.struct(
+            F.lit(c).alias("c"),
+            F.shiftrightunsigned("_h", off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("v"),
+        )
+        for c, (off, width) in enumerate(layout)
+    ]
+    chunks = base.select(
+        "id", "_h", F.explode(F.array(*chunk_cols)).alias("ch")
+    ).select("id", "_h", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
+    if max_bucket is not None:
+        oversized = (
+            chunks.groupBy("c", "v")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("c", "v")
+        )
+        chunks = chunks.join(oversized, ["c", "v"], "left_anti")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -404,46 +462,8 @@ def simhash_pairs(
     (boilerplate/degenerate content) — candidates lost that way may reduce
     recall, so it is an explicit, logged trade-off, not a default.
     """
-    layout = simhash_chunk_layout(n_bits, max_hamming)
     fp = simhash(df, id_col, text_col, n_bits, portable)
-    chunk_cols = [
-        F.struct(
-            F.lit(c).alias("c"),
-            F.shiftrightunsigned("simhash", off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .alias("v"),
-        )
-        for c, (off, width) in enumerate(layout)
-    ]
-    chunks = fp.select(
-        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("ch")
-    ).select("id", "simhash", F.col("ch.c").alias("c"), F.col("ch.v").alias("v"))
-    if max_bucket is not None:
-        oversized = (
-            chunks.groupBy("c", "v")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .where(F.col("_n") > max_bucket)
-            .select("c", "v")
-        )
-        chunks = chunks.join(oversized, ["c", "v"], "left_anti")
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            ham.alias("hamming"),
-        )
-        .distinct()
-        .where(F.col("hamming") <= max_hamming)
-    )
+    return hamming_pairs(fp, "id", "simhash", max_hamming, n_bits, max_bucket)
 
 
 def embedding_neardup_pairs(

@@ -54,6 +54,7 @@ __all__ = [
     "synth_images",
     "synth_tile_jpegs",
     "decode_stats",
+    "image_dhash",
     "decode_stats_jvm",
     "resize_images",
     "resize_images_jvm",
@@ -1666,5 +1667,44 @@ def resample_audio(
                 ids.append(rid)
                 outs.append(encode_wav(out, target_rate))
             yield pd.DataFrame({id_col: ids, blob_col: outs})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def image_dhash(
+    df: DataFrame, id_col: str = "doc_id", blob_col: str = "img"
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the standard
+    near-duplicate image fingerprint: decode, integer-mean grayscale
+    (``(r+g+b)//3``, exact), nearest-neighbor resample to 9x8 (the same
+    ``src = (dst*size)//9`` rule as :func:`resize_image`), then 64 bits
+    ``b[y*8+x] = 1 iff gray[y, x+1] > gray[y, x]`` packed LSB-first into
+    a signed BIGINT (bit 63 wraps two's-complement).
+
+    Output ``(id, dhash BIGINT)``.  Feed into
+    :func:`~ddspark.pipeline.dedup.hamming_pairs` for corpus-scale
+    near-dup image pairs (small crops/re-encodes/brightness shifts move
+    only a few bits).  Arrow-batched ``mapInPandas``; the bit pack is
+    vectorized numpy."""
+    schema = StructType(
+        [StructField(id_col, LongType()), StructField("dhash", LongType())]
+    )
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                a = decode_image(bytes(b))
+                gray = a.astype(np.int64).sum(axis=2) // 3
+                h, w = gray.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(9) * w) // 9
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).astype(np.uint64)
+                val = (bits * powers).sum(dtype=np.uint64).astype(np.int64)
+                ids.append(rid)
+                hashes.append(int(val))
+            yield pd.DataFrame({id_col: ids, "dhash": hashes})
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)

@@ -379,3 +379,54 @@ def test_hashed_bow_score_properties(spark):
     assert out[0].score_e6 == math.floor(sig * 1e6)
     plan = hashed_bow_score(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_image_dhash_near_dup_detection(spark):
+    """Crops/brightness shifts move a few bits; unrelated images ~32."""
+    from ddspark.pipeline.dedup import hamming_pairs
+    from ddspark.pipeline.multimodal import encode_png, image_dhash
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int32) + 25, 0, 255).astype(np.uint8)
+    far = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    rows = [
+        (0, bytearray(encode_png(base))),
+        (1, bytearray(encode_png(bright))),
+        (2, bytearray(encode_png(far))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    fp = image_dhash(df)
+    vals = {r.doc_id: r.dhash for r in fp.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(vals[0], vals[1]) <= 6  # brightness shift: gradients survive
+    assert ham(vals[0], vals[2]) > 15  # unrelated content
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in hamming_pairs(fp, "doc_id", "dhash", max_hamming=6).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+
+
+def test_image_dhash_closed_form(spark):
+    """9x8 synth images: every bit replayable by hand."""
+    from ddspark.pipeline.multimodal import image_dhash, synth_images
+
+    ids = spark.createDataFrame([(7,)], "doc_id long")
+    got = image_dhash(synth_images(ids, width=9, height=8)).collect()[0].dhash
+    want = 0
+    for k in range(64):
+        y, x = divmod(k, 8)
+
+        def gray(xx):
+            i = (y * 9 + xx) * 3
+            return ((7 + i) % 256 + (7 + i + 1) % 256 + (7 + i + 2) % 256) // 3
+
+        if gray(x + 1) > gray(x):
+            want |= 1 << k
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got == want
