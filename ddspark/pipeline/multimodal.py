@@ -55,6 +55,7 @@ __all__ = [
     "synth_tile_jpegs",
     "decode_stats",
     "image_dhash",
+    "audio_fingerprint",
     "decode_stats_jvm",
     "resize_images",
     "resize_images_jvm",
@@ -1706,5 +1707,69 @@ def image_dhash(
                 ids.append(rid)
                 hashes.append(int(val))
             yield pd.DataFrame({id_col: ids, "dhash": hashes})
+
+    return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "wav",
+    frame: int = 1024,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Chromaprint-style spectral fingerprint per audio blob: decode,
+    floor-mean downmix, split into ``frame``-sample windows (last partial
+    window dropped), per-window FFT magnitude binned into ``n_bands``
+    equal-width bands, then one bit per (window, band) transition —
+    ``bit = 1 iff band energy rose vs the previous window`` — XOR-folded
+    into a single 64-bit signature so corpus-scale near-dup audio runs
+    through :func:`~ddspark.pipeline.dedup.hamming_pairs`.
+
+    Output ``(id, n_windows, fingerprint BIGINT)``.  Validation is
+    pytest-only (FFT has no ANSI twin — same policy as
+    ``compression_ratio``/PCA): re-encodes and small-amplitude scaling
+    preserve the fingerprint, unrelated audio differs in ~half the bits.
+    Arrow-batched ``mapInPandas``; the FFT is one vectorized
+    ``numpy.fft.rfft`` over all windows of a blob at once."""
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_windows", LongType()),
+            StructField("fingerprint", LongType()),
+        ]
+    )
+    powers = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, nws, fps = [], [], []
+            for rid, b in zip(pdf[id_col], pdf[blob_col]):
+                a, _rate = decode_audio(bytes(b))
+                x = (a.astype(np.int64).sum(axis=1) // a.shape[1]).astype(
+                    np.float64
+                )
+                nw = x.shape[0] // frame
+                ids.append(rid)
+                if nw < 2:
+                    nws.append(nw)
+                    fps.append(0)
+                    continue
+                w = x[: nw * frame].reshape(nw, frame)
+                mag = np.abs(np.fft.rfft(w, axis=1))[:, 1:]  # drop DC
+                bands = mag.reshape(nw, n_bands, -1).sum(axis=2)
+                rises = (bands[1:] > bands[:-1]).ravel()  # (nw-1)*n_bands bits
+                folded = np.zeros(64, dtype=bool)
+                for i in range(0, rises.shape[0], 64):
+                    chunk = rises[i : i + 64]
+                    folded[: chunk.shape[0]] ^= chunk
+                val = (folded.astype(np.uint64) * powers).sum(
+                    dtype=np.uint64
+                ).astype(np.int64)
+                nws.append(nw)
+                fps.append(int(val))
+            yield pd.DataFrame(
+                {id_col: ids, "n_windows": nws, "fingerprint": fps}
+            )
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)

@@ -430,3 +430,48 @@ def test_image_dhash_closed_form(spark):
     if want >= 1 << 63:
         want -= 1 << 64
     assert got == want
+
+
+def test_audio_fingerprint_near_dup(spark):
+    from ddspark.pipeline.dedup import hamming_pairs
+    from ddspark.pipeline.multimodal import audio_fingerprint, encode_wav
+
+    rng = np.random.default_rng(11)
+    t = np.arange(16384)
+    # structured signal: sum of tones with a slow sweep
+    sig = (
+        8000 * np.sin(2 * np.pi * 440 * t / 8000)
+        + 4000 * np.sin(2 * np.pi * (880 + t / 50) * t / 8000)
+    )
+    base = np.clip(sig, -32768, 32767).astype(np.int16)
+    quiet = (base * 0.7).astype(np.int16)  # amplitude scale
+    noise = (rng.integers(-20000, 20000, t.shape)).astype(np.int16)
+    rows = [
+        (0, bytearray(encode_wav(base, 8000))),
+        (1, bytearray(encode_wav(quiet, 8000))),
+        (2, bytearray(encode_wav(noise, 8000))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, wav binary")
+    fp = audio_fingerprint(df)
+    vals = {r.doc_id: (r.fingerprint, r.n_windows) for r in fp.collect()}
+    assert all(v[1] == 16 for v in vals.values())
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(vals[0][0], vals[1][0]) <= 8  # scaling preserves transitions
+    assert ham(vals[0][0], vals[2][0]) > 15  # unrelated audio
+    pairs = {(r.id_a, r.id_b) for r in
+             hamming_pairs(fp, "doc_id", "fingerprint", max_hamming=8).collect()}
+    assert (0, 1) in pairs and (0, 2) not in pairs
+
+
+def test_audio_fingerprint_short_blob(spark):
+    from ddspark.pipeline.multimodal import audio_fingerprint, encode_wav
+
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_wav(np.zeros(100, dtype=np.int16), 8000)))],
+        "doc_id long, wav binary",
+    )
+    r = audio_fingerprint(df).collect()[0]
+    assert (r.n_windows, r.fingerprint) == (0, 0)
