@@ -1242,6 +1242,72 @@ def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CS_DEPTH, _CS_WIDTH = 5, 1024
+
+
+def _q_countsketch_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Sketch (AMS) second frequency moment per event type — the
+    self-join-size estimator a planner runs before a skewed self-join.
+    The portable-hash sketch is pure BIGINT arithmetic, so the DuckDB
+    oracle replays the estimate bit-for-bit AND recomputes the exact F2;
+    the 20% bound flag is an integer comparison (5*|est-exact| <= exact),
+    deterministic in both engines."""
+    from ddspark.sketches.countsketch import cs_f2_estimates
+
+    ev = (
+        _read(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", F.col("user_id").cast("string").alias("u"))
+    )
+    est = cs_f2_estimates(
+        ev, "u", ["event_type"], depth=_CS_DEPTH, width=_CS_WIDTH, portable=True
+    )
+    exact = (
+        ev.groupBy("event_type", "u")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("f2_est").cast("long").alias("f2_est"),
+        F.col("f2_exact").cast("long").alias("f2_exact"),
+        (
+            F.lit(5) * F.abs(F.col("f2_est") - F.col("f2_exact"))
+            <= F.col("f2_exact")
+        ).alias("within_bound"),
+    )
+
+
+def _q_countsketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based equi-join cardinality estimate for
+    lineitem JOIN orders ON l_orderkey = o_orderkey, checked against the
+    exact join size — one bounded-size sketch scan per side instead of
+    executing the join.  Bit-exact cross-engine (integer counters,
+    portable hashes, integer bound check)."""
+    from ddspark.sketches.countsketch import cs_join_size
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("string").alias("k")
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k")
+    )
+    est = cs_join_size(li, "k", orders, "k", depth=_CS_DEPTH, width=4096, portable=True)
+    exact = (
+        li.join(orders.withColumnRenamed("k", "k2"), li["k"] == F.col("k2"))
+        .agg(F.count(F.lit(1)).alias("join_size_exact"))
+    )
+    return est.crossJoin(exact).select(
+        F.col("join_size_est").cast("long").alias("join_size_est"),
+        F.col("join_size_exact").cast("long").alias("join_size_exact"),
+        (
+            F.lit(5) * F.abs(F.col("join_size_est") - F.col("join_size_exact"))
+            <= F.col("join_size_exact")
+        ).alias("within_bound"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1278,6 +1344,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_url_stats": wrap(_q_url_stats),  # new in r5
         "text_hashed_bow_score": wrap(_q_hashed_bow_score),  # new in r5
         "multimodal_image_dhash": wrap(_q_image_dhash),  # new in r5
+        "countsketch_f2_users": wrap(_q_countsketch_f2),  # new in r5
+        "countsketch_join_size": wrap(_q_countsketch_join_size),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1915,6 +1983,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "countmin_point_queries": _countmin_oracle_sql(),
+        "countsketch_f2_users": _countsketch_f2_oracle_sql(),
+        "countsketch_join_size": _countsketch_join_size_oracle_sql(),
         "mg_heavy_hitters_users": """
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n_rows,
@@ -1938,6 +2008,83 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY event_type
         """,
     }
+
+
+def _cs_cells_sql(src: str, keycol: str, by: str, depth: int, width: int) -> str:
+    """Shared Count-Sketch cell CTE body: replays
+    ddspark.sketches.countsketch.cs_cells(portable=True) bit-for-bit —
+    coord = H(v || '|' || i) % width, sign = +1 iff H(v || '|s' || i)
+    is even, exact BIGINT counters."""
+    from ddspark.pipeline.hashing import portable_hash63_sql as h63
+
+    bysel = f"{by}, " if by else ""
+    coord = h63(f"{keycol} || '|' || CAST(i AS VARCHAR)")
+    sign = h63(f"{keycol} || '|s' || CAST(i AS VARCHAR)")
+    return f"""
+  SELECT {bysel}i,
+         {coord} % {width} AS j,
+         CAST(SUM(CASE WHEN {sign} % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS cnt
+  FROM {src}, UNNEST(generate_series(0, {depth - 1})) AS g(i)
+  GROUP BY ALL"""
+
+
+def _countsketch_f2_oracle_sql() -> str:
+    mid = (_CS_DEPTH + 1) // 2
+    return f"""
+WITH ev AS (
+  SELECT event_type, CAST(user_id AS VARCHAR) AS u
+  FROM events WHERE user_id IS NOT NULL
+),
+cells AS ({_cs_cells_sql("ev", "u", "event_type", _CS_DEPTH, _CS_WIDTH)}
+),
+rowf2 AS (
+  SELECT event_type, i, CAST(SUM(cnt * cnt) AS BIGINT) AS row_f2
+  FROM cells GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(list_sort(list(row_f2))[{mid}] AS BIGINT) AS f2_est
+  FROM rowf2 GROUP BY 1
+),
+exact AS (
+  SELECT event_type, CAST(SUM(c * c) AS BIGINT) AS f2_exact
+  FROM (SELECT event_type, u, COUNT(*) AS c FROM ev GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT med.event_type AS event_type, f2_est, f2_exact,
+       5 * abs(f2_est - f2_exact) <= f2_exact AS within_bound
+FROM med JOIN exact USING (event_type)
+""".strip()
+
+
+def _countsketch_join_size_oracle_sql() -> str:
+    mid = (_CS_DEPTH + 1) // 2
+    width = 4096
+    return f"""
+WITH la AS (SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem WHERE l_orderkey IS NOT NULL),
+ob AS (SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders WHERE o_orderkey IS NOT NULL),
+ca AS ({_cs_cells_sql("la", "k", "", _CS_DEPTH, width)}
+),
+cb AS ({_cs_cells_sql("ob", "k", "", _CS_DEPTH, width)}
+),
+rowip AS (
+  SELECT g.i, CAST(COALESCE(SUM(ca.cnt * cb.cnt), 0) AS BIGINT) AS row_ip
+  FROM UNNEST(generate_series(0, {_CS_DEPTH - 1})) AS g(i)
+  LEFT JOIN ca ON ca.i = g.i
+  LEFT JOIN cb ON cb.i = ca.i AND cb.j = ca.j
+  GROUP BY 1
+),
+med AS (
+  SELECT CAST(list_sort(list(row_ip))[{mid}] AS BIGINT) AS join_size_est
+  FROM rowip
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS join_size_exact
+  FROM la JOIN ob ON la.k = ob.k
+)
+SELECT join_size_est, join_size_exact,
+       5 * abs(join_size_est - join_size_exact) <= join_size_exact AS within_bound
+FROM med, exact
+""".strip()
 
 
 def _countmin_oracle_sql() -> str:

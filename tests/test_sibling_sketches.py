@@ -537,3 +537,78 @@ def test_bloom_prefilter_rejects_type_mismatch(spark):
     keys = spark.range(10).select(F.col("id").alias("key"))
     with pytest.raises(ValueError, match="type-sensitive"):
         bloom.bloom_prefilter(big, keys, "key")
+
+
+# ------------------------------------------------------------ Count-Sketch
+
+
+def test_countsketch_f2_accuracy_and_partition_invariance(spark, items_df):
+    from ddspark.sketches.countsketch import cs_f2_estimates
+
+    df, pdf = items_df
+    exact = (
+        pdf.groupby(["g", "item"]).size().pow(2).groupby(level=0).sum().to_dict()
+    )
+    for portable in (False, True):
+        est = {
+            r["g"]: r["f2_est"]
+            for r in cs_f2_estimates(
+                df, "item", ["g"], depth=5, width=2048, portable=portable
+            ).collect()
+        }
+        for g, f2 in exact.items():
+            assert abs(est[g] - f2) <= 0.15 * f2, (portable, g, est[g], f2)
+    # merge associativity: the estimate is a pure function of the multiset,
+    # independent of how rows are partitioned
+    a = cs_f2_estimates(df.repartition(1), "item", ["g"], portable=True)
+    b = cs_f2_estimates(df.repartition(13), "item", ["g"], portable=True)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_countsketch_point_estimates_no_collision_exact(spark):
+    """With far fewer distinct items than width the estimate is exact
+    (unbiased, zero collision noise) — unlike Count-Min this can also
+    return the true count for absent items (0), not an overestimate."""
+    from ddspark.sketches.countsketch import cs_point_estimates
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    probes = spark.createDataFrame([("a",), ("b",), ("c",), ("zz",)], "v string")
+    got = {
+        r["v"]: r["cs_est"]
+        for r in cs_point_estimates(
+            df, "item", probes, "v", depth=5, width=4096, portable=True
+        ).collect()
+    }
+    assert got == {"a": 7, "b": 3, "c": 1, "zz": 0}
+
+
+def test_countsketch_join_size(spark, items_df):
+    from ddspark.sketches.countsketch import cs_join_size
+
+    df, pdf = items_df
+    left = df.where(F.col("g") == "x").select("item")
+    right = df.where(F.col("g") == "y").select("item")
+    lx = pdf[pdf["g"] == "x"]["item"].value_counts()
+    ly = pdf[pdf["g"] == "y"]["item"].value_counts()
+    exact = int((lx * ly).dropna().sum())
+    est = cs_join_size(left, "item", right, "item", depth=5, width=4096)
+    got = est.collect()[0]["join_size_est"]
+    assert abs(got - exact) <= 0.15 * exact, (got, exact)
+
+
+def test_countsketch_weighted_and_depth_validation(spark):
+    from ddspark.sketches.countsketch import cs_f2_estimates, cs_point_estimates
+
+    rows = [("a", 3), ("a", 2), ("b", 10)]
+    df = spark.createDataFrame(rows, "item string, w long")
+    probes = spark.createDataFrame([("a",), ("b",)], "v string")
+    got = {
+        r["v"]: r["cs_est"]
+        for r in cs_point_estimates(
+            df, "item", probes, "v", depth=3, width=1024, weight_col="w", portable=True
+        ).collect()
+    }
+    assert got == {"a": 5, "b": 10}
+    with pytest.raises(ValueError, match="odd"):
+        cs_f2_estimates(df, "item", depth=4)
