@@ -1308,6 +1308,20 @@ def _q_countsketch_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: fit an add-one bigram model on the
+    corpus and emit each document's integer micro-nat log-probability —
+    order-exact BIGINT sums, replayed bit-for-bit by the DuckDB oracle
+    (ddspark/pipeline/lm.py)."""
+    from ddspark.pipeline.lm import bigram_lm_fit, bigram_lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    model = bigram_lm_fit(docs, "doc_id", "text", min_count=2)
+    return bigram_lm_score(model, docs, "doc_id", "text").select(
+        "doc_id", "n_bigrams", "n_oov", "logprob_micro"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,6 +1360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dhash": wrap(_q_image_dhash),  # new in r5
         "countsketch_f2_users": wrap(_q_countsketch_f2),  # new in r5
         "countsketch_join_size": wrap(_q_countsketch_join_size),  # new in r5
+        "text_lm_score": wrap(_q_lm_score),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1985,6 +2000,7 @@ def oracle_sql() -> dict[str, str]:
         "countmin_point_queries": _countmin_oracle_sql(),
         "countsketch_f2_users": _countsketch_f2_oracle_sql(),
         "countsketch_join_size": _countsketch_join_size_oracle_sql(),
+        "text_lm_score": _lm_score_oracle_sql(),
         "mg_heavy_hitters_users": """
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n_rows,
@@ -2085,6 +2101,12 @@ SELECT join_size_est, join_size_exact,
        5 * abs(join_size_est - join_size_exact) <= join_size_exact AS within_bound
 FROM med, exact
 """.strip()
+
+
+def _lm_score_oracle_sql() -> str:
+    from ddspark.pipeline.lm import bigram_lm_oracle_sql
+
+    return bigram_lm_oracle_sql("documents", "doc_id", "text", min_count=2)
 
 
 def _countmin_oracle_sql() -> str:
