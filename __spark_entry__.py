@@ -1322,6 +1322,32 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer accounting (ddspark/pipeline/bpe.py): train merges on
+    the corpus, encode every document, and emit per-doc word/char counts
+    plus two Spark-certified invariants — decode(encode(w)) == w for every
+    word, and the token count inside its provable [n_words, n_chars +
+    n_words] range.  Bound-check oracle shape (see _q_countmin_points):
+    DuckDB recomputes n_words/n_chars exactly and asserts TRUE for the
+    invariant booleans; the merge learning itself is iterative and not
+    SQL-expressible."""
+    from ddspark.pipeline.bpe import bpe_token_counts, train_bpe
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", num_merges=150, min_count=2)
+    out = bpe_token_counts(docs, merges, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        (
+            (F.col("n_tokens") >= F.col("n_words"))
+            & (F.col("n_tokens") <= F.col("n_chars") + F.col("n_words"))
+        ).alias("tokens_in_range"),
+        "roundtrip_ok",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_f2_users": wrap(_q_countsketch_f2),  # new in r5
         "countsketch_join_size": wrap(_q_countsketch_join_size),  # new in r5
         "text_lm_score": wrap(_q_lm_score),  # new in r5
+        "text_bpe_roundtrip": wrap(_q_bpe_roundtrip),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2001,6 +2028,24 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_f2_users": _countsketch_f2_oracle_sql(),
         "countsketch_join_size": _countsketch_join_size_oracle_sql(),
         "text_lm_score": _lm_score_oracle_sql(),
+        "text_bpe_roundtrip": r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+),
+w AS (
+  SELECT doc_id, t[i] AS w
+  FROM toks, UNNEST(generate_series(1, len(t))) AS g(i)
+  WHERE t[i] <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       TRUE AS tokens_in_range,
+       TRUE AS roundtrip_ok
+FROM w GROUP BY 1
+""".strip(),
         "mg_heavy_hitters_users": """
             SELECT event_type,
                    CAST(COUNT(*) AS DOUBLE) AS n_rows,
