@@ -1348,6 +1348,29 @@ def _q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 distinctive terms per document by TF-IDF with integer
+    micro-nat IDF — exact BIGINT scores and a deterministic tie-break,
+    hash-matched (not bound-checked) against the DuckDB replay."""
+    from ddspark.pipeline.textops import tfidf_top_terms
+
+    docs = _read(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", k=5)
+
+
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis race
+    with hash-derived uniforms): 8 docs per language with inclusion odds
+    proportional to n_chars — deterministic, parallelism-invariant, and
+    replayed exactly by the SQL twin."""
+    from ddspark.pipeline.curation import weighted_sample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weighted_sample(docs, 8, "n_chars", "doc_id", by=["lang"]).select(
+        "doc_id", "lang", "n_chars", "sample_rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(fn):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1388,6 +1411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "countsketch_join_size": wrap(_q_countsketch_join_size),  # new in r5
         "text_lm_score": wrap(_q_lm_score),  # new in r5
         "text_bpe_roundtrip": wrap(_q_bpe_roundtrip),  # new in r5
+        "text_tfidf_topk": wrap(_q_tfidf_topk),  # new in r5
+        "curation_weighted_sample": wrap(_q_weighted_sample),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2028,6 +2053,8 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_f2_users": _countsketch_f2_oracle_sql(),
         "countsketch_join_size": _countsketch_join_size_oracle_sql(),
         "text_lm_score": _lm_score_oracle_sql(),
+        "text_tfidf_topk": _tfidf_oracle_sql(),
+        "curation_weighted_sample": _weighted_sample_oracle_sql(),
         "text_bpe_roundtrip": r"""
 WITH toks AS (
   SELECT doc_id,
@@ -2146,6 +2173,21 @@ SELECT join_size_est, join_size_exact,
        5 * abs(join_size_est - join_size_exact) <= join_size_exact AS within_bound
 FROM med, exact
 """.strip()
+
+
+def _weighted_sample_oracle_sql() -> str:
+    from ddspark.pipeline.curation import weighted_sample_oracle_sql
+
+    return weighted_sample_oracle_sql(
+        "documents", 8, "n_chars", "doc_id", by=["lang"],
+        select_cols="doc_id, lang, n_chars",
+    )
+
+
+def _tfidf_oracle_sql() -> str:
+    from ddspark.pipeline.textops import tfidf_top_terms_oracle_sql
+
+    return tfidf_top_terms_oracle_sql("documents", "doc_id", "text", k=5)
 
 
 def _lm_score_oracle_sql() -> str:

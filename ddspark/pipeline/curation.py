@@ -66,6 +66,8 @@ __all__ = [
     "target_mix_oracle_sql",
     "exact_k_sample_oracle_sql",
     "stratified_exact_k_sample_oracle_sql",
+    "weighted_sample",
+    "weighted_sample_oracle_sql",
     "gopher_quality",
     "gopher_quality_oracle_sql",
     "c4_clean",
@@ -1177,3 +1179,80 @@ UNION ALL SELECT 2, 'lang_id', CAST(e2 AS BIGINT), CAST(d2 AS BIGINT) FROM a
 UNION ALL SELECT 3, 'gopher', CAST(e3 AS BIGINT), CAST(d3 AS BIGINT) FROM a
 UNION ALL SELECT 4, 'repetition', CAST(e4 AS BIGINT), CAST(d4 AS BIGINT) FROM a
 """
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — ``k`` rows (per group),
+    inclusion odds proportional to weight (Efraimidis & Spirakis 2006).
+
+    Each row gets a deterministic uniform ``u = (H(id|seed) + 1) /
+    (2^60 + 1)`` from the portable hash and races with the exponential
+    key ``-ln(u) / w``; the ``k`` smallest keys win.  Because the
+    randomness is a pure function of ``(id, seed)``, the sample is
+    parallelism-invariant, resumable, and replayable by the SQL oracle —
+    the properties a 100 TB curation run needs from its sampler (same
+    contract as ``hash_split`` / ``exact_k_sample``).
+
+    Rows with NULL or non-positive weight are excluded (they have zero
+    odds).  One window shuffle on ``by``; no driver collects.
+    """
+    from pyspark.sql import Window
+
+    from .hashing import portable_hash63
+
+    by = list(by or [])
+    w = F.col(weight_col).cast("double")
+    h = portable_hash63(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"|ws{seed}"))
+    )
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(2**60 + 1).cast("double")
+    key = -F.log(u) / w
+    win = Window.partitionBy(*by).orderBy(
+        F.col("_wkey").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (w > 0))
+        .withColumn("_wkey", key)
+        .withColumn("_rk", F.row_number().over(win))
+        .where(F.col("_rk") <= k)
+        .drop("_wkey")
+        .withColumnRenamed("_rk", "sample_rank")
+    )
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    by: list[str] | None = None,
+    seed: int = 42,
+    select_cols: str = "*",
+) -> str:
+    """Twin of :func:`weighted_sample`."""
+    from .hashing import portable_hash63_sql
+
+    by = list(by or [])
+    part = f"PARTITION BY {', '.join(by)} " if by else ""
+    h = portable_hash63_sql(f"CAST({id_col} AS VARCHAR) || '|ws{seed}'")
+    outer = "* EXCLUDE (_rk)" if select_cols == "*" else select_cols
+    return f"""
+WITH keyed AS (
+  SELECT {select_cols},
+         ROW_NUMBER() OVER ({part}ORDER BY
+           -ln((CAST({h} AS DOUBLE) + 1.0) / CAST(1152921504606846977 AS DOUBLE))
+             / CAST({weight_col} AS DOUBLE) ASC,
+           {id_col} ASC) AS _rk
+  FROM {table}
+  WHERE {weight_col} IS NOT NULL AND CAST({weight_col} AS DOUBLE) > 0
+)
+SELECT {outer}, CAST(_rk AS INT) AS sample_rank
+FROM keyed WHERE _rk <= {k}
+""".strip()

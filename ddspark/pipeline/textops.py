@@ -27,6 +27,8 @@ __all__ = [
     "language_id_oracle_sql",
     "hashed_bow_score",
     "hashed_bow_score_oracle_sql",
+    "tfidf_top_terms",
+    "tfidf_top_terms_oracle_sql",
     "fingerprint",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
@@ -531,3 +533,102 @@ SELECT id AS {id_col}, CAST(token_count AS BIGINT) AS token_count,
          AS score_e6
 FROM agg
 """
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` most distinctive terms per document by TF-IDF:
+    ``doc_id | rank | term | tf | score_micro``.
+
+    The classic keyword-extraction / topic-labelling signal.  IDF is
+    quantized to integer micro-nats (``idf_micro = floor(1e6 * ln(N /
+    df_t))``, integer inputs, one correctly-rounded division) and the
+    score is the exact BIGINT ``tf * idf_micro``, so ranking — with the
+    deterministic ``(score DESC, term ASC)`` tie-break — is bit-identical
+    cross-engine and the gate hashes values, not approximations.
+
+    Plan shape at scale: one explode, a term-keyed aggregation for
+    document frequencies (bounded by vocabulary size), a term-keyed join
+    to attach IDF, and one window shuffle partitioned by document.  N
+    (corpus size) travels as a broadcast one-row crossJoin, not a driver
+    collect.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import word_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("t")
+    )
+    terms = toks.select(
+        "id", F.explode(F.filter("t", lambda x: x != "")).alias("term")
+    )
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dft.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.floor(
+            F.lit(1e6)
+            * F.log(F.col("_n").cast("double") / F.col("_df").cast("double"))
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").select(
+        "id", "term", "tf", (F.col("tf") * F.col("idf_micro")).alias("score_micro")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            "term",
+            "tf",
+            "score_micro",
+        )
+    )
+
+
+def tfidf_top_terms_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    """Twin of :func:`tfidf_top_terms`."""
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS t
+  FROM {table}
+),
+terms AS (SELECT id, u.term FROM toks, UNNEST(t) AS u(term)),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+nd AS (SELECT COUNT(*) AS n FROM {table}),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1e6 * ln(CAST(nd.n AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))) AS BIGINT)
+           AS idf_micro
+  FROM tf CROSS JOIN nd GROUP BY term, nd.n
+),
+scored AS (
+  SELECT tf.id, tf.term, tf.tf,
+         CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro,
+         ROW_NUMBER() OVER (PARTITION BY tf.id
+                            ORDER BY tf.tf * idf.idf_micro DESC, tf.term ASC) AS rank
+  FROM tf JOIN idf USING (term)
+)
+SELECT id AS {id_col}, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, score_micro
+FROM scored WHERE rank <= {k}
+""".strip()
