@@ -707,6 +707,75 @@ def _q_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_stats(urls, blocklist=["site1.com", "site3.co.uk"])
 
 
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible-text extraction (the first stage of C4/RefinedWeb/
+    Dolma-style web-crawl pipelines) over deterministic synth pages: each
+    document's text is wrapped in real markup — head/title, style and
+    script blocks that must vanish wholesale, a comment, entities, block
+    and inline tags — then extracted by the shared JVM regexp_replace
+    rule chain (ddspark/pipeline/html.py).  The oracle builds the
+    byte-identical page in SQL and applies the same generated rule chain
+    in DuckDB, so Java-regex vs RE2 semantic drift would fail the hash."""
+    from ddspark.pipeline.html import html_to_text
+
+    docs = _read(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title><style>p{margin:0}</style><script>var n="),
+        F.col("n_chars").cast("string"),
+        F.lit(";</script></head><body><!-- "),
+        F.col("source"),
+        F.lit(" --><h1>Doc &amp; &lt;"),
+        F.col("lang"),
+        F.lit("&gt;</h1><p>"),
+        F.col("text"),
+        F.lit("</p><div>tail&nbsp;line</div></body></html>"),
+    )
+    txt = docs.select("doc_id", html_to_text(page).alias("txt"))
+    return txt.select(
+        "doc_id",
+        F.length("txt").cast("long").alias("text_len"),
+        F.size(F.split("txt", "\n")).cast("long").alias("n_lines"),
+        F.md5("txt").alias("text_md5"),
+    )
+
+
+def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene (ddspark/pipeline/unicode.py): NFC normalization
+    (Arrow-batched pandas UDF with an ASCII fast path) + encoding-damage
+    stats (pure column expressions) over synth text that appends a
+    per-doc unicode tail — decomposed/composed accents, NFC singletons
+    (ANGSTROM/OHM), Hangul jamo, a replacement char.  The oracle rebuilds
+    the byte-identical strings via chr() and normalizes with DuckDB's
+    utf8proc `nfc_normalize` — an INDEPENDENT Unicode implementation —
+    then md5-hashes the result, so the two normalizers must agree
+    byte-for-byte on every document."""
+    from ddspark.pipeline.unicode import normalize_text, unicode_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    tail = (
+        F.when(m == 0, F.lit(" caf" + "e\u0301"))  # decomposed e+acute
+        .when(m == 1, F.lit(" caf\u00e9"))          # composed
+        .when(m == 2, F.lit(" \u212b\u2126\ufb01"))  # ANGSTROM, OHM, fi lig
+        .when(m == 3, F.lit(" \u1100\u1161\u11a8"))  # Hangul jamo
+        .otherwise(F.lit(" ok\ufffd"))              # replacement char
+    )
+    u = docs.select("doc_id", F.concat(F.col("text"), tail).alias("t"))
+    s = unicode_stats(normalize_text(u, "t", "NFC"), "t")
+    return s.select(
+        "doc_id",
+        "n_bytes",
+        "n_codepoints",
+        "n_replacement",
+        "n_control",
+        "ascii_only",
+        (F.col("t_norm") != F.col("t")).alias("changed"),
+        F.md5("t_norm").alias("norm_md5"),
+    )
+
+
 def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the documents table: exact-dedup ->
     language-id -> Gopher quality -> repetition, each stage's attrition
@@ -1413,6 +1482,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_roundtrip": wrap(_q_bpe_roundtrip),  # new in r5
         "text_tfidf_topk": wrap(_q_tfidf_topk),  # new in r5
         "curation_weighted_sample": wrap(_q_weighted_sample),  # new in r5
+        "text_html_extract": wrap(_q_html_extract),  # new in r5
+        "text_unicode_normalize": wrap(_q_unicode_normalize),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1645,6 +1716,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring_spans": _substring_spans_oracle(),
         "curation_funnel": _quality_funnel_oracle(),
         "curation_url_stats": _url_stats_oracle(),
+        "text_html_extract": _html_extract_oracle(),
+        "text_unicode_normalize": _unicode_normalize_oracle(),
         "text_hashed_bow_score": _hashed_bow_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
@@ -2308,6 +2381,57 @@ def _hashed_bow_oracle() -> str:
     from ddspark.pipeline.textops import hashed_bow_score_oracle_sql
 
     return hashed_bow_score_oracle_sql("documents")
+
+
+def _html_extract_oracle() -> str:
+    from ddspark.pipeline.html import html_to_text_oracle_expr
+
+    return f"""
+        WITH page AS (
+          SELECT doc_id,
+            '<html><head><title>doc ' || CAST(doc_id AS VARCHAR)
+            || '</title><style>p{{margin:0}}</style><script>var n='
+            || CAST(n_chars AS VARCHAR)
+            || ';</script></head><body><!-- ' || source
+            || ' --><h1>Doc &amp; &lt;' || lang
+            || '&gt;</h1><p>' || text
+            || '</p><div>tail&nbsp;line</div></body></html>' AS html
+          FROM documents
+        ),
+        x AS (
+          SELECT doc_id, {html_to_text_oracle_expr('html')} AS txt FROM page
+        )
+        SELECT doc_id,
+               CAST(LENGTH(txt) AS BIGINT) AS text_len,
+               CAST(LEN(string_split(txt, chr(10))) AS BIGINT) AS n_lines,
+               md5(txt) AS text_md5
+        FROM x
+    """
+
+
+def _unicode_normalize_oracle() -> str:
+    from ddspark.pipeline.unicode import unicode_stats_oracle_sql
+
+    stats = unicode_stats_oracle_sql("t")
+    stat_cols = ", ".join(f"{sql} AS {name}" for name, sql in stats.items())
+    return f"""
+        WITH u AS (
+          SELECT doc_id,
+            text || CASE doc_id % 5
+              WHEN 0 THEN ' caf' || chr(101) || chr(769)
+              WHEN 1 THEN ' caf' || chr(233)
+              WHEN 2 THEN ' ' || chr(8491) || chr(8486) || chr(64257)
+              WHEN 3 THEN ' ' || chr(4352) || chr(4449) || chr(4520)
+              ELSE ' ok' || chr(65533)
+            END AS t
+          FROM documents
+        ),
+        n AS (SELECT doc_id, t, nfc_normalize(t) AS nt FROM u)
+        SELECT doc_id, {stat_cols},
+               (nt <> t) AS changed,
+               md5(nt) AS norm_md5
+        FROM n
+    """
 
 
 def _url_stats_oracle() -> str:
