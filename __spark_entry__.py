@@ -776,6 +776,47 @@ def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) interleave — the layout key behind two-dimensional
+    parquet min/max data skipping (ddspark/io.py write_zordered; the
+    actual file-pruning effect is pytest-verified against parquet footer
+    stats in tests/test_zorder.py).  Here the shift/mask interleave
+    cascade itself is certified cross-engine: z keys over
+    (user_id, event_id) low 16 bits, aggregated per top-6-bit bucket."""
+    from ddspark.io import zorder_key
+
+    ev = _read(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    )
+    z = zorder_key(
+        F.col("user_id").bitwiseAND(F.lit(65535)),
+        F.col("event_id").bitwiseAND(F.lit(65535)),
+    )
+    return (
+        ev.select(z.alias("z"))
+        .groupBy(F.shiftright("z", 26).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("z").alias("z_min"),
+            F.max("z").alias("z_max"),
+            F.sum("z").alias("z_sum"),
+        )
+    )
+
+
+def _q_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (context-length splitting before
+    tokenization): 40-word chunks with 8 shared words, map-only —
+    tokenize once behind a projection boundary, sequence/explode the
+    closed-form chunk count, slice per chunk.  The oracle replays
+    tokenization, chunk-count arithmetic, and every chunk's exact text
+    via DuckDB list slicing."""
+    from ddspark.pipeline.curation import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=40, overlap=8)
+
+
 def _q_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel over the documents table: exact-dedup ->
     language-id -> Gopher quality -> repetition, each stage's attrition
@@ -1484,6 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_weighted_sample": wrap(_q_weighted_sample),  # new in r5
         "text_html_extract": wrap(_q_html_extract),  # new in r5
         "text_unicode_normalize": wrap(_q_unicode_normalize),  # new in r5
+        "curation_chunking": wrap(_q_chunking),  # new in r5
+        "io_zorder_stats": wrap(_q_zorder_stats),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1718,6 +1761,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_url_stats": _url_stats_oracle(),
         "text_html_extract": _html_extract_oracle(),
         "text_unicode_normalize": _unicode_normalize_oracle(),
+        "curation_chunking": _chunking_oracle(),
+        "io_zorder_stats": _zorder_oracle(),
         "text_hashed_bow_score": _hashed_bow_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
@@ -2407,6 +2452,30 @@ def _html_extract_oracle() -> str:
                md5(txt) AS text_md5
         FROM x
     """
+
+
+def _zorder_oracle() -> str:
+    from ddspark.io import zorder_key_sql
+
+    z = zorder_key_sql("(user_id & 65535)", "(event_id & 65535)")
+    return f"""
+        WITH z AS (
+          SELECT {z} AS z FROM events
+          WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+        )
+        SELECT CAST(z >> 26 AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(z) AS BIGINT) AS z_min,
+               CAST(MAX(z) AS BIGINT) AS z_max,
+               CAST(SUM(z) AS BIGINT) AS z_sum
+        FROM z GROUP BY 1
+    """
+
+
+def _chunking_oracle() -> str:
+    from ddspark.pipeline.curation import chunk_documents_oracle_sql
+
+    return chunk_documents_oracle_sql("documents", chunk_tokens=40, overlap=8)
 
 
 def _unicode_normalize_oracle() -> str:

@@ -68,6 +68,8 @@ __all__ = [
     "stratified_exact_k_sample_oracle_sql",
     "weighted_sample",
     "weighted_sample_oracle_sql",
+    "chunk_documents",
+    "chunk_documents_oracle_sql",
     "gopher_quality",
     "gopher_quality_oracle_sql",
     "c4_clean",
@@ -1255,4 +1257,97 @@ WITH keyed AS (
 )
 SELECT {outer}, CAST(_rk AS INT) AS sample_rank
 FROM keyed WHERE _rk <= {k}
+""".strip()
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Sliding-window document chunking — the standard context-length
+    splitting step before tokenization/packing: cut each document's word
+    stream into chunks of ``chunk_tokens`` words, consecutive chunks
+    sharing ``overlap`` words (stride = chunk_tokens - overlap), the last
+    chunk keeping the remainder.  Documents with no tokens produce no
+    chunks.
+
+    Output: ``(id_col, chunk_idx, chunk_text, chunk_n_tokens)``.
+
+    **Scale**: map-only — tokenization is materialized ONCE behind a
+    projection boundary (the round-5 higher-order-lambda CSE lesson),
+    chunk starts come from one ``sequence``/``explode``, each chunk is a
+    single ``slice``+``concat_ws``.  No shuffle, no Python; chunk count
+    per doc is closed-form integer arithmetic so the SQL twin replays it
+    exactly.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}"
+        )
+    from .dedup import word_tokens
+
+    stride = chunk_tokens - overlap
+    base = df.select(
+        F.col(id_col),
+        F.filter(word_tokens(F.col(text_col)), lambda x: x != "").alias("_toks"),
+    )
+    n = F.size("_toks")  # -1 for NULL text, handled by the n <= 0 branch
+    nc = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise((F.lit(1) + F.floor((n - chunk_tokens + stride - 1) / stride)))
+    ).cast("int")
+    counted = base.select(id_col, "_toks", n.alias("_n"), nc.alias("_nc"))
+    idx = F.when(
+        F.col("_nc") > 0, F.sequence(F.lit(0), F.col("_nc") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    ex = counted.select(id_col, "_toks", "_n", F.explode(idx).alias("_i"))
+    start = F.col("_i") * stride
+    return ex.select(
+        id_col,
+        F.col("_i").cast("long").alias("chunk_idx"),
+        F.concat_ws(" ", F.slice("_toks", start + 1, F.lit(chunk_tokens))).alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(chunk_tokens), F.col("_n") - start).cast("long").alias(
+            "chunk_n_tokens"
+        ),
+    )
+
+
+def chunk_documents_oracle_sql(
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> str:
+    """Twin of :func:`chunk_documents` (same word_tokens twin expression
+    as the shingling oracles; DuckDB list slice is 1-based inclusive, so
+    ``[s+1 : s+chunk]`` matches Spark ``slice(toks, s+1, chunk)``)."""
+    s = chunk_tokens - overlap
+    c = chunk_tokens
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(
+           string_split(regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '') AS toks
+  FROM {table}
+),
+counted AS (
+  SELECT {id_col}, toks, COALESCE(LEN(toks), 0) AS n,
+         CASE WHEN COALESCE(LEN(toks), 0) <= 0 THEN 0
+              WHEN LEN(toks) <= {c} THEN 1
+              ELSE 1 + (LEN(toks) - {c} + {s} - 1) // {s} END AS nc
+  FROM t
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_idx,
+       array_to_string(toks[i*{s} + 1 : i*{s} + {c}], ' ') AS chunk_text,
+       CAST(LEAST({c}, n - i*{s}) AS BIGINT) AS chunk_n_tokens
+FROM counted, UNNEST(generate_series(0, nc - 1)) AS u(i)
 """.strip()

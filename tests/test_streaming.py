@@ -740,3 +740,60 @@ def test_curation_filters_run_on_streams(spark, tmp_path):
             assert (got[c].astype(str).values == want[c].astype(str).values).all(), (
                 name, c,
             )
+
+
+def test_r5_text_ops_run_on_streams(spark, tmp_path):
+    """The round-5 stateless text operators (html_to_text, unicode
+    normalization/stats, sliding-window chunking) are map-only column
+    pipelines — explode included — so they run UNCHANGED on a streaming
+    DataFrame and agree row-for-row with batch."""
+    from ddspark.pipeline.curation import chunk_documents
+    from ddspark.pipeline.html import html_to_text
+    from ddspark.pipeline.unicode import normalize_text, unicode_stats
+
+    rows = [
+        (i, f"<p>doc {i} café é</p><div>w{i % 7} " + "tok " * (5 + i % 9) + "</div>")
+        for i in range(30)
+    ]
+    src = str(tmp_path / "src")
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    batch.write.parquet(f"{src}/f0.parquet")
+    sdf = spark.readStream.schema("doc_id long, text string").parquet(src + "/*")
+
+    cases = [
+        (
+            "html",
+            lambda d: d.select("doc_id", html_to_text(F.col("text")).alias("t")),
+            ["doc_id"],
+        ),
+        (
+            "uni",
+            lambda d: unicode_stats(normalize_text(d, "text"), "text").select(
+                "doc_id", "text_norm", "n_bytes", "n_codepoints", "ascii_only"
+            ),
+            ["doc_id"],
+        ),
+        (
+            "chunk",
+            lambda d: chunk_documents(d, chunk_tokens=6, overlap=2),
+            ["doc_id", "chunk_idx"],
+        ),
+    ]
+    for name, fn, keys in cases:
+        q = (
+            fn(sdf)
+            .writeStream.format("memory")
+            .queryName(f"r5_stream_{name}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck5_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(f"SELECT * FROM r5_stream_{name}").orderBy(*keys).toPandas()
+        want = fn(batch).orderBy(*keys).toPandas()
+        assert got.shape == want.shape, name
+        for c in got.columns:
+            assert (got[c].astype(str).values == want[c].astype(str).values).all(), (
+                name, c,
+            )

@@ -347,6 +347,61 @@ def main() -> None:
         )
     )
 
+    from ddspark.pipeline.curation import chunk_documents
+
+    chunks = chunk_documents(docs, chunk_tokens=40, overlap=8)
+    sections.append(
+        (
+            "Sliding-window document chunking (round 5): map-only",
+            "Things to check: NO Exchange and no Python node — tokenization "
+            "materializes once in a projection (the higher-order-lambda CSE "
+            "lesson), the chunk count is closed-form arithmetic feeding one "
+            "sequence/Generate (explode), and each chunk is a single "
+            "slice+concat_ws.  Generate sits inside the same stage as the "
+            "scan, so at 100 TB chunking adds zero shuffle before packing.",
+            formatted(chunks),
+        )
+    )
+
+    from ddspark.pipeline.html import html_to_text
+    from ddspark.io import zorder_key
+
+    html = docs.select(
+        "doc_id",
+        html_to_text(
+            F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>"))
+        ).alias("txt"),
+    )
+    sections.append(
+        (
+            "HTML -> text extraction (round 5): regexp chain in codegen",
+            "Things to check: the whole rule cascade is ONE Project of "
+            "nested regexp_replace/replace calls inside the scan's "
+            "WholeStageCodegen — no Exchange, no Python, ReadSchema prunes "
+            "to (doc_id, text).  Extraction runs at scan speed on a crawl.",
+            formatted(html),
+        )
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    zdf = ev.select(
+        zorder_key(
+            F.col("user_id").bitwiseAND(F.lit(65535)),
+            F.col("event_id").bitwiseAND(F.lit(65535)),
+        ).alias("z")
+    )
+    sections.append(
+        (
+            "Z-order key (round 5): shift/mask interleave in codegen",
+            "Things to check: the Morton interleave is a single Project of "
+            "shift/and/or arithmetic — pure whole-stage codegen, 2-column "
+            "ReadSchema.  write_zordered adds only the one range Exchange "
+            "any layout rewrite needs; the payoff is 2-D parquet min/max "
+            "file skipping (measured in tests/test_zorder.py).",
+            formatted(zdf),
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the flagship pipelines\n"]
     out.append("Generated by `python tools/dump_plans.py` against " + SF_DIR + ".\n")
     for title, note, plan in sections:
