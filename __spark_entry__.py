@@ -776,6 +776,35 @@ def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_asof_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: every event gets the newest signup
+    event at-or-before it for the same user (the feature-snapshot /
+    price-history attach that equi-joins cannot express).  One shuffle
+    total — both sides union into a single keyed sort + running
+    last(ignorenulls) window (ddspark/pipeline/joins.py asof_join).  The
+    oracle is DuckDB's native ASOF LEFT JOIN — an independent
+    implementation of the same semantics — aggregated to per-type match
+    counts, integer-cent matched values, and exact microsecond lag sums."""
+    from ddspark.pipeline.joins import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(ev, right, on="user_id", left_ts="ts")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("ts_r").alias("n_matched"),
+        F.coalesce(
+            F.sum(F.floor(F.col("value_r") * 100).cast("long")), F.lit(0).cast("long")
+        ).alias("matched_value_c"),
+        F.coalesce(
+            F.sum(F.expr("timestampdiff(MICROSECOND, ts_r, ts)")),
+            F.lit(0).cast("long"),
+        ).alias("lag_us"),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1527,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_unicode_normalize": wrap(_q_unicode_normalize),  # new in r5
         "curation_chunking": wrap(_q_chunking),  # new in r5
         "io_zorder_stats": wrap(_q_zorder_stats),  # new in r5
+        "join_asof_events": wrap(_q_asof_attach),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1763,6 +1793,25 @@ def oracle_sql() -> dict[str, str]:
         "text_unicode_normalize": _unicode_normalize_oracle(),
         "curation_chunking": _chunking_oracle(),
         "io_zorder_stats": _zorder_oracle(),
+        # DuckDB's NATIVE ASOF JOIN is the independent twin here — same
+        # backward/ties-match semantics as asof_join, different engine.
+        "join_asof_events": """
+            WITH r AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'signup'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT l.event_type,
+                   COUNT(*) AS n,
+                   COUNT(r.ts) AS n_matched,
+                   CAST(COALESCE(SUM(CAST(floor(r.value * 100) AS BIGINT)), 0)
+                        AS BIGINT) AS matched_value_c,
+                   CAST(COALESCE(SUM(epoch_us(l.ts) - epoch_us(r.ts)), 0)
+                        AS BIGINT) AS lag_us
+            FROM events l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            GROUP BY 1
+        """,
         "text_hashed_bow_score": _hashed_bow_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "asof_join"]
 
 
 def salted_join(
@@ -61,3 +61,97 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))
     return big_s.join(small_s, on + ["_salt"], how).drop("_salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str] | str,
+    left_ts: str = "ts",
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Point-in-time (as-of) join: attach to every left row the right row
+    with the greatest ``right_ts <= left_ts`` (``backward``, ties match)
+    — or the least ``right_ts >= left_ts`` (``forward``) — sharing the
+    equality keys ``on``.  The standard event-to-dimension-history join
+    (prices, configs, feature snapshots) that plain equi-joins cannot
+    express and pandas calls ``merge_asof``.
+
+    All left rows survive (left-outer): unmatched rows carry NULLs.  With
+    ``tolerance`` (seconds for timestamps, plain delta for numerics),
+    matches farther than the tolerance are nulled out.  Right rows with a
+    NULL key or NULL timestamp never match, mirroring SQL join-key
+    semantics (DuckDB's native ``ASOF JOIN`` — the oracle for this
+    operator — behaves the same).  Right value columns clashing with left
+    names get ``suffix``; the matched timestamp comes back as
+    ``right_ts + suffix``.
+
+    **Scale**: no per-row Python and no windowed self-join — both sides
+    union into ONE shuffle on the equality keys, a single sort by
+    ``(ts, side)`` per key group, and a running ``last(..., ignorenulls)``
+    carries the newest right values forward (backward mode; forward sorts
+    descending).  That is the plan shape of a sort-merge join: linear in
+    rows per key, skew bounded by the hottest key exactly like any keyed
+    join (salt first if one key dominates).  Right-side history is
+    typically tiny next to the event stream, so the union adds almost
+    nothing to the shuffle.
+    """
+    from pyspark.sql import Window
+
+    on = [on] if isinstance(on, str) else list(on)
+    right_ts = right_ts or left_ts
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    bad = [c for c in on if c not in left.columns or c not in right.columns]
+    if bad or left_ts not in left.columns or right_ts not in right.columns:
+        raise ValueError(f"missing join columns: on={bad}, ts={left_ts}/{right_ts}")
+
+    val_cols = [c for c in right.columns if c not in on and c != right_ts]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in val_cols}
+    ts_out = right_ts + suffix
+    if ts_out in left.columns:
+        raise ValueError(f"output column {ts_out!r} clashes with a left column")
+
+    keys_ok = F.col(right_ts).isNotNull()
+    for k in on:
+        keys_ok = keys_ok & F.col(k).isNotNull()
+    r = right.where(keys_ok).select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        F.col(right_ts).alias(ts_out),
+        F.lit(0).alias("_src"),
+        *[F.col(c).alias(out_names[c]) for c in val_cols],
+    )
+    l = left.select(
+        "*", F.col(left_ts).alias("_ats"), F.lit(1).alias("_src")
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    order = (
+        [F.col("_ats").asc_nulls_first(), F.col("_src").asc()]
+        if direction == "backward"
+        else [F.col("_ats").desc_nulls_last(), F.col("_src").asc()]
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attach = {ts_out: F.last(ts_out, ignorenulls=True).over(w)}
+    for c in val_cols:
+        attach[out_names[c]] = F.last(out_names[c], ignorenulls=True).over(w)
+    u = u.withColumns(attach).where(F.col("_src") == 1).drop("_ats", "_src")
+
+    # null-guard + tolerance in one pass: a left row with a NULL ts or a
+    # too-far match keeps its row but drops the attachment
+    keep = F.col(left_ts).isNotNull() & F.col(ts_out).isNotNull()
+    if tolerance is not None:
+        delta = F.abs(
+            F.col(left_ts).cast("double") - F.col(ts_out).cast("double")
+        )
+        keep = keep & (delta <= float(tolerance))
+    fix = {name: F.when(keep, F.col(name)) for name in [ts_out, *out_names.values()]}
+    return u.withColumns(fix)

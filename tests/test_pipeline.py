@@ -2010,3 +2010,94 @@ def test_jpeg_rejects_unsupported_component_counts_at_sof():
         )
         with pytest.raises(ValueError, match=f"component count {nc}"):
             decode_jpeg(blob)
+
+
+def _asof_bruteforce(left_rows, right_rows, direction, tolerance=None):
+    """Reference model: per left row scan all right rows (NULL key/ts never
+    match), nearest ts on the chosen side, tolerance nulls the attachment."""
+    out = []
+    for k, lt, payload in left_rows:
+        best = None
+        if lt is not None and k is not None:
+            for rk, rt, rv in right_rows:
+                if rk is None or rt is None or rk != k:
+                    continue
+                if direction == "backward" and rt <= lt:
+                    if best is None or rt > best[0]:
+                        best = (rt, rv)
+                elif direction == "forward" and rt >= lt:
+                    if best is None or rt < best[0]:
+                        best = (rt, rv)
+        if best is not None and tolerance is not None and abs(lt - best[0]) > tolerance:
+            best = None
+        out.append((k, lt, payload, *(best or (None, None))))
+    return sorted(out, key=lambda r: tuple((v is None, v) for v in r))
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """asof_join == per-row nearest-timestamp scan in every mode: backward
+    (ties match), forward, tolerance; NULL left keys/timestamps survive
+    unmatched; NULL right keys/timestamps never match."""
+    import random
+
+    from ddspark.pipeline.joins import asof_join
+
+    rng = random.Random(7)
+    left_rows = []
+    for i in range(300):
+        k = rng.choice([1, 2, 3, 4, None])
+        lt = None if rng.random() < 0.05 else float(rng.randrange(0, 200))
+        left_rows.append((k, lt, i))
+    # unique (k, ts) on the right; one NULL key + one NULL ts row to drop
+    right_rows = [
+        (k, float(t), k * 1000.0 + t)
+        for k in (1, 2, 3)
+        for t in rng.sample(range(0, 200), 25)
+    ]
+    right_rows += [(None, 5.0, -1.0), (1, None, -2.0)]
+
+    left = spark.createDataFrame(left_rows, "k int, ts double, payload int")
+    right = spark.createDataFrame(right_rows, "k int, ts double, price double")
+
+    for direction, tol in (("backward", None), ("forward", None), ("backward", 7.0)):
+        got = sorted(
+            (
+                (r["k"], r["ts"], r["payload"], r["ts_r"], r["price"])
+                for r in asof_join(
+                    left, right, "k", left_ts="ts", direction=direction, tolerance=tol
+                ).collect()
+            ),
+            key=lambda r: tuple((v is None, v) for v in r),
+        )
+        want = _asof_bruteforce(left_rows, right_rows, direction, tol)
+        assert got == want, (direction, tol)
+
+
+def test_asof_join_ties_single_shuffle_and_errors(spark):
+    """Equal timestamps match (<= / >=), the plan carries exactly one
+    Exchange (union -> one keyed sort-window, no join shuffle pair), value
+    columns clashing with left names are suffixed, and bad arguments fail
+    fast."""
+    import pytest as _pytest
+
+    from ddspark.pipeline.joins import asof_join
+
+    left = spark.createDataFrame([(1, 50.0, 10.0)], "k int, ts double, value double")
+    right = spark.createDataFrame([(1, 50.0, 99.0)], "k int, ts double, value double")
+    row = asof_join(left, right, "k").collect()[0]
+    assert row["value"] == 10.0 and row["value_r"] == 99.0 and row["ts_r"] == 50.0
+    fwd = asof_join(left, right, "k", direction="forward").collect()[0]
+    assert fwd["value_r"] == 99.0
+
+    plan = (
+        asof_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+
+    with _pytest.raises(ValueError, match="backward/forward"):
+        asof_join(left, right, "k", direction="nearest")
+    with _pytest.raises(ValueError, match="missing join columns"):
+        asof_join(left, right, "nope")
+    clash = left.withColumnRenamed("value", "ts_r")
+    with _pytest.raises(ValueError, match="clashes"):
+        asof_join(clash, right, "k")
