@@ -805,6 +805,41 @@ def _q_asof_attach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EPOCH_US = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed point-in-interval join (ddspark/pipeline/joins.py
+    range_join): every event landing inside any 48-hour post-signup
+    window of the same user, as a bucket equi-join (1-day buckets, each
+    point in exactly one bucket -> each pair emitted once, no cartesian).
+    The oracle is DuckDB's native BETWEEN range join (IEJoin) — an
+    independent engine for the same predicate — aggregated per event
+    type with exact microsecond offsets."""
+    from ddspark.pipeline.joins import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.expr(_EPOCH_US)
+    left = ev.select("event_type", "user_id", us.alias("x"), "event_id")
+    right = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            us.alias("lo"),
+            (us + F.lit(172_800_000_000)).alias("hi"),
+            F.col("event_id").alias("win_id"),
+        )
+    )
+    j = range_join(
+        left, right, "x", "lo", "hi", on="user_id", bucket=86_400_000_000.0
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("win_id").alias("n_windows"),
+        F.sum((F.col("x") - F.col("lo")).cast("long")).alias("offset_us"),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1557,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_chunking": wrap(_q_chunking),  # new in r5
         "io_zorder_stats": wrap(_q_zorder_stats),  # new in r5
         "join_asof_events": wrap(_q_asof_attach),  # new in r5
+        "join_range_windows": wrap(_q_range_join),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1810,6 +1846,29 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS lag_us
             FROM events l ASOF LEFT JOIN r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+            GROUP BY 1
+        """,
+        # DuckDB plans BETWEEN range joins natively (IEJoin) — the
+        # independent twin of the bucketed range_join.
+        "join_range_windows": """
+            WITH l AS (
+              SELECT event_type, user_id, epoch_us(ts) AS x, event_id
+              FROM events
+            ),
+            r AS (
+              SELECT user_id, epoch_us(ts) AS lo,
+                     epoch_us(ts) + 172800000000 AS hi,
+                     event_id AS win_id
+              FROM events
+              WHERE event_type = 'signup'
+                AND user_id IS NOT NULL AND ts IS NOT NULL
+            )
+            SELECT l.event_type,
+                   COUNT(*) AS n_pairs,
+                   COUNT(DISTINCT r.win_id) AS n_windows,
+                   CAST(SUM(l.x - r.lo) AS BIGINT) AS offset_us
+            FROM l JOIN r
+              ON l.user_id = r.user_id AND l.x BETWEEN r.lo AND r.hi
             GROUP BY 1
         """,
         "text_hashed_bow_score": _hashed_bow_oracle(),

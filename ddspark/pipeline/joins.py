@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join", "asof_join"]
+__all__ = ["salted_join", "asof_join", "range_join"]
 
 
 def salted_join(
@@ -155,3 +155,84 @@ def asof_join(
         keep = keep & (delta <= float(tolerance))
     fix = {name: F.when(keep, F.col(name)) for name in [ts_out, *out_names.values()]}
     return u.withColumns(fix)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    on: list[str] | str | None = None,
+    bucket: float = 1.0,
+    how: str = "inner",
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Point-in-interval join (``left.point BETWEEN right.lo AND right.hi``,
+    inclusive, plus optional equality keys ``on``) without the cartesian
+    product a naive theta-join plans.  Both range columns must be numeric
+    (convert timestamps with ``timestampdiff`` first).
+
+    **Scale**: each interval explodes into the ``floor(lo/bucket) ..
+    floor(hi/bucket)`` covering buckets; each point lives in exactly ONE
+    bucket, so the bucket equi-join emits every qualifying (point,
+    interval) pair exactly once — no post-dedup — and Catalyst gets a
+    plain hash/sort-merge join it can broadcast or AQE-split like any
+    other.  Pick ``bucket`` near the typical interval length: the
+    explode factor is ``span/bucket + 1``, and intervals longer than
+    ``max_buckets_per_interval`` buckets fail fast (raise_error, lazily
+    per row — no extra pass) instead of silently exploding a job.
+    ``how``: inner / left / left_semi / left_anti (the range predicate
+    rides IN the join condition, so outer semantics stay SQL-exact).
+    """
+    on = [] if on is None else [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"how must be inner/left/left_semi/left_anti, got {how!r}")
+    for c, df, side in ((left_point, left, "left"), (right_lo, right, "right"), (right_hi, right, "right")):
+        if c not in df.columns:
+            raise ValueError(f"{side} side is missing column {c!r}")
+    b = float(bucket)
+    if not b > 0:
+        raise ValueError(f"bucket must be positive, got {bucket!r}")
+
+    lo_b = F.floor(F.col(right_lo) / b)
+    hi_b = F.floor(F.col(right_hi) / b)
+    span_ok = (hi_b - lo_b) < F.lit(int(max_buckets_per_interval))
+    # lazy guard: CASE branches evaluate per row, so an oversized interval
+    # raises with its width instead of materialising a huge sequence
+    buckets = F.when(span_ok, F.sequence(lo_b, hi_b)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("range_join: interval spans "),
+                (hi_b - lo_b + 1).cast("string"),
+                F.lit(f" buckets (> {max_buckets_per_interval}); raise `bucket`"),
+            )
+        )
+    )
+    r = right.where(
+        F.col(right_lo).isNotNull()
+        & F.col(right_hi).isNotNull()
+        & (F.col(right_hi) >= F.col(right_lo))
+    ).withColumn("_rb", F.explode(buckets))
+    l = left.withColumn("_lb", F.floor(F.col(left_point) / b))
+
+    cond = l["_lb"] == r["_rb"]
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    cond = cond & (l[left_point] >= r[right_lo]) & (l[left_point] <= r[right_hi])
+    clash = [
+        c for c in right.columns if c in left.columns and c not in on
+    ]
+    if how in ("inner", "left") and clash:
+        raise ValueError(
+            f"right columns {clash} clash with left names: rename them first"
+        )
+    j = l.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return j.drop("_lb")
+    out = j.drop("_lb", "_rb")
+    for k in on:
+        # keep the left copy of the equality keys (right copy is equal or,
+        # under `left`, NULL on unmatched rows)
+        out = out.drop(r[k])
+    return out

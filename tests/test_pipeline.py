@@ -2101,3 +2101,63 @@ def test_asof_join_ties_single_shuffle_and_errors(spark):
     clash = left.withColumnRenamed("value", "ts_r")
     with _pytest.raises(ValueError, match="clashes"):
         asof_join(clash, right, "k")
+
+
+def test_range_join_matches_bruteforce(spark):
+    """Bucketed point-in-interval join == per-row BETWEEN scan for every
+    mode (inner/left/semi/anti), emits each qualifying pair exactly once
+    (points live in one bucket), inclusive bounds, NULL and inverted
+    intervals dropped, and the interval-width guard fails fast."""
+    import random
+
+    from ddspark.pipeline.joins import range_join
+
+    rng = random.Random(11)
+    pts = [(rng.choice([1, 2, None]), float(rng.randrange(0, 100)), i) for i in range(200)]
+    ivs = []
+    for j in range(40):
+        lo = float(rng.randrange(0, 95))
+        ivs.append((rng.choice([1, 2, 3]), lo, lo + float(rng.randrange(0, 12)), j))
+    ivs += [(1, 50.0, 50.0, 90), (1, None, 60.0, 91), (1, 70.0, 60.0, 92)]
+    pts += [(1, 50.0, 900)]  # exact point-interval tie
+
+    left = spark.createDataFrame(pts, "k int, x double, pid int")
+    right = spark.createDataFrame(ivs, "k int, lo double, hi double, iid int")
+
+    want_pairs = sorted(
+        (p[2], iv[3])
+        for p in pts
+        for iv in ivs
+        if p[0] is not None and iv[1] is not None and iv[2] is not None
+        and p[0] == iv[0] and iv[1] <= p[1] <= iv[2]
+    )
+    for bucket in (1.0, 5.0, 64.0):
+        got = range_join(left, right, "x", "lo", "hi", on="k", bucket=bucket)
+        assert sorted((r["pid"], r["iid"]) for r in got.collect()) == want_pairs, bucket
+
+    matched = {p for p, _ in want_pairs}
+    semi = range_join(left, right, "x", "lo", "hi", on="k", bucket=4.0, how="left_semi")
+    assert sorted(r["pid"] for r in semi.collect()) == sorted(matched)
+    anti = range_join(left, right, "x", "lo", "hi", on="k", bucket=4.0, how="left_anti")
+    assert sorted(r["pid"] for r in anti.collect()) == sorted(
+        p[2] for p in pts if p[2] not in matched
+    )
+    louter = range_join(left, right, "x", "lo", "hi", on="k", bucket=4.0, how="left")
+    rows = louter.collect()
+    assert sorted((r["pid"], r["iid"]) for r in rows if r["iid"] is not None) == want_pairs
+    assert sorted(r["pid"] for r in rows if r["iid"] is None) == sorted(
+        p[2] for p in pts if p[2] not in matched
+    )
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    wide = spark.createDataFrame([(1, 0.0, 1e6, 0)], "k int, lo double, hi double, iid int")
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException), match="interval spans"):
+        range_join(left, wide, "x", "lo", "hi", on="k", bucket=1.0,
+                   max_buckets_per_interval=100).collect()
+    with _pytest.raises(ValueError, match="clash"):
+        range_join(left, right.withColumnRenamed("iid", "pid"), "x", "lo", "hi", on="k")
+    with _pytest.raises(ValueError, match="how"):
+        range_join(left, right, "x", "lo", "hi", how="full")
