@@ -840,6 +840,52 @@ def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_downsample_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution downsample (ddspark/timeseries.py downsample_multi):
+    hour/day/week rollups of integer-cent event values from ONE scan via
+    a GROUPING SETS aggregate (Expand after the scan, before partial agg
+    — the shuffle carries only cells).  The oracle replays it as the
+    UNION ALL of three per-resolution GROUP BYs."""
+    from ddspark.timeseries import downsample_multi
+
+    ev = _read(spark, sf_dir, "events").select(
+        "ts", "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    out = downsample_multi(
+        ev, "ts", "c", resolutions=("hour", "day", "week"), by=["event_type"]
+    )
+    # string bucket labels: the driver compare stringifies non-numerics, and
+    # ns-vs-us datetime units would render equal instants unequal
+    return out.withColumn(
+        "bucket_start", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
+def _q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted per-user activity feature (ddspark/timeseries.py
+    decayed_sum): last-8-events exponentially decayed sum of integer
+    cents, newest weighted 2^7 — one keyed window sort, a pure lag
+    chain, zero Python, bit-exact in any engine.  Aggregated per event
+    type for a stable gate shape; the oracle replays the same LAG chain
+    in ANSI SQL."""
+    from ddspark.timeseries import decayed_sum
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    d = decayed_sum(ev, "user_id", ["ts", "event_id"], "c", depth=8, alias="dec")
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dec").alias("dec_sum"),
+        F.max("dec").alias("dec_max"),
+        F.min("dec").alias("dec_min"),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1593,6 +1639,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_zorder_stats": wrap(_q_zorder_stats),  # new in r5
         "join_asof_events": wrap(_q_asof_attach),  # new in r5
         "join_range_windows": wrap(_q_range_join),  # new in r5
+        "ts_downsample_multi": wrap(_q_downsample_multi),  # new in r5
+        "ts_decayed_sum": wrap(_q_decayed_sum),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1870,6 +1918,54 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN r
               ON l.user_id = r.user_id AND l.x BETWEEN r.lo AND r.hi
             GROUP BY 1
+        """,
+        "ts_downsample_multi": """
+            WITH src AS (
+              SELECT ts, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events WHERE ts IS NOT NULL
+            )
+            SELECT 'hour' AS resolution,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS bucket_start,
+                   event_type, COUNT(*) AS n, CAST(SUM(c) AS BIGINT) AS v_sum,
+                   MIN(c) AS v_min, MAX(c) AS v_max
+            FROM src GROUP BY 2, 3
+            UNION ALL
+            SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+                   event_type, COUNT(*),
+                   CAST(SUM(c) AS BIGINT), MIN(c), MAX(c)
+            FROM src GROUP BY 2, 3
+            UNION ALL
+            SELECT 'week', strftime(date_trunc('week', ts), '%Y-%m-%d %H:%M:%S'),
+                   event_type, COUNT(*),
+                   CAST(SUM(c) AS BIGINT), MIN(c), MAX(c)
+            FROM src GROUP BY 2, 3
+        """,
+        "ts_decayed_sum": """
+            WITH src AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c
+              FROM events
+            ),
+            lagged AS (
+              SELECT event_type,
+                     128 * c
+                   + 64 * COALESCE(LAG(c, 1) OVER w, 0)
+                   + 32 * COALESCE(LAG(c, 2) OVER w, 0)
+                   + 16 * COALESCE(LAG(c, 3) OVER w, 0)
+                   +  8 * COALESCE(LAG(c, 4) OVER w, 0)
+                   +  4 * COALESCE(LAG(c, 5) OVER w, 0)
+                   +  2 * COALESCE(LAG(c, 6) OVER w, 0)
+                   +  1 * COALESCE(LAG(c, 7) OVER w, 0) AS dec
+              FROM src
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type, COUNT(*) AS n,
+                   CAST(SUM(dec) AS BIGINT) AS dec_sum,
+                   CAST(MAX(dec) AS BIGINT) AS dec_max,
+                   CAST(MIN(dec) AS BIGINT) AS dec_min
+            FROM lagged GROUP BY 1
         """,
         "text_hashed_bow_score": _hashed_bow_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),

@@ -1,0 +1,111 @@
+"""Multi-resolution time-series rollups over event tables.
+
+The hypertable "continuous aggregate" shape: one raw-event scan fans out
+into N downsampled resolutions (hour/day/week/...) in a single job.
+Spark-first design: the resolutions become one ``GROUPING SETS``
+aggregate — Catalyst's ``Expand`` replicates rows *after* the scan and
+*before* partial aggregation, so the corpus is read once and the shuffle
+carries only the aggregated cells (distinct groups × resolutions), never
+the expanded rows.  At 100 TB that is the difference between one pass
+and one pass per resolution.
+
+Decayed (recency-weighted) features use a fixed-depth lag chain per key:
+a pure window expression, no Python, no iterative state — and with
+integer inputs and power-of-two decay the result is bit-exact and
+replayable in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+__all__ = ["downsample_multi", "decayed_sum"]
+
+# date_trunc units both Spark and ANSI engines agree on (week = ISO Monday)
+_UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+
+
+def downsample_multi(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    resolutions: tuple[str, ...] | list[str] = ("hour", "day", "week"),
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Downsample ``value`` to every resolution in one scan: output rows are
+    ``(resolution, bucket_start, *by, n, v_sum, v_min, v_max)`` — the
+    union of ``GROUP BY date_trunc(r, ts)`` for each ``r``, produced by a
+    single GROUPING SETS aggregate (one scan, one shuffle of cells).
+
+    ``bucket_start`` comes back as TIMESTAMP_NTZ (wall-clock bucket
+    label).  NULL timestamps are dropped — a NULL bucket would be
+    indistinguishable from the grouping-set NULL padding.
+    """
+    by = list(by or [])
+    bad = [r for r in resolutions if r not in _UNITS]
+    if bad or not resolutions:
+        raise ValueError(f"unsupported resolutions {bad or resolutions}; use {_UNITS}")
+    if len(set(resolutions)) != len(resolutions):
+        raise ValueError(f"duplicate resolutions: {resolutions}")
+
+    tcols = [f"_t_{r}" for r in resolutions]
+    w = df.where(F.col(ts).isNotNull()).select(
+        *by,
+        F.col(value).alias("_v"),
+        *[
+            F.date_trunc(r, F.col(ts)).cast("timestamp_ntz").alias(t)
+            for r, t in zip(resolutions, tcols)
+        ],
+    )
+    sets = [[*(F.col(b) for b in by), F.col(t)] for t in tcols]
+    all_cols = [F.col(b) for b in by] + [F.col(t) for t in tcols]
+    res_label = None
+    for r, t in zip(resolutions, tcols):
+        cond = F.grouping(t) == 0
+        res_label = F.when(cond, F.lit(r)) if res_label is None else res_label.when(cond, F.lit(r))
+    g = w.groupingSets(sets, *all_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("v_sum"),
+        F.min("_v").alias("v_min"),
+        F.max("_v").alias("v_max"),
+        res_label.alias("resolution"),
+        F.coalesce(*[F.col(t) for t in tcols]).alias("bucket_start"),
+    )
+    return g.select("resolution", "bucket_start", *by, "n", "v_sum", "v_min", "v_max")
+
+
+def decayed_sum(
+    df: DataFrame,
+    key: str | list[str],
+    order: str | list[str],
+    value: str | Column,
+    depth: int = 8,
+    alias: str = "decayed",
+) -> DataFrame:
+    """Recency-weighted rolling feature per key: for each row, over its
+    last ``depth`` rows (inclusive, ordered by ``order``),
+
+        decayed = sum( value_{i} * 2^(depth - 1 - i) )
+
+    with the newest row weighted ``2^(depth-1)`` down to ``1`` — a
+    half-life-one EWMA truncated at ``depth`` taps.  Implemented as a lag
+    chain (``depth`` window expressions over ONE keyed sort), so the job
+    is a single shuffle and zero Python; with integer ``value`` the
+    result is exactly replayable cross-engine (the gate oracle replays it
+    with SQL LAG).  Missing history (first rows of a key) contributes 0.
+    ``order`` must be a deterministic total order per key (tie-break with
+    a unique id column).
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    order = [order] if isinstance(order, str) else list(order)
+    if not 1 <= depth <= 62:
+        raise ValueError(f"depth must be in [1, 62], got {depth}")
+    v = F.col(value) if isinstance(value, str) else value
+    w = Window.partitionBy(*key).orderBy(*[F.col(o) for o in order])
+    expr = None
+    for k in range(depth):
+        term = F.coalesce(F.lag(v, k).over(w), F.lit(0)) * F.lit(
+            1 << (depth - 1 - k)
+        )
+        expr = term if expr is None else expr + term
+    return df.withColumn(alias, expr)

@@ -1,0 +1,80 @@
+"""Multi-resolution downsampling + decayed features (ddspark/timeseries.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.timeseries import decayed_sum, downsample_multi
+
+
+def test_downsample_multi_equals_per_resolution_groupbys(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "ts", "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    got = downsample_multi(
+        ev, "ts", "c", resolutions=("hour", "day", "week"), by=["event_type"]
+    )
+    rows = {
+        (r["resolution"], r["bucket_start"], r["event_type"]): (
+            r["n"], r["v_sum"], r["v_min"], r["v_max"]
+        )
+        for r in got.collect()
+    }
+    for res in ("hour", "day", "week"):
+        want = (
+            ev.where(F.col("ts").isNotNull())
+            .groupBy(
+                F.date_trunc(res, "ts").cast("timestamp_ntz").alias("b"),
+                "event_type",
+            )
+            .agg(F.count(F.lit(1)), F.sum("c"), F.min("c"), F.max("c"))
+            .collect()
+        )
+        assert len(want) > 0
+        for r in want:
+            assert rows[(res, r["b"], r["event_type"])] == tuple(r)[2:], (res, r)
+    assert len(rows) == sum(
+        ev.where(F.col("ts").isNotNull())
+        .select(F.date_trunc(res, "ts").alias("b"), "event_type")
+        .distinct()
+        .count()
+        for res in ("hour", "day", "week")
+    )
+
+
+def test_downsample_multi_is_one_scan_one_exchange(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    plan = (
+        downsample_multi(ev, "ts", "value", resolutions=("hour", "day"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan
+
+
+def test_downsample_multi_rejects_bad_resolutions(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    with pytest.raises(ValueError, match="unsupported"):
+        downsample_multi(ev, "ts", "value", resolutions=("fortnight",))
+    with pytest.raises(ValueError, match="duplicate"):
+        downsample_multi(ev, "ts", "value", resolutions=("day", "day"))
+    with pytest.raises(ValueError, match="depth"):
+        decayed_sum(ev, "event_type", "ts", "value", depth=63)
+
+
+def test_decayed_sum_matches_python_model(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(rng.randrange(4), i, rng.randrange(-50, 100)) for i in range(400)]
+    df = spark.createDataFrame(rows, "k int, seq int, v long")
+    got = {
+        (r["k"], r["seq"]): r["d"]
+        for r in decayed_sum(df, "k", "seq", "v", depth=8, alias="d").collect()
+    }
+    hist: dict[int, list[int]] = {}
+    for k, seq, v in sorted(rows, key=lambda r: (r[0], r[1])):
+        h = hist.setdefault(k, [])
+        h.append(v)
+        # newest row carries the highest weight 2^(depth-1)
+        want = sum(x * (1 << (7 - i)) for i, x in enumerate(reversed(h[-8:])))
+        assert got[(k, seq)] == want, (k, seq)
