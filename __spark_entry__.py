@@ -886,6 +886,25 @@ def _q_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (ddspark/pipeline/graph.py) over a deterministic
+    1000-node link graph derived from events (src = user bucket, dst =
+    portable-hash bucket of the event id): 4 exact integer iterations —
+    no float summation order anywhere — so the oracle replays the SAME
+    iterations as unrolled chained CTEs and must match bit-for-bit.
+    Per-iteration plan: one edge⋈rank join + one sum shuffle, lineage
+    cut by localCheckpoint (the Pregel shape, sized |V|+|E| per round)."""
+    from ddspark.pipeline.graph import pagerank_integer
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return pagerank_integer(edges, iters=4)
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1641,6 +1660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_range_windows": wrap(_q_range_join),  # new in r5
         "ts_downsample_multi": wrap(_q_downsample_multi),  # new in r5
         "ts_decayed_sum": wrap(_q_decayed_sum),  # new in r5
+        "graph_pagerank": wrap(_q_pagerank),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1696,6 +1716,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------------------
 # oracles (DuckDB ANSI SQL over the same parquet views)
+
+
+def _pagerank_oracle() -> str:
+    from ddspark.pipeline.graph import pagerank_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    edges = (
+        "SELECT user_id % 1000 AS src, "
+        f"{h} % 1000 AS dst FROM events WHERE user_id IS NOT NULL"
+    )
+    return pagerank_oracle_sql(edges, iters=4)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1967,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(dec) AS BIGINT) AS dec_min
             FROM lagged GROUP BY 1
         """,
+        "graph_pagerank": _pagerank_oracle(),
         "text_hashed_bow_score": _hashed_bow_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,
