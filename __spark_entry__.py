@@ -905,6 +905,56 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(edges, iters=4)
 
 
+def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events viewed as a CDC changelog of per-user state: version =
+    event_id, payload = last event type + integer cents, tombstone =
+    error events."""
+    return (
+        _read(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("c"),
+            (F.col("event_type") == "error").alias("del"),
+        )
+    )
+
+
+def _q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog -> latest snapshot (ddspark/io.py latest_snapshot): one
+    max-struct aggregate (partial agg map-side, one candidate row per
+    key per partition shuffles — no window sort of full history);
+    tombstone winners drop their key.  The oracle replays it as the
+    ROW_NUMBER window + delete filter."""
+    from ddspark.io import latest_snapshot
+
+    return latest_snapshot(
+        _cdc_changelog(spark, sf_dir), "user_id", "event_id", delete_col="del"
+    )
+
+
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE without a table format (ddspark/io.py merge_upsert): base =
+    compacted snapshot of the old changelog partition, updates = the new
+    partition's latest rows (with tombstones); new keys append, matched
+    keys replace, tombstones delete — as ONE union + max-struct
+    aggregate, no join.  The oracle is an independent FULL JOIN replay
+    of MERGE semantics."""
+    from ddspark.io import latest_snapshot, merge_upsert
+
+    ev = _cdc_changelog(spark, sf_dir)
+    base = latest_snapshot(
+        ev.where(F.col("event_id") % 3 != 0), "user_id", "event_id",
+        delete_col="del",
+    )
+    ups = latest_snapshot(
+        ev.where(F.col("event_id") % 3 == 0), "user_id", "event_id"
+    )
+    return merge_upsert(base, ups, "user_id", delete_col="del")
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1661,6 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_downsample_multi": wrap(_q_downsample_multi),  # new in r5
         "ts_decayed_sum": wrap(_q_decayed_sum),  # new in r5
         "graph_pagerank": wrap(_q_pagerank),  # new in r5
+        "io_latest_snapshot": wrap(_q_latest_snapshot),  # new in r5
+        "io_merge_upsert": wrap(_q_merge_upsert),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2000,6 +2052,54 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged GROUP BY 1
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "io_latest_snapshot": """
+            WITH src AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c,
+                     (event_type = 'error') AS del
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY event_id DESC) AS rn
+              FROM src
+            )
+            SELECT user_id, event_id, event_type, c
+            FROM ranked WHERE rn = 1 AND NOT del
+        """,
+        "io_merge_upsert": """
+            WITH src AS (
+              SELECT user_id, event_id, event_type,
+                     CAST(floor(value * 100) AS BIGINT) AS c,
+                     (event_type = 'error') AS del
+              FROM events WHERE user_id IS NOT NULL
+            ),
+            lo AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM src WHERE event_id % 3 <> 0
+              ) WHERE rn = 1 AND NOT del
+            ),
+            ln AS (
+              SELECT * FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                         PARTITION BY user_id ORDER BY event_id DESC) AS rn
+                FROM src WHERE event_id % 3 = 0
+              ) WHERE rn = 1
+            )
+            SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+                   CASE WHEN n.user_id IS NOT NULL THEN n.event_id
+                        ELSE o.event_id END AS event_id,
+                   CASE WHEN n.user_id IS NOT NULL THEN n.event_type
+                        ELSE o.event_type END AS event_type,
+                   CASE WHEN n.user_id IS NOT NULL THEN n.c
+                        ELSE o.c END AS c
+            FROM lo o FULL JOIN ln n ON o.user_id = n.user_id
+            WHERE NOT COALESCE(
+              CASE WHEN n.user_id IS NOT NULL THEN n.del ELSE FALSE END,
+              FALSE)
+        """,
         "text_hashed_bow_score": _hashed_bow_oracle(),
         "multimodal_image_dhash": _image_dhash_oracle(),
         # elementwise replay of int8 quantization: scale = max|v|,

@@ -13,7 +13,7 @@ predicate/partition pushdown).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 __all__ = [
     "read_corpus",
@@ -29,6 +29,8 @@ __all__ = [
     "zorder_key",
     "zorder_key_sql",
     "write_zordered",
+    "latest_snapshot",
+    "merge_upsert",
 ]
 
 
@@ -367,4 +369,115 @@ def write_zordered(
         .drop("_z")
         .write.mode(mode)
         .parquet(path)
+    )
+
+
+def latest_snapshot(
+    changelog: DataFrame,
+    key: list[str] | str,
+    version: list[str] | str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Compact a CDC-style changelog to its latest snapshot: one row per
+    ``key`` — the one with the greatest ``version`` (a column list; ties
+    broken by the later columns, so pass e.g. ``["ts", "seq"]`` for a
+    total order).  With ``delete_col`` (boolean), keys whose winning row
+    is a tombstone disappear from the snapshot.
+
+    **Scale**: a single ``max_by``-shaped aggregate — ``max(struct(
+    version..., payload))`` — so Catalyst runs partial aggregation
+    map-side and shuffles one candidate row per key per partition, not
+    the whole history (a window row_number() would shuffle every row and
+    sort each group).  This is the standard "replay the upsert log"
+    primitive behind snapshot refresh of a training corpus.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    version = [version] if isinstance(version, str) else list(version)
+    payload = [c for c in changelog.columns if c not in key]
+    # version columns lead the struct: struct ordering = lexicographic by
+    # field order, so max() picks the greatest version (ties -> greatest
+    # payload, which is why callers should make `version` a total order)
+    win = F.max(
+        F.struct(*[F.col(v) for v in version], *[F.col(c) for c in payload if c not in version])
+    ).alias("_w")
+    out = changelog.groupBy(*key).agg(win)
+    cols = [F.col(k) for k in key] + [
+        F.col(f"_w.{c}").alias(c) for c in payload
+    ]
+    out = out.select(*cols)
+    if delete_col is not None:
+        out = out.where(~F.coalesce(F.col(delete_col), F.lit(False))).drop(
+            delete_col
+        )
+    return out
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    key: list[str] | str,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """SQL MERGE semantics without a table format: rows of ``updates``
+    replace same-key rows of ``base``, new keys append, and (with
+    ``delete_col``) tombstones remove.  ``updates`` must be one row per
+    key (compact a changelog with :func:`latest_snapshot` first —
+    duplicate update keys raise).
+
+    **Scale**: no join — ``base`` is unioned with ``updates`` under a
+    priority tag and compacted by the same max-struct aggregate as
+    :func:`latest_snapshot`, so the plan is one shuffle on the merge key
+    with map-side partial aggregation.  Rewrite the result with
+    ``write_bucketed`` on the key and the next merge's shuffle disappears
+    too.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in base.columns if c not in key]
+    extra = [c for c in updates.columns if c not in base.columns and c != delete_col]
+    if extra:
+        raise ValueError(f"updates carry columns not in base: {extra}")
+    if delete_col is None:
+        up = updates.withColumn("_del", F.lit(False))
+    else:
+        up = updates.withColumn(
+            "_del", F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    missing = [c for c in base.columns if c not in up.columns]
+    if missing:
+        raise ValueError(f"updates are missing base columns: {missing}")
+
+    tagged = base.select(
+        *key, F.lit(0).alias("_pri"), F.lit(False).alias("_del"),
+        *[F.col(c) for c in payload],
+    ).unionByName(
+        up.select(
+            *key, F.lit(1).alias("_pri"), F.col("_del"),
+            *[F.col(c) for c in payload],
+        )
+    )
+    merged = (
+        tagged.groupBy(*key)
+        .agg(
+            F.max(
+                F.struct("_pri", "_del", *[F.col(c) for c in payload])
+            ).alias("_w"),
+            F.sum(F.col("_pri").cast("long")).alias("_nup"),
+        )
+    )
+    # >1 update row for a key means latest-wins would be arbitrary: refuse.
+    # The guard lives in a FILTER predicate (a projected column would be
+    # pruned away unevaluated); the CASE branch keeps raise_error lazy.
+    guard = F.when(
+        F.col("_nup") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("merge_upsert: duplicate update rows for key ("),
+                F.concat_ws(",", *[F.col(k).cast("string") for k in key]),
+                F.lit("); compact updates with latest_snapshot first"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    return merged.where(guard & ~F.col("_w._del")).select(
+        *key,
+        *[F.col(f"_w.{c}").alias(c) for c in payload],
     )
