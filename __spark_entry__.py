@@ -955,6 +955,29 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_upsert(base, ups, "user_id", delete_col="del")
 
 
+def _q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven equi-depth binning (ddspark/agg.py
+    bucket_by_quantiles): decile edges from the cells quantile pipeline
+    (one scan, KB shuffle, k-1 scalars collected), assignment as a
+    codegen comparison chain — the sort-free NTILE replacement.  The
+    oracle recomputes the SAME edges with the ANSI sketch replay and
+    re-applies the same #edges<=value rule, so bucket populations must
+    match exactly."""
+    from ddspark.agg import bucket_by_quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    out, _ = bucket_by_quantiles(
+        li, "l_extendedprice", k=10, cfg=SketchConfig(ALPHA)
+    )
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_c"
+        ),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1713,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": wrap(_q_pagerank),  # new in r5
         "io_latest_snapshot": wrap(_q_latest_snapshot),  # new in r5
         "io_merge_upsert": wrap(_q_merge_upsert),  # new in r5
+        "sketch_quantile_binning": wrap(_q_quantile_binning),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1768,6 +1792,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # --------------------------------------------------------------------------
 # oracles (DuckDB ANSI SQL over the same parquet views)
+
+
+def _binning_oracle() -> str:
+    from ddspark.agg import quantile_label
+
+    qs = [i / 10 for i in range(1, 10)]
+    labels = [quantile_label(q) for q in qs]
+    replay = ansi_sql_quantile_sketch(
+        "lineitem", "l_extendedprice", None, qs, ALPHA, round_digits=ROUND
+    )
+    chain = " + ".join(
+        f"(CASE WHEN s.v >= e.{p} THEN 1 ELSE 0 END)" for p in labels
+    )
+    return f"""
+        WITH edges AS (SELECT {', '.join(labels)} FROM ({replay})),
+        src AS (
+          SELECT l_extendedprice AS v,
+                 CAST(floor(l_quantity * 100) AS BIGINT) AS qc,
+                 CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc
+          FROM lineitem
+        )
+        SELECT CAST({chain} AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(s.qc) AS BIGINT) AS qty_c,
+               CAST(SUM(s.pc) AS BIGINT) AS price_c
+        FROM src s, edges e
+        GROUP BY 1
+    """
 
 
 def _pagerank_oracle() -> str:
@@ -2052,6 +2104,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged GROUP BY 1
         """,
         "graph_pagerank": _pagerank_oracle(),
+        "sketch_quantile_binning": _binning_oracle(),
         "io_latest_snapshot": """
             WITH src AS (
               SELECT user_id, event_id, event_type,

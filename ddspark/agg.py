@@ -941,3 +941,55 @@ def sketch_to_driver(
     return Sketch.merge_all(
         [Sketch.from_state(cfg, r.asDict()) for r in rows]
     )
+
+
+def bucket_by_quantiles(
+    df: DataFrame,
+    value_col: str,
+    k: int = 10,
+    cfg: SketchConfig | None = None,
+    round_digits: int = 6,
+    alias: str = "bucket",
+) -> tuple[DataFrame, list[float]]:
+    """Equi-depth feature binning driven by the sketch: assign every row a
+    bucket in ``0..k-1`` by which of the DDSketch ``i/k`` quantile edges
+    its value reaches (``bucket = #edges <= value``).  Returns
+    ``(df_with_bucket, edges)``.
+
+    **Scale**: the edge computation is the cells quantile pipeline (one
+    scan, KB-sized shuffle), the ``k-1`` edges are the ONLY driver
+    collect, and assignment is a pure column expression (comparison
+    chain in whole-stage codegen) — no join, no second shuffle.  Exact
+    equi-depth binning needs a global sort per NTILE; this is the
+    sketch-powered replacement whose edges are within
+    ``cfg.relative_accuracy`` of exact and fully deterministic, so the
+    assignment replays in ANSI SQL.
+
+    Edges come from the positive values only (the DDSketch domain);
+    values below every edge (including non-positive ones) land in bucket
+    0.  Edges are rounded to ``round_digits`` (same decimal rounding the
+    SQL replay applies) so both engines compare against bit-identical
+    thresholds.  With heavily skewed data, adjacent edges can coincide
+    after rounding — those buckets are simply empty.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    qs = [i / k for i in range(1, k)]
+    est = quantile_sketch(
+        df.where(F.col(value_col) > 0), value_col, qs=qs, cfg=cfg,
+        exact_stats=False,
+    )
+    sel = [
+        F.round(F.col(quantile_label(q)), round_digits).alias(f"e{i}")
+        for i, q in enumerate(qs)
+    ]
+    row = est.select(*sel).first()
+    if row is None or any(row[f"e{i}"] is None for i in range(len(qs))):
+        raise ValueError(f"bucket_by_quantiles: no positive {value_col!r} values")
+    edges = [float(row[f"e{i}"]) for i in range(len(qs))]
+
+    b = None
+    for e in edges:
+        term = (F.col(value_col) >= F.lit(e)).cast("int")
+        b = term if b is None else b + term
+    return df.withColumn(alias, b), edges

@@ -290,3 +290,37 @@ def test_quantile_sketch_multi_weighted(spark):
         for r in single.collect():
             assert multi[(col, r["l_returnflag"])]["p50"] == r["p50"]
             assert multi[(col, r["l_returnflag"])]["count"] == r["count"]
+
+
+def test_bucket_by_quantiles_equidepth_and_replay(spark):
+    """Sketch-driven binning: buckets are near-equi-depth (edges within the
+    sketch accuracy of exact deciles), assignment == the #edges<=value
+    comparison chain, and the hot path is join-free (edges are literals)."""
+    import pytest as _pytest
+
+    from ddspark.agg import bucket_by_quantiles
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out, edges = bucket_by_quantiles(li, "l_extendedprice", k=10)
+    assert len(edges) == 9 and edges == sorted(edges)
+
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = sum(counts.values())
+    for b in range(10):
+        # equi-depth up to sketch accuracy (1%) + bucket-boundary discreteness
+        assert counts.get(b, 0) == _pytest.approx(n / 10, rel=0.15), (b, counts)
+
+    # exact replay of the assignment rule on a sample
+    sample = out.select("l_extendedprice", "bucket").limit(500).collect()
+    for r in sample:
+        want = sum(1 for e in edges if r["l_extendedprice"] >= e)
+        assert r["bucket"] == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+
+    with _pytest.raises(ValueError, match="k must be"):
+        bucket_by_quantiles(li, "l_extendedprice", k=1)
+    with _pytest.raises(ValueError, match="no positive"):
+        bucket_by_quantiles(li.where("l_extendedprice < 0"), "l_extendedprice")
