@@ -31,6 +31,9 @@ __all__ = [
     "write_zordered",
     "latest_snapshot",
     "merge_upsert",
+    "write_webdataset",
+    "read_webdataset",
+    "webdataset_samples",
 ]
 
 
@@ -481,3 +484,167 @@ def merge_upsert(
         *key,
         *[F.col(f"_w.{c}").alias(c) for c in payload],
     )
+
+
+def write_webdataset(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    ext_cols: dict[str, str],
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Write a WebDataset-style sharded tar corpus: each output file
+    ``shard-NNNNN.tar`` holds the partition's samples as consecutive tar
+    members ``{key}.{ext}`` (``ext_cols`` maps tar extension -> source
+    column; binary columns verbatim, strings UTF-8) — the standard
+    sequential-read layout for large-scale multimodal training loaders.
+
+    **Scale**: one tar per partition, streamed member-by-member from
+    Arrow batches (``mapInPandas``) — no per-executor buffering of the
+    shard, no driver involvement, and shard count == partition count so
+    ``num_shards``/upstream partitioning controls file sizing.  Members
+    are sorted by key within a shard and tar metadata is zeroed, so a
+    rewrite of the same data is byte-identical (diffable shards).
+    Returns a DataFrame of per-shard manifests ``(shard, n_samples,
+    n_bytes)`` (the write happens when it is acted on — the caller's
+    action is the job).
+    """
+    import os
+
+    from pyspark import TaskContext
+    from pyspark.sql.types import (
+        LongType as _Long,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    if not ext_cols:
+        raise ValueError("ext_cols must map at least one extension to a column")
+    for ext, c in ext_cols.items():
+        if "." in ext or "/" in ext:
+            raise ValueError(f"bad extension {ext!r}")
+        if c not in df.columns:
+            raise ValueError(f"ext_cols column {c!r} not in DataFrame")
+    os.makedirs(path, exist_ok=True)
+    exts = sorted(ext_cols)
+    narrow = df.select(
+        F.col(key_col).cast("string").alias("_key"),
+        *[F.col(ext_cols[e]).alias(f"_c_{e}") for e in exts],
+    )
+    if num_shards is not None:
+        narrow = narrow.repartition(num_shards, "_key")
+    narrow = narrow.sortWithinPartitions("_key")
+    schema = _ST(
+        [_SF("shard", _Str()), _SF("n_samples", _Long()), _SF("n_bytes", _Long())]
+    )
+
+    def gen(batches):
+        import io as _io
+        import tarfile
+
+        pid = TaskContext.get().partitionId()
+        shard = f"shard-{pid:05d}.tar"
+        final = os.path.join(path, shard)
+        tmp = final + f".inprogress.{os.getpid()}"
+        n = 0
+        with tarfile.open(tmp, "w") as tar:
+            for pdf in batches:
+                for rec in pdf.itertuples(index=False):
+                    key = rec[0]
+                    if key is None:
+                        continue
+                    for i, e in enumerate(exts):
+                        payload = rec[i + 1]
+                        if payload is None:
+                            continue
+                        data = (
+                            payload.encode("utf-8")
+                            if isinstance(payload, str)
+                            else bytes(payload)
+                        )
+                        info = tarfile.TarInfo(name=f"{key}.{e}")
+                        info.size = len(data)
+                        info.mtime = 0
+                        info.uid = info.gid = 0
+                        info.uname = info.gname = ""
+                        tar.addfile(info, _io.BytesIO(data))
+                    n += 1
+        os.replace(tmp, final)  # atomic publish per shard
+        yield pd.DataFrame(
+            [{"shard": shard, "n_samples": n, "n_bytes": os.path.getsize(final)}]
+        )
+
+    import pandas as pd  # noqa: F401  (closure import for executors)
+
+    return narrow.mapInPandas(gen, schema)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read a :func:`write_webdataset` corpus back as long-format rows
+    ``(shard, key, ext, content binary)`` — one task per shard file
+    (``binaryFile`` source), members streamed out of the tar in Arrow
+    batches.  Pivot to one-row-per-sample with
+    :func:`webdataset_samples`."""
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        StringType as _Str,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.tar")
+        .load(path)
+        .select("path", "content")
+    )
+    schema = _ST(
+        [
+            _SF("shard", _Str()),
+            _SF("key", _Str()),
+            _SF("ext", _Str()),
+            _SF("content", _Bin()),
+        ]
+    )
+
+    def gen(batches):
+        import io as _io
+        import os as _os
+        import tarfile
+
+        import pandas as _pd
+
+        for pdf in batches:
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                shard = _os.path.basename(p)
+                out = []
+                with tarfile.open(fileobj=_io.BytesIO(bytes(blob))) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        stem, dot, ext = m.name.rpartition(".")
+                        out.append(
+                            {
+                                "shard": shard,
+                                "key": stem if dot else m.name,
+                                "ext": ext if dot else "",
+                                "content": tar.extractfile(m).read(),
+                            }
+                        )
+                if out:
+                    yield _pd.DataFrame(out, columns=["shard", "key", "ext", "content"])
+
+    return files.mapInPandas(gen, schema)
+
+
+def webdataset_samples(long_df: DataFrame, exts: list[str]) -> DataFrame:
+    """Pivot :func:`read_webdataset` long rows to one row per sample:
+    ``(key, <ext> binary, ...)`` via one max-struct aggregate per
+    extension (partial agg map-side; keys are unique per shard so this
+    shuffles one row per sample)."""
+    aggs = [
+        F.max(F.when(F.col("ext") == e, F.col("content"))).alias(e)
+        for e in exts
+    ]
+    return long_df.groupBy("key").agg(*aggs)
