@@ -978,6 +978,18 @@ def _q_quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler (ddspark/pipeline/joins.py key_profile): the
+    25 heaviest user_id values in events with exact integer basis-point
+    shares — the salt-or-not diagnostic.  Count cells aggregate map-side;
+    totals re-aggregate the cells (no second scan); top-N is TakeOrdered;
+    the rank window touches 25 rows.  Deterministic tiebreak (count desc,
+    key asc) makes the whole table ANSI-replayable."""
+    from ddspark.pipeline.joins import key_profile
+
+    return key_profile(_read(spark, sf_dir, "events"), "user_id", top=25)
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1737,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_latest_snapshot": wrap(_q_latest_snapshot),  # new in r5
         "io_merge_upsert": wrap(_q_merge_upsert),  # new in r5
         "sketch_quantile_binning": wrap(_q_quantile_binning),  # new in r5
+        "profile_hot_keys": wrap(_q_key_profile),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2105,6 +2118,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle(),
         "sketch_quantile_binning": _binning_oracle(),
+        "profile_hot_keys": """
+            WITH counts AS (
+              SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+            ),
+            totals AS (
+              SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                     COUNT(*) AS n_keys
+              FROM counts
+            ),
+            ranked AS (
+              SELECT user_id, cnt,
+                     ROW_NUMBER() OVER (
+                       ORDER BY cnt DESC, user_id ASC NULLS LAST) AS rank,
+                     SUM(cnt) OVER (
+                       ORDER BY cnt DESC, user_id ASC NULLS LAST
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM counts
+            )
+            SELECT CAST(rank AS INTEGER) AS rank, user_id, cnt,
+                   t.total, t.n_keys,
+                   (cnt * 10000) // t.total AS share_bp,
+                   CAST((cum * 10000) // t.total AS BIGINT) AS cum_share_bp
+            FROM ranked, totals t
+            WHERE rank <= 25
+        """,
         "io_latest_snapshot": """
             WITH src AS (
               SELECT user_id, event_id, event_type,

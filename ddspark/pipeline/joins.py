@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join", "asof_join", "range_join"]
+__all__ = ["salted_join", "asof_join", "range_join", "key_profile"]
 
 
 def salted_join(
@@ -236,3 +236,52 @@ def range_join(
         # under `left`, NULL on unmatched rows)
         out = out.drop(r[k])
     return out
+
+
+def key_profile(
+    df: DataFrame,
+    key: str | list[str],
+    top: int = 20,
+) -> DataFrame:
+    """Skew diagnostics for a prospective join/aggregation key: the ``top``
+    heaviest key values with exact count, share, and cumulative share in
+    integer basis points — the numbers that decide between a plain
+    shuffle, :func:`salted_join`, and AQE skew handling (a key above a
+    few hundred bp of the table is a salting candidate).
+
+    **Scale**: one count-aggregate per distinct key (map-side partial
+    agg), totals re-aggregated from those cells (never a second corpus
+    scan), top-N via TakeOrdered (no global sort materialisation), and
+    the rank/cumulative window runs on ``top`` rows only.  Shares use
+    integer ``(cnt * 10000) div total`` so the output is exact and
+    engine-portable.
+    """
+    from pyspark.sql import Window
+
+    key = [key] if isinstance(key, str) else list(key)
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    counts = df.groupBy(*key).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_total"), F.count(F.lit(1)).alias("_distinct")
+    )
+    head = (
+        counts.orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in key])
+        .limit(top)
+        .crossJoin(F.broadcast(totals))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), *[F.col(k).asc_nulls_last() for k in key])
+    return head.select(
+        F.row_number().over(w).alias("rank"),
+        *key,
+        "cnt",
+        F.col("_total").alias("total"),
+        F.col("_distinct").alias("n_keys"),
+        F.expr("(cnt * 10000) div _total").alias("share_bp"),
+        F.expr(
+            "(sum(cnt) OVER (ORDER BY cnt DESC, "
+            + ", ".join(f"{k} ASC NULLS LAST" for k in key)
+            + " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000)"
+            " div _total"
+        ).alias("cum_share_bp"),
+    )

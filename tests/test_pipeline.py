@@ -2161,3 +2161,28 @@ def test_range_join_matches_bruteforce(spark):
         range_join(left, right.withColumnRenamed("iid", "pid"), "x", "lo", "hi", on="k")
     with _pytest.raises(ValueError, match="how"):
         range_join(left, right, "x", "lo", "hi", how="full")
+
+
+def test_key_profile_matches_model(spark):
+    """Top-N heavy keys with exact integer shares; deterministic tiebreak
+    (count desc, key asc); totals come from the count cells, not a second
+    scan."""
+    from ddspark.pipeline.joins import key_profile
+
+    rows = [(k,) for k in [7] * 50 + [3] * 30 + [5] * 30 + list(range(100, 120))]
+    df = spark.createDataFrame(rows, "k int")
+    out = key_profile(df, "k", top=5).collect()
+    total = len(rows)
+    assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+    assert (out[0]["k"], out[0]["cnt"]) == (7, 50)
+    assert (out[1]["k"], out[1]["cnt"]) == (3, 30)  # tie -> smaller key first
+    assert (out[2]["k"], out[2]["cnt"]) == (5, 30)
+    assert all(r["total"] == total and r["n_keys"] == 23 for r in out)
+    assert out[0]["share_bp"] == (50 * 10000) // total
+    assert out[2]["cum_share_bp"] == ((50 + 30 + 30) * 10000) // total
+    plan = key_profile(df, "k", top=5)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 0  # in-memory source; just ensure it builds
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top"):
+        key_profile(df, "k", top=0)
