@@ -402,6 +402,64 @@ def main() -> None:
         )
     )
 
+    from ddspark.pipeline.joins import asof_join, range_join
+
+    signup = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    asof = asof_join(ev, signup, on="user_id", left_ts="ts")
+    sections.append(
+        (
+            "As-of join (round 5): one keyed shuffle, no self-join",
+            "Things to check: exactly ONE Exchange (hashpartitioning on "
+            "user_id) feeding one Sort + one Window of running "
+            "last(ignorenulls) — the sort-merge-join shape without a join "
+            "node.  A windowed-self-join formulation would shuffle both "
+            "sides twice and re-sort; this unions them into one pass.",
+            formatted(asof),
+        )
+    )
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    rj = range_join(
+        ev.select("event_type", "user_id", us.alias("x")),
+        signup.select(
+            "user_id", us.alias("lo"), (us + F.lit(172_800_000_000)).alias("hi")
+        ),
+        "x", "lo", "hi", on="user_id", bucket=86_400_000_000.0,
+    )
+    sections.append(
+        (
+            "Bucketed range join (round 5): equi-join, not a cartesian",
+            "Things to check: the interval side carries one Generate "
+            "(explode of the covering buckets) and the join is a plain "
+            "hash/sort-merge join on (user_id, bucket) with the BETWEEN "
+            "predicate as a join filter — no BroadcastNestedLoopJoin / "
+            "CartesianProduct node anywhere.  AQE can still broadcast or "
+            "skew-split it like any equi-join.",
+            formatted(rj),
+        )
+    )
+
+    from ddspark.timeseries import downsample_multi
+
+    ds = downsample_multi(
+        ev, "ts", "value", resolutions=("hour", "day", "week")
+    )
+    sections.append(
+        (
+            "Multi-resolution downsample (round 5): one scan, one Exchange",
+            "Things to check: a single FileScan feeds Expand (x3 for three "
+            "resolutions) and the partial HashAggregate runs ABOVE Expand "
+            "but BELOW the single Exchange — the shuffle moves only "
+            "aggregated cells.  Three separate GROUP BY jobs would cost "
+            "three scans.",
+            formatted(ds),
+        )
+    )
+
     out = ["# PLANS — formatted physical plans of the flagship pipelines\n"]
     out.append("Generated by `python tools/dump_plans.py` against " + SF_DIR + ".\n")
     for title, note, plan in sections:
