@@ -423,9 +423,9 @@ def merge_upsert(
 ) -> DataFrame:
     """SQL MERGE semantics without a table format: rows of ``updates``
     replace same-key rows of ``base``, new keys append, and (with
-    ``delete_col``) tombstones remove.  ``updates`` must be one row per
-    key (compact a changelog with :func:`latest_snapshot` first —
-    duplicate update keys raise).
+    ``delete_col``) tombstones remove.  Both sides must be one row per
+    key (compact a changelog with :func:`latest_snapshot` first) —
+    duplicate keys on either side raise rather than picking arbitrarily.
 
     **Scale**: no join — ``base`` is unioned with ``updates`` under a
     priority tag and compacted by the same max-struct aggregate as
@@ -465,21 +465,33 @@ def merge_upsert(
                 F.struct("_pri", "_del", *[F.col(c) for c in payload])
             ).alias("_w"),
             F.sum(F.col("_pri").cast("long")).alias("_nup"),
+            F.sum(F.lit(1) - F.col("_pri")).alias("_nbase"),
         )
     )
-    # >1 update row for a key means latest-wins would be arbitrary: refuse.
-    # The guard lives in a FILTER predicate (a projected column would be
-    # pruned away unevaluated); the CASE branch keeps raise_error lazy.
-    guard = F.when(
-        F.col("_nup") > 1,
-        F.raise_error(
+    # >1 update row for a key (or a non-unique base) means latest-wins
+    # would be arbitrary: refuse.  The guard lives in a FILTER predicate
+    # (a projected column would be pruned away unevaluated); the CASE
+    # branches keep raise_error lazy.
+    def _dup_error(side: str, hint: str):
+        return F.raise_error(
             F.concat(
-                F.lit("merge_upsert: duplicate update rows for key ("),
+                F.lit(f"merge_upsert: duplicate {side} rows for key ("),
                 F.concat_ws(",", *[F.col(k).cast("string") for k in key]),
-                F.lit("); compact updates with latest_snapshot first"),
+                F.lit(f"); {hint}"),
             )
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
+        ).cast("boolean")
+
+    guard = (
+        F.when(
+            F.col("_nup") > 1,
+            _dup_error("update", "compact updates with latest_snapshot first"),
+        )
+        .when(
+            F.col("_nbase") > 1,
+            _dup_error("base", "the base table must be one row per key"),
+        )
+        .otherwise(F.lit(True))
+    )
     return merged.where(guard & ~F.col("_w._del")).select(
         *key,
         *[F.col(f"_w.{c}").alias(c) for c in payload],

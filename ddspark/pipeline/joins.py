@@ -109,11 +109,22 @@ def asof_join(
     if bad or left_ts not in left.columns or right_ts not in right.columns:
         raise ValueError(f"missing join columns: on={bad}, ts={left_ts}/{right_ts}")
 
+    reserved = {"_ats", "_src"}
+    taken = reserved & set(left.columns) | reserved & set(right.columns)
+    if taken:
+        raise ValueError(f"columns {sorted(taken)} are reserved by asof_join")
     val_cols = [c for c in right.columns if c not in on and c != right_ts]
     out_names = {c: (c + suffix if c in left.columns else c) for c in val_cols}
     ts_out = right_ts + suffix
     if ts_out in left.columns:
         raise ValueError(f"output column {ts_out!r} clashes with a left column")
+    out_list = [ts_out, *out_names.values()]
+    dups = sorted({n for n in out_list if out_list.count(n) > 1})
+    if dups:
+        raise ValueError(
+            f"suffixed right columns collide on {dups}; rename the right "
+            "side or pass a different suffix"
+        )
 
     keys_ok = F.col(right_ts).isNotNull()
     for k in on:
@@ -194,6 +205,9 @@ def range_join(
     b = float(bucket)
     if not b > 0:
         raise ValueError(f"bucket must be positive, got {bucket!r}")
+    taken = {"_lb", "_rb"} & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(f"columns {sorted(taken)} are reserved by range_join")
 
     lo_b = F.floor(F.col(right_lo) / b)
     hi_b = F.floor(F.col(right_hi) / b)

@@ -2186,3 +2186,32 @@ def test_key_profile_matches_model(spark):
 
     with _pytest.raises(ValueError, match="top"):
         key_profile(df, "k", top=0)
+
+
+def test_join_reserved_and_collision_guards(spark):
+    """asof_join/range_join refuse inputs that collide with their internal
+    columns or whose suffixed names collide; merge_upsert refuses a
+    non-unique base."""
+    import pytest as _pytest
+
+    from ddspark.io import merge_upsert
+    from ddspark.pipeline.joins import asof_join, range_join
+
+    left = spark.createDataFrame([(1, 1.0, 2.0)], "k int, ts double, v double")
+    right = spark.createDataFrame([(1, 1.0, 3.0)], "k int, ts double, v double")
+    with _pytest.raises(ValueError, match="reserved by asof_join"):
+        asof_join(left.withColumn("_src", F.lit(1)), right, "k")
+    with _pytest.raises(ValueError, match="collide"):
+        # right carries both v (suffixes to v_r) and a literal v_r
+        asof_join(left, right.withColumn("v_r", F.lit(0.0)), "k")
+    with _pytest.raises(ValueError, match="reserved by range_join"):
+        range_join(left.withColumn("_lb", F.lit(1)),
+                   right.withColumnRenamed("v", "hi"), "ts", "ts", "hi", on="k")
+
+    base_dup = spark.createDataFrame([(1, 5), (1, 6)], "k int, v int")
+    ups = spark.createDataFrame([(2, 7)], "k int, v int")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    with _pytest.raises((Py4JJavaError, SparkRuntimeException), match="duplicate base"):
+        merge_upsert(base_dup, ups, "k").collect()

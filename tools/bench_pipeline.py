@@ -176,6 +176,101 @@ def main() -> None:
         "audio_features (480-sample WAV, r5)",
         lambda: audio_features(synth_audio(ids)).agg(F.sum("zero_crossings")).collect(),
     )
+
+    from ddspark.agg import bucket_by_quantiles
+    from ddspark.pipeline.graph import pagerank_integer
+    from ddspark.pipeline.joins import asof_join, key_profile, range_join
+    from ddspark.io import latest_snapshot, merge_upsert
+    from ddspark.timeseries import decayed_sum, downsample_multi
+
+    evs = (
+        spark.range(N, numPartitions=64)
+        .select(
+            (F.col("id") % 100_000).alias("k"),
+            (F.col("id") * 7 % 1_000_000_000).cast("double").alias("ts"),
+            F.col("id").alias("payload"),
+            F.expr(
+                "timestampadd(SECOND, cast(id % 31536000 as int), "
+                "TIMESTAMP_NTZ'2024-01-01 00:00:00')"
+            ).alias("tstamp"),
+        )
+        .persist()
+    )
+    evs.count()
+    snaps = spark.range(N // 40, numPartitions=64).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") * 283 % 1_000_000_000).cast("double").alias("ts"),
+        (F.col("id") * 3).alias("price"),
+    )
+    timed(
+        "asof_join (100k keys, 2.5% right side, r5)",
+        lambda: asof_join(evs.drop("tstamp"), snaps, "k")
+        .agg(F.sum("price"))
+        .collect(),
+    )
+    iv = spark.range(N // 40, numPartitions=64).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") * 283 % 1_000_000_000).cast("double").alias("lo"),
+        ((F.col("id") * 283 % 1_000_000_000) + 5_000.0).alias("hi"),
+    )
+    timed(
+        "range_join (bucket=width, 2.5% interval side, r5)",
+        lambda: range_join(
+            evs.select("k", "ts"), iv, "ts", "lo", "hi", on="k", bucket=5_000.0
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "downsample_multi (hour+day+week, one scan, r5)",
+        lambda: downsample_multi(evs, "tstamp", "payload")
+        .agg(F.sum("v_sum"))
+        .collect(),
+    )
+    timed(
+        "decayed_sum (depth 8 lag chain, 100k keys, r5)",
+        lambda: decayed_sum(evs.drop("tstamp"), "k", ["ts", "payload"], "payload")
+        .agg(F.sum("decayed"))
+        .collect(),
+    )
+    timed(
+        "latest_snapshot (max-struct compaction, 100k keys, r5)",
+        lambda: latest_snapshot(evs.drop("tstamp"), "k", "ts")
+        .agg(F.sum("payload"))
+        .collect(),
+    )
+    timed(
+        "merge_upsert (base N + 2.5% updates, r5)",
+        lambda: merge_upsert(
+            latest_snapshot(evs.drop("tstamp"), "k", "ts"),
+            snaps.withColumnRenamed("price", "payload").groupBy("k").agg(
+                F.max("ts").alias("ts"), F.max("payload").alias("payload")
+            ),
+            "k",
+        )
+        .agg(F.sum("payload"))
+        .collect(),
+    )
+    timed(
+        "bucket_by_quantiles (deciles + assign, r5)",
+        lambda: bucket_by_quantiles(evs.drop("tstamp"), "ts", k=10)[0]
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "key_profile (top 25 of 100k keys, r5)",
+        lambda: key_profile(evs.drop("tstamp"), "k", top=25).collect(),
+    )
+    edges = spark.range(4_000_000, numPartitions=64).select(
+        (F.col("id") % 100_000).alias("src"),
+        (F.col("id") * 131 % 100_000).alias("dst"),
+    )
+    timed(
+        "pagerank_integer (100k nodes, 4M edges, 3 iters, r5)",
+        lambda: pagerank_integer(edges, iters=3).agg(F.sum("rank")).collect(),
+        rows=4_000_000 * 3,
+    )
     spark.stop()
 
 
