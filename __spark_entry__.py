@@ -990,6 +990,55 @@ def _q_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_profile(_read(spark, sf_dir, "events"), "user_id", top=25)
 
 
+def _q_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level distinct counts from ONE scan (ddspark/sketches/hll.py
+    hll_cube): users per (type, day), per type, and globally via a single
+    GROUPING SETS register aggregate (Expand before partial agg — the
+    shuffle carries register cells, never rows; three hll_agg calls would
+    scan three times).  Bound-check oracle shape: Spark emits the exact
+    count and whether the estimate sits inside the 3-sigma HLL envelope;
+    the twin recomputes the exact side per level."""
+    from ddspark.sketches.hll import hll_cube
+
+    p = 12
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("u"),
+        "user_id",
+    )
+    by = ["event_type", "day"]
+    est = hll_cube(ev, "u", by, p=p).select(
+        "set_id", "event_type", "day", "hll_estimate"
+    )
+    sets = [["event_type", "day"], ["event_type"], []]
+    exact = None
+    for si, lvl in enumerate(sets):
+        e = ev.groupBy(*lvl).agg(F.countDistinct("user_id").alias("exact_users"))
+        for c in by:
+            if c not in lvl:
+                e = e.withColumn(c, F.lit(None).cast("string"))
+        e = e.withColumn("set_id", F.lit(si).cast("int"))
+        exact = e if exact is None else exact.unionByName(e)
+    bound = 3.0 * 1.04 / float((1 << p) ** 0.5)
+    cond = (
+        est["set_id"].eqNullSafe(exact["set_id"])
+        & est["event_type"].eqNullSafe(exact["event_type"])
+        & est["day"].eqNullSafe(exact["day"])
+    )
+    j = exact.join(est, cond)
+    return j.select(
+        exact["set_id"],
+        exact["event_type"],
+        exact["day"],
+        "exact_users",
+        (
+            F.abs(F.col("hll_estimate") - F.col("exact_users"))
+            <= F.lit(bound) * F.col("exact_users") + F.lit(1.0)
+        ).alias("within_bound"),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1750,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_merge_upsert": wrap(_q_merge_upsert),  # new in r5
         "sketch_quantile_binning": wrap(_q_quantile_binning),  # new in r5
         "profile_hot_keys": wrap(_q_key_profile),  # new in r5
+        "hll_cube_users": wrap(_q_hll_cube),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2579,6 +2629,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+        """,
+        "hll_cube_users": """
+            WITH src AS (
+              SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, user_id
+              FROM events
+            )
+            SELECT CAST(0 AS INTEGER) AS set_id, event_type, day,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   TRUE AS within_bound
+            FROM src GROUP BY 2, 3
+            UNION ALL
+            SELECT CAST(1 AS INTEGER), event_type, NULL,
+                   COUNT(DISTINCT user_id), TRUE
+            FROM src GROUP BY 2
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), NULL, NULL,
+                   COUNT(DISTINCT user_id), TRUE
+            FROM src
         """,
         "hll_distinct_users_by_type": """
             SELECT event_type,

@@ -33,6 +33,7 @@ from pyspark.sql.types import (
 __all__ = [
     "hll_cells",
     "hll_agg",
+    "hll_cube",
     "hll_from_cells",
     "estimate_from_registers",
     "merge_registers",
@@ -149,3 +150,59 @@ def hll_from_cells(
         .groupBy("_g")
         .applyInPandas(lambda pdf: assemble(pdf.drop(columns=["_g"])), schema)
     )
+
+
+def hll_cube(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    grouping_sets: list[list[str]] | None = None,
+    p: int = 12,
+) -> DataFrame:
+    """Distinct-count estimates for MANY grouping levels from ONE scan:
+    ``(set_id, by..., hll_estimate, registers)`` with one output row per
+    group per grouping set (default: the ROLLUP prefixes of ``by``,
+    including the grand total).  Aggregated-away columns are NULL, as in
+    SQL ROLLUP; ``set_id`` is the index into ``grouping_sets`` so a NULL
+    padding cell is never confused with a NULL data value.
+
+    **Scale**: the register cells aggregate through a single GROUPING
+    SETS min-aggregate — Catalyst's Expand replicates rows after the
+    scan and *before* partial aggregation, so the shuffle carries only
+    ``groups x 2^p`` register cells per level, never the expanded rows.
+    N separate ``hll_agg`` calls would cost N scans.
+    """
+    by = list(by)
+    if grouping_sets is None:
+        grouping_sets = [by[:i] for i in range(len(by), -1, -1)]
+    for lvl in grouping_sets:
+        bad = [c for c in lvl if c not in by]
+        if bad:
+            raise ValueError(f"grouping set {lvl} has columns not in by: {bad}")
+
+    h = F.xxhash64(F.col(col))
+    bucket = F.shiftrightunsigned(h, 64 - p)
+    flipped = F.shiftleft(h, p).bitwiseXOR(F.lit(_LONG_MIN))
+    w = df.where(F.col(col).isNotNull()).select(
+        *by, bucket.alias("_b"), flipped.alias("_r")
+    )
+    sets = [[*(F.col(c) for c in lvl), F.col("_b")] for lvl in grouping_sets]
+    cells = w.groupingSets(sets, *[F.col(c) for c in by], F.col("_b")).agg(
+        F.min("_r").alias("_rmin"), F.grouping_id().alias("_gid")
+    )
+    # grouping_id bit i (MSB-first over by + [_b]) set <=> column aggregated
+    # away; _b is grouped in every set, so its bit is always 0
+    n = len(by) + 1
+    gid_of = {
+        sum(1 << (n - 1 - i) for i, c in enumerate(by) if c not in lvl): si
+        for si, lvl in enumerate(grouping_sets)
+    }
+    if len(gid_of) != len(grouping_sets):
+        raise ValueError("duplicate grouping sets")
+    sid = None
+    for gid, si in gid_of.items():
+        cond = F.col("_gid") == gid
+        sid = F.when(cond, si) if sid is None else sid.when(cond, si)
+    cells = cells.withColumn("_sid", sid.cast("int")).drop("_gid")
+    out = hll_from_cells(cells, ["_sid", *by], p)
+    return out.withColumnRenamed("_sid", "set_id")

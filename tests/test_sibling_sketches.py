@@ -612,3 +612,53 @@ def test_countsketch_weighted_and_depth_validation(spark):
     assert got == {"a": 5, "b": 10}
     with pytest.raises(ValueError, match="odd"):
         cs_f2_estimates(df, "item", depth=4)
+
+
+def test_hll_cube_matches_per_level_hll_agg(spark):
+    """One-scan grouping-sets HLL == running hll_agg per level: identical
+    registers and estimates for every level, set_id disambiguates NULL
+    padding, and the plan is one scan with Expand before partial agg."""
+    from ddspark.sketches.hll import hll_agg, hll_cube
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select(
+            "event_type",
+            (F.col("event_id") % 3).alias("g"),
+            F.col("user_id").cast("string").alias("u"),
+        )
+    )
+    cube = hll_cube(ev, "u", ["event_type", "g"])
+    rows = cube.collect()
+    got = {
+        (r["set_id"], r["event_type"], r["g"]): (r["hll_estimate"], r["registers"])
+        for r in rows
+    }
+    levels = [["event_type", "g"], ["event_type"], []]
+    for si, lvl in enumerate(levels):
+        want = hll_agg(ev, "u", lvl).collect()
+        assert len([k for k in got if k[0] == si]) == len(want)
+        for r in want:
+            key = (
+                si,
+                r["event_type"] if "event_type" in lvl else None,
+                r["g"] if "g" in lvl else None,
+            )
+            assert got[key][0] == r["hll_estimate"], key
+            assert got[key][1] == r["registers"], key
+
+    # fresh frame: an executed AQE plan prints initial+final sections and
+    # would double-count the scan
+    plan = (
+        hll_cube(ev, "u", ["event_type", "g"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in by"):
+        hll_cube(ev, "u", ["event_type"], grouping_sets=[["nope"]])
+    with _pytest.raises(ValueError, match="duplicate"):
+        hll_cube(ev, "u", ["event_type"], grouping_sets=[[], []])
