@@ -56,6 +56,8 @@ __all__ = [
     "read_sketch_state",
     "windowed_hll_cells",
     "finalize_hll_batch",
+    "upsert_state_sink",
+    "read_upsert_state",
 ]
 
 _STATE_SCHEMA = StructType(STATE_FIELDS)
@@ -826,3 +828,81 @@ def finalize_hll_batch(
     from .sketches.hll import hll_from_cells
 
     return hll_from_cells(cells_batch, ["win"] + list(by), p)
+
+
+def upsert_state_sink(
+    state_dir: str,
+    key: list[str] | str,
+    version: list[str] | str,
+    delete_col: str | None = None,
+    retain_versions: int = 2,
+):
+    """``foreachBatch`` sink maintaining a DURABLE latest-row-per-key table
+    from a CDC/changelog stream — the streaming materialization of
+    :func:`ddspark.io.latest_snapshot` + :func:`ddspark.io.merge_upsert`:
+    each micro-batch is compacted to one row per key (greatest
+    ``version``; tombstones via ``delete_col``) and MERGEd into the
+    committed state, so the state table is always the exact replay of the
+    full log, queryable mid-stream with :func:`read_upsert_state`.
+
+    Exactly-once across retries with the same commit protocol as
+    :func:`incremental_cells_sink`: full-state version dirs
+    ``v_<batch_id>`` committed by parquet ``_SUCCESS``; an exact-id
+    replay (foreachBatch only retries the newest batch) is a no-op, a
+    LOWER id raises — a fresh checkpoint pointed at an old state dir
+    would otherwise silently drop batches.  State size is one row per
+    live key regardless of stream length; the per-batch cost is one
+    max-struct compaction of the batch plus one join-free merge with the
+    state.  ``state_dir`` must be driver-visible (same contract and
+    object-store caveat as the cells sink).
+    """
+    import os
+    import shutil
+
+    from .io import latest_snapshot, merge_upsert
+
+    key = [key] if isinstance(key, str) else list(key)
+    version = [version] if isinstance(version, str) else list(version)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        versions = _state_versions(state_dir)
+        if versions and versions[-1][0] == batch_id:
+            return  # retry of the already-committed most-recent batch
+        if versions and versions[-1][0] > batch_id:
+            raise RuntimeError(
+                f"upsert_state_sink: batch_id {batch_id} is below the "
+                f"latest committed version {versions[-1][0]} in {state_dir}; "
+                "the stream checkpoint and the state dir are out of sync "
+                "(restarted with a fresh checkpointLocation?). Use a new "
+                "state_dir or restore the matching checkpoint."
+            )
+        # keep tombstones through the batch compaction so they can delete
+        # state-table rows; merge_upsert applies them
+        compact = latest_snapshot(batch_df, key, version)
+        if versions:
+            old = batch_df.sparkSession.read.parquet(versions[-1][1])
+            merged = merge_upsert(old, compact, key, delete_col=delete_col)
+        else:
+            if delete_col is not None:
+                # the state table never carries the tombstone flag — drop
+                # it here so later merges see it only on the update side
+                compact = compact.where(
+                    ~F.coalesce(F.col(delete_col), F.lit(False))
+                ).drop(delete_col)
+            merged = compact
+        os.makedirs(state_dir, exist_ok=True)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v_{batch_id:020d}")
+        )
+        for _, path in _state_versions(state_dir)[:-retain_versions]:
+            shutil.rmtree(path, ignore_errors=True)
+
+    return sink
+
+
+def read_upsert_state(spark, state_dir: str) -> DataFrame:
+    """Latest committed snapshot written by :func:`upsert_state_sink`."""
+    versions = _state_versions(state_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed upsert state under {state_dir}")
+    return spark.read.parquet(versions[-1][1])

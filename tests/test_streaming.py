@@ -797,3 +797,96 @@ def test_r5_text_ops_run_on_streams(spark, tmp_path):
             assert (got[c].astype(str).values == want[c].astype(str).values).all(), (
                 name, c,
             )
+
+
+def test_upsert_state_sink_equals_batch_replay(spark, tmp_path):
+    """The streaming CDC materialization: after N micro-batches the durable
+    snapshot equals latest_snapshot over the concatenated log (tombstones
+    applied), batch replay is exactly-once, a stale batch_id raises, and
+    tombstoned keys can reappear in later batches."""
+    from ddspark.io import latest_snapshot
+    from ddspark.streaming import read_upsert_state, upsert_state_sink
+
+    state = str(tmp_path / "upsert_state")
+    sink = upsert_state_sink(state, "k", "seq", delete_col="del")
+    rng = np.random.default_rng(23)
+    seq = 0
+    batches = []
+    for _ in range(3):
+        n = 400
+        batches.append(
+            pd.DataFrame(
+                {
+                    "k": rng.integers(0, 50, n),
+                    "seq": np.arange(seq, seq + n),
+                    "val": rng.integers(0, 1000, n),
+                    "del": rng.random(n) < 0.15,
+                }
+            )
+        )
+        seq += n
+    # force a delete-then-reinsert on key 0
+    batches[1].loc[0, ["k", "seq", "val", "del"]] = [0, seq, 1, True]
+    batches[2].loc[0, ["k", "seq", "val", "del"]] = [0, seq + 1, 2, False]
+
+    for i, pdf in enumerate(batches):
+        sink(spark.createDataFrame(pdf), i)
+
+    got = sorted(
+        tuple(r) for r in read_upsert_state(spark, state).collect()
+    )
+    whole = spark.createDataFrame(pd.concat(batches, ignore_index=True))
+    want = sorted(
+        tuple(r)
+        for r in latest_snapshot(whole, "k", "seq", delete_col="del").collect()
+    )
+    assert got == want
+    assert any(r[0] == 0 for r in got)  # reinserted key survives
+
+    # exactly-once: replaying the newest committed batch is a no-op
+    sink(spark.createDataFrame(batches[2]), 2)
+    again = sorted(tuple(r) for r in read_upsert_state(spark, state).collect())
+    assert again == got
+    # a STALE batch id means checkpoint/state mismatch: hard error
+    with pytest.raises(RuntimeError, match="out of sync"):
+        sink(spark.createDataFrame(batches[0]), 0)
+
+    import os
+
+    vs = [d for d in os.listdir(state) if d.startswith("v_")]
+    assert len(vs) == 2  # retention
+
+
+def test_upsert_state_sink_with_real_stream(spark, tmp_path):
+    """Drive the upsert sink through an actual file-source stream."""
+    from ddspark.io import latest_snapshot
+    from ddspark.streaming import read_upsert_state, upsert_state_sink
+
+    src = str(tmp_path / "src")
+    pdfs = [
+        pd.DataFrame({"k": [1, 2, 3], "seq": [0, 1, 2],
+                      "val": [10, 20, 30], "del": [False] * 3}),
+        pd.DataFrame({"k": [2, 4], "seq": [3, 4],
+                      "val": [21, 40], "del": [True, False]}),
+    ]
+    for i, pdf in enumerate(pdfs):
+        spark.createDataFrame(pdf).write.parquet(f"{src}/f{i}.parquet")
+    sdf = spark.readStream.schema(
+        "k long, seq long, val long, del boolean"
+    ).option("maxFilesPerTrigger", "1").parquet(f"{src}/*")
+    state = str(tmp_path / "state")
+    q = (
+        sdf.writeStream.outputMode("update")
+        .foreachBatch(upsert_state_sink(state, "k", "seq", delete_col="del"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(tuple(r) for r in read_upsert_state(spark, state).collect())
+    whole = spark.createDataFrame(pd.concat(pdfs, ignore_index=True))
+    want = sorted(
+        tuple(r)
+        for r in latest_snapshot(whole, "k", "seq", delete_col="del").collect()
+    )
+    assert got == want
