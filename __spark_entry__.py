@@ -1039,6 +1039,21 @@ def _q_hll_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan ANALYZE (ddspark/profile.py profile_table): per-column
+    null counts, exact distinct cardinalities, and min/max for four
+    events columns from a single aggregate — the multi-DISTINCT lowering
+    is one Expand + partial agg, never one job per column; the wide row
+    unpivots via stack.  The oracle replays each column's aggregates as
+    a UNION ALL."""
+    from ddspark.profile import profile_table
+
+    return profile_table(
+        _read(spark, sf_dir, "events"),
+        ["event_id", "user_id", "event_type", "props"],
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1800,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_quantile_binning": wrap(_q_quantile_binning),  # new in r5
         "profile_hot_keys": wrap(_q_key_profile),  # new in r5
         "hll_cube_users": wrap(_q_hll_cube),  # new in r5
+        "profile_columns": wrap(_q_profile_table),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2629,6 +2645,30 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+        """,
+        "profile_columns": """
+            SELECT 'event_id' AS "column", 'bigint' AS dtype,
+                   COUNT(*) AS n,
+                   COUNT(*) - COUNT(event_id) AS n_null,
+                   COUNT(DISTINCT event_id) AS n_distinct,
+                   CAST(MIN(event_id) AS VARCHAR) AS min_s,
+                   CAST(MAX(event_id) AS VARCHAR) AS max_s
+            FROM events
+            UNION ALL
+            SELECT 'user_id', 'bigint', COUNT(*),
+                   COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+                   CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', 'string', COUNT(*),
+                   COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+                   MIN(event_type), MAX(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'props', 'string', COUNT(*),
+                   COUNT(*) - COUNT(props), COUNT(DISTINCT props),
+                   MIN(props), MAX(props)
+            FROM events
         """,
         "hll_cube_users": """
             WITH src AS (
