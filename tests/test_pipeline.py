@@ -2215,3 +2215,47 @@ def test_join_reserved_and_collision_guards(spark):
 
     with _pytest.raises((Py4JJavaError, SparkRuntimeException), match="duplicate base"):
         merge_upsert(base_dup, ups, "k").collect()
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark):
+    """Quantified dedup recall: on a corpus with GRADED pair similarity
+    (3%/15%/30% word mutations), banded MinHash-LSH (64 hashes, 16 bands)
+    recovers >= 90% of exact-Jaccard pairs at 0.7 — the operating point
+    the S-curve promises ~99% for — and every emitted pair is a genuine
+    mid-similarity pair (no est>=0.5 pair below exact 0.3).  The testdata
+    corpus only carries near-identical dups (recall 1.0 there); this
+    exercises the boundary."""
+    import random
+
+    from ddspark.pipeline.dedup import jaccard_pairs, minhash_dedup_pairs
+
+    rng = random.Random(17)
+    vocab = [f"w{i}" for i in range(500)]
+    docs, did = [], 0
+    for _ in range(50):
+        base = [rng.choice(vocab) for _ in range(80)]
+        docs.append((did, " ".join(base)))
+        did += 1
+        for frac in (0.03, 0.15, 0.3):
+            var = [
+                w if rng.random() > frac else rng.choice(vocab) for w in base
+            ]
+            docs.append((did, " ".join(var)))
+            did += 1
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    truth = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, threshold=0.2).collect()
+    }
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dedup_pairs(df, threshold=0.5).collect()
+    }
+    strong = [k for k, v in truth.items() if v >= 0.7]
+    assert len(strong) >= 30  # the 3%-mutation variants land here
+    recall = sum(1 for k in strong if k in found) / len(strong)
+    assert recall >= 0.9, recall
+    # no wild false positives: every emitted candidate is a real pair
+    for k in found:
+        assert truth.get(k, 0.0) >= 0.3, (k, truth.get(k))

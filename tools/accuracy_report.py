@@ -170,6 +170,31 @@ def theta_table() -> list[str]:
     return rows
 
 
+
+
+def lsh_recall_table() -> list[str]:
+    """Analytic banded-LSH candidate probability (the S-curve) for the
+    default 64-hash/16-band configuration, next to the rule-of-thumb
+    operating points.  The measured end-to-end recall of the REAL
+    pipeline on a graded-similarity corpus lives in
+    tests/test_pipeline.py::test_minhash_lsh_recall_against_exact_jaccard
+    (>= 0.9 at exact Jaccard 0.7, zero candidates below 0.3)."""
+    rows = [
+        "| exact Jaccard j | P(candidate) = 1-(1-j^r)^b  (r=4, b=16) |",
+        "|---|---|",
+    ]
+    for j in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        pcand = 1.0 - (1.0 - j**4) ** 16
+        rows.append(f"| {j:.1f} | {pcand:.4f} |")
+    rows.append(
+        "\nThreshold ~= (1/b)^(1/r) = 0.50: below it pairs are mostly"
+    )
+    rows.append(
+        "filtered, above 0.7 recall exceeds 98% analytically; the pytest"
+    )
+    rows.append("asserts the measured pipeline matches.")
+    return rows
+
 def main() -> None:
     out = [
         "# ACCURACY — measured error vs exact oracles\n",
@@ -189,6 +214,8 @@ def main() -> None:
     out.extend(mg_table())
     out.append("\n## Theta/KMV set algebra (uniform hash model)\n")
     out.extend(theta_table())
+    out.append("\n## MinHash-LSH dedup recall (banded S-curve)\n")
+    out.extend(lsh_recall_table())
     out.append("")
     with open(os.path.join(REPO, "ACCURACY.md"), "w") as fh:
         fh.write("\n".join(out))
