@@ -48,6 +48,7 @@ __all__ = [
     "ivf_search",
     "save_ivf_index",
     "load_ivf_index",
+    "ivf_upsert",
     "semantic_dedup_pairs",
     "quantize_embeddings",
     "dequantize_embeddings",
@@ -560,3 +561,49 @@ def pca_project(
                                 out_col: list(p)})
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema)
+
+
+def ivf_upsert(
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally maintain a saved IVF index (:func:`save_ivf_index`):
+    assign ``new_vectors`` to the EXISTING centroids and append them to
+    their inverted lists; ids already present are replaced (re-embedded
+    documents).  Centroids are intentionally left untouched — the index
+    stays consistent with every previous search, and the standard
+    operating practice at 10^9 vectors is append-now, re-train centroids
+    on a schedule (run :func:`ivf_build` + :func:`save_ivf_index` when
+    drift accumulates).
+
+    **Scale**: the new batch scans once against the broadcast centroid
+    table (n_centroids rows); the rewrite unions the old assignments with
+    the batch and drops replaced ids with one keyed aggregate — no
+    all-pairs work, no touch of the centroid table.  Partitioning by
+    ``cid`` is preserved, so searches keep pruning to their probed
+    lists."""
+    spark = new_vectors.sparkSession
+    cents, old = load_ivf_index(spark, path)
+    c = normalize_vecs(new_vectors, id_col, vec_col).withColumnRenamed(
+        "id", "nid"
+    )
+    fresh = _assign_nearest(c, F.broadcast(cents), "nid", "u", "cid", 1)
+    # last-writer-wins on nid: new rows carry priority 1
+    merged = (
+        old.select("nid", "u", "cid", F.lit(0).alias("_pri"))
+        .unionByName(fresh.select("nid", "u", "cid", F.lit(1).alias("_pri")))
+        .groupBy("nid")
+        .agg(F.max(F.struct("_pri", "cid", "u")).alias("_w"))
+        .select("nid", F.col("_w.u").alias("u"), F.col("_w.cid").alias("cid"))
+    )
+    # write to a fresh dir then swap: readers never see a half-written index
+    import os
+    import shutil
+
+    tmp = f"{path}/assignments.next"
+    merged.write.mode("overwrite").partitionBy("cid").parquet(tmp)
+    final = f"{path}/assignments"
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(tmp, final)

@@ -2259,3 +2259,52 @@ def test_minhash_lsh_recall_against_exact_jaccard(spark):
     # no wild false positives: every emitted candidate is a real pair
     for k in found:
         assert truth.get(k, 0.0) >= 0.3, (k, truth.get(k))
+
+
+def test_ivf_upsert_appends_and_replaces(spark, tmp_path):
+    """Incremental index maintenance: upserted vectors are searchable, an
+    existing id is replaced not duplicated, centroids stay untouched, and
+    search over the upserted index == search over an index whose
+    assignments were built against the same centroids in one shot."""
+    from ddspark.pipeline import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.where(F.col("vec_id") < 80)
+    later = emb.where((F.col("vec_id") >= 80) & (F.col("vec_id") < 120))
+    # "re-embedded" doc: vec_id 5 reappears with a different vector
+    redo = emb.where(F.col("vec_id") == 125).select(
+        F.lit(5).cast("long").alias("vec_id"), "embedding"
+    )
+
+    path = str(tmp_path / "ivf")
+    cents, assigned = ann.ivf_build(first, n_centroids=8, lloyd_steps=1)
+    ann.save_ivf_index(cents, assigned, path)
+
+    ann.ivf_upsert(path, later)
+    ann.ivf_upsert(path, redo)
+
+    lc, la = ann.load_ivf_index(spark, path)
+    assert lc.orderBy("cid").collect() == cents.orderBy("cid").collect()
+    assert la.where("nid = 5").count() == 1  # replaced, not duplicated
+
+    # equivalent one-shot: assign ALL current vectors to the same centroids
+    import pyspark.sql.functions as _F
+
+    cols = ["vec_id", "embedding"]
+    current = (
+        first.where(F.col("vec_id") != 5).select(*cols)
+        .unionByName(later.select(*cols))
+        .unionByName(redo.select(*cols))
+    )
+    want_assign = ann._assign_nearest(
+        ann.normalize_vecs(current, "vec_id", "embedding").withColumnRenamed(
+            "id", "nid"
+        ),
+        _F.broadcast(cents), "nid", "u", "cid", 1,
+    )
+    queries = emb.where(F.col("vec_id") >= 180).limit(6)
+    got = ann.ivf_search(lc, la, queries, k=3, nprobe=3).toPandas()
+    want = ann.ivf_search(cents, want_assign, queries, k=3, nprobe=3).toPandas()
+    got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
+    want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
+    assert got.equals(want), (got, want)
