@@ -1054,6 +1054,30 @@ def _q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (ddspark/events.py funnel): users whose
+    signup -> click -> purchase events occur with strictly increasing
+    timestamps, earliest-qualifying occurrence per step.  Each step is a
+    conditional min-aggregate per user BEFORE its join, so the k-1 joins
+    move |users| rows, never |events|.  All counts exact; the oracle
+    replays the identical chained-min formulation."""
+    from ddspark.events import funnel
+
+    return funnel(
+        _read(spark, sf_dir, "events"), ["signup", "click", "purchase"]
+    )
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (ddspark/events.py cohort_retention): users
+    cohorted by first-activity week, distinct users per (cohort, week
+    offset) — two aggregates plus one |users|-row join, offsets by exact
+    integer day arithmetic."""
+    from ddspark.events import cohort_retention
+
+    return cohort_retention(_read(spark, sf_dir, "events"))
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1816,6 +1840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_hot_keys": wrap(_q_key_profile),  # new in r5
         "hll_cube_users": wrap(_q_hll_cube),  # new in r5
         "profile_columns": wrap(_q_profile_table),  # new in r5
+        "events_funnel": wrap(_q_funnel),  # new in r5
+        "events_cohort_retention": wrap(_q_cohort_retention),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2645,6 +2671,43 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_dot_product(a.uv, b.uv), 6) AS cosine
             FROM u a JOIN u b ON a.vec_id < b.vec_id
             WHERE ROUND(list_dot_product(a.uv, b.uv), 6) >= 0.4
+        """,
+        "events_funnel": """
+            WITH ev AS (
+              SELECT user_id AS u, ts AS t, event_type AS e FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            s1 AS (
+              SELECT u, MIN(t) AS t FROM ev WHERE e = 'signup' GROUP BY u
+            ),
+            s2 AS (
+              SELECT ev.u, MIN(ev.t) AS t
+              FROM ev JOIN s1 ON ev.u = s1.u AND ev.t > s1.t
+              WHERE ev.e = 'click' GROUP BY 1
+            ),
+            s3 AS (
+              SELECT ev.u, MIN(ev.t) AS t
+              FROM ev JOIN s2 ON ev.u = s2.u AND ev.t > s2.t
+              WHERE ev.e = 'purchase' GROUP BY 1
+            )
+            SELECT CAST(1 AS INTEGER) AS step, 'signup' AS step_name,
+                   COUNT(*) AS n_users FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'click', COUNT(*) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'purchase', COUNT(*) FROM s3
+        """,
+        "events_cohort_retention": """
+            WITH ev AS (
+              SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS b
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            ),
+            firstb AS (SELECT u, MIN(b) AS cb FROM ev GROUP BY 1)
+            SELECT strftime(cb, '%Y-%m-%d') AS cohort,
+                   CAST(date_diff('day', cb, b) // 7 AS BIGINT) AS offset,
+                   COUNT(DISTINCT ev.u) AS n_users
+            FROM ev JOIN firstb ON ev.u = firstb.u
+            GROUP BY 1, 2
         """,
         "profile_columns": """
             SELECT 'event_id' AS "column", 'bigint' AS dtype,

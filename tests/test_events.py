@@ -1,0 +1,92 @@
+"""Funnel + cohort retention (ddspark/events.py)."""
+import pytest
+from pyspark.sql import functions as F
+
+from ddspark.events import cohort_retention, funnel
+
+
+def test_funnel_matches_python_model(spark):
+    import random
+
+    rng = random.Random(41)
+    types = ["signup", "view", "purchase", "other"]
+    rows = [
+        (rng.randrange(60), float(i), rng.choice(types)) for i in range(3000)
+    ]
+    rows += [(None, 1.0, "signup"), (1, None, "signup")]
+    df = spark.createDataFrame(rows, "user_id int, ts double, event_type string")
+    steps = ["signup", "view", "purchase"]
+    got = {
+        (r["step"], r["step_name"]): r["n_users"]
+        for r in funnel(df, steps).collect()
+    }
+
+    # model: earliest-qualifying ordered subsequence per user
+    by_user: dict[int, list[tuple[float, str]]] = {}
+    for u, t, e in rows:
+        if u is not None and t is not None:
+            by_user.setdefault(u, []).append((t, e))
+    counts = [0, 0, 0]
+    for evs in by_user.values():
+        evs.sort()
+        t_prev, k = -1.0, 0
+        for step in steps:
+            nxt = min(
+                (t for t, e in evs if e == step and t > t_prev), default=None
+            )
+            if nxt is None:
+                break
+            t_prev = nxt
+            counts[k] += 1
+            k += 1
+    for i, s in enumerate(steps):
+        assert got[(i + 1, s)] == counts[i], (s, got, counts)
+    # monotone non-increasing
+    assert counts[0] >= counts[1] >= counts[2] > 0
+
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel(df, [])
+
+
+def test_funnel_strict_order(spark):
+    # purchase BEFORE view: user completes signup+view only
+    df = spark.createDataFrame(
+        [(1, 1.0, "signup"), (1, 2.0, "purchase"), (1, 3.0, "view")],
+        "user_id int, ts double, event_type string",
+    )
+    got = {r["step_name"]: r["n_users"] for r in
+           funnel(df, ["signup", "view", "purchase"]).collect()}
+    assert got == {"signup": 1, "view": 1, "purchase": 0}
+    # equal timestamps do NOT qualify (strictly increasing)
+    df2 = spark.createDataFrame(
+        [(1, 1.0, "signup"), (1, 1.0, "view")],
+        "user_id int, ts double, event_type string",
+    )
+    got2 = {r["step_name"]: r["n_users"] for r in
+            funnel(df2, ["signup", "view"]).collect()}
+    assert got2 == {"signup": 1, "view": 0}
+
+
+def test_cohort_retention_matches_model(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {
+        (r["cohort"], r["offset"]): r["n_users"]
+        for r in cohort_retention(ev).collect()
+    }
+    # model in pandas
+    import pandas as pd
+
+    pdf = ev.select("user_id", "ts").toPandas().dropna()
+    pdf["b"] = pdf["ts"].dt.to_period("W-SUN").dt.start_time  # ISO Monday start
+    first = pdf.groupby("user_id")["b"].min().rename("cb")
+    j = pdf.join(first, on="user_id")
+    j["cohort"] = j["cb"].dt.strftime("%Y-%m-%d")
+    j["offset"] = ((j["b"] - j["cb"]).dt.days // 7).astype(int)
+    want = (
+        j.groupby(["cohort", "offset"])["user_id"].nunique().to_dict()
+    )
+    assert got == want
+    assert sum(n for (c, o), n in got.items() if o == 0) >= len(first.groupby(level=0))
+
+    with pytest.raises(ValueError, match="granularity"):
+        cohort_retention(ev, granularity="month")
