@@ -1078,6 +1078,34 @@ def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(_read(spark, sf_dir, "events"))
 
 
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent 4-step user journeys (ddspark/events.py top_paths):
+    row_number per user over (ts, event_id), per-user path aggregate,
+    deterministic top-15 (count desc, path asc).  One keyed window +
+    one |users|-row aggregate; the oracle replays it with string_agg
+    ORDER BY."""
+    from ddspark.events import top_paths
+
+    return top_paths(_read(spark, sf_dir, "events"), max_steps=4, top=15)
+
+
+def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact spike detection (ddspark/timeseries.py flag_spikes):
+    daily cents per event type vs 3x the trailing-7-bucket average,
+    decided by cross-multiplication (v * n > factor * sum) so the flag
+    is division-free and replays exactly.  The window runs over buckets,
+    not events."""
+    from ddspark.timeseries import flag_spikes
+
+    ev = _read(spark, sf_dir, "events").select(
+        "ts", "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    out = flag_spikes(ev, "ts", "c", by=["event_type"], window=7, factor=3)
+    return out.withColumn(
+        "bucket_start", F.date_format("bucket_start", "yyyy-MM-dd")
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1842,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": wrap(_q_profile_table),  # new in r5
         "events_funnel": wrap(_q_funnel),  # new in r5
         "events_cohort_retention": wrap(_q_cohort_retention),  # new in r5
+        "events_top_paths": wrap(_q_top_paths),  # new in r5
+        "ts_spike_detection": wrap(_q_spike_detection),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2708,6 +2738,51 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT ev.u) AS n_users
             FROM ev JOIN firstb ON ev.u = firstb.u
             GROUP BY 1, 2
+        """,
+        "events_top_paths": """
+            WITH ev AS (
+              SELECT user_id AS u, event_type AS e,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_id IS NOT NULL
+            ),
+            paths AS (
+              SELECT u, string_agg(e, ' > ' ORDER BY rn) AS path
+              FROM ev WHERE rn <= 4 GROUP BY u
+            ),
+            counts AS (
+              SELECT path, COUNT(*) AS n_users FROM paths GROUP BY 1
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_users DESC, path)
+                        AS INTEGER) AS rank,
+                   path, n_users
+            FROM counts ORDER BY n_users DESC, path LIMIT 15
+        """,
+        "ts_spike_detection": """
+            WITH daily AS (
+              SELECT event_type,
+                     date_trunc('day', ts) AS b,
+                     CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                         AS v
+              FROM events WHERE ts IS NOT NULL
+              GROUP BY 1, 2
+            ),
+            t AS (
+              SELECT event_type, b, v,
+                     CAST(COALESCE(SUM(v) OVER w, 0) AS BIGINT)
+                         AS trailing_sum,
+                     COUNT(v) OVER w AS n_trailing
+              FROM daily
+              WINDOW w AS (PARTITION BY event_type ORDER BY b
+                           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, strftime(b, '%Y-%m-%d') AS bucket_start, v,
+                   trailing_sum, n_trailing,
+                   (n_trailing > 0 AND v * n_trailing > 3 * trailing_sum)
+                       AS spike
+            FROM t
         """,
         "profile_columns": """
             SELECT 'event_id' AS "column", 'bigint' AS dtype,

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel", "cohort_retention"]
+__all__ = ["funnel", "cohort_retention", "top_paths"]
 
 
 def funnel(
@@ -106,4 +106,54 @@ def cohort_retention(
     )
     return joined.groupBy("cohort", "offset").agg(
         F.countDistinct("u").alias("n_users")
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    type_col: str = "event_type",
+    max_steps: int = 5,
+    top: int = 20,
+) -> DataFrame:
+    """Most frequent user journeys: each user's first ``max_steps`` event
+    types in ``order_cols`` order joined with `` > ``, counted across
+    users, top ``top`` by frequency (ties broken by path string —
+    fully deterministic, so the gate replays it).  Returns ``(rank, path,
+    n_users)``.
+
+    **Scale**: one keyed window (row_number per user over the event sort)
+    + one per-user aggregate; the path table is one row per user, and the
+    final top-k is TakeOrdered, not a global sort.  ``order_cols`` must
+    be a total order per user (e.g. ``["ts", "event_id"]``).
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["ts", "event_id"]
+    if max_steps < 1 or top < 1:
+        raise ValueError("max_steps and top must be >= 1")
+    ev = events.where(F.col(user_col).isNotNull())
+    for c in order_cols:
+        ev = ev.where(F.col(c).isNotNull())
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    stepped = ev.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("e"),
+        F.row_number().over(w).alias("rn"),
+    ).where(F.col("rn") <= max_steps)
+    paths = stepped.groupBy("u").agg(
+        F.concat_ws(
+            " > ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "e"))),
+                lambda s: s["e"],
+            ),
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+    head = counts.orderBy(F.col("n_users").desc(), F.col("path").asc()).limit(top)
+    w2 = Window.orderBy(F.col("n_users").desc(), F.col("path").asc())
+    return head.select(
+        F.row_number().over(w2).alias("rank"), "path", "n_users"
     )

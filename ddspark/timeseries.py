@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["downsample_multi", "decayed_sum"]
+__all__ = ["downsample_multi", "decayed_sum", "flag_spikes"]
 
 # date_trunc units both Spark and ANSI engines agree on (week = ISO Monday)
 _UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
@@ -109,3 +109,60 @@ def decayed_sum(
         )
         expr = term if expr is None else expr + term
     return df.withColumn(alias, expr)
+
+
+def flag_spikes(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    by: list[str] | None = None,
+    granularity: str = "day",
+    window: int = 7,
+    factor: int = 3,
+) -> DataFrame:
+    """Integer-exact spike detection on a downsampled series: bucket
+    ``value`` by ``granularity`` (summed per ``by`` group), then flag
+    buckets whose total exceeds ``factor`` times the trailing-``window``
+    average — evaluated as the cross-multiplication
+    ``v * n_trailing > factor * trailing_sum`` so no division ever
+    happens and the flag replays exactly in any engine.  Buckets with no
+    trailing history are never spikes.  Returns
+    ``(*by, bucket_start, v, trailing_sum, n_trailing, spike)``.
+
+    **Scale**: the heavy reduction is the bucket aggregate (map-side
+    partial agg of raw events); the trailing window then runs over
+    *buckets* — thousands of rows per group, not events — so the keyed
+    sort is negligible.  With integer inputs every column is BIGINT.
+    """
+    by = list(by or [])
+    if window < 1 or factor < 1:
+        raise ValueError("window and factor must be >= 1")
+    daily = (
+        df.where(F.col(ts).isNotNull())
+        .groupBy(
+            *by,
+            F.date_trunc(granularity, F.col(ts))
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+        )
+        .agg(F.sum(F.col(value)).alias("v"))
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("bucket_start")
+        .rowsBetween(-window, -1)
+    )
+    out = daily.withColumns(
+        {
+            "trailing_sum": F.coalesce(F.sum("v").over(w), F.lit(0).cast("long")),
+            "n_trailing": F.count("v").over(w),
+        }
+    )
+    return out.withColumn(
+        "spike",
+        (F.col("n_trailing") > 0)
+        & (
+            F.col("v") * F.col("n_trailing")
+            > F.lit(int(factor)) * F.col("trailing_sum")
+        ),
+    )

@@ -90,3 +90,54 @@ def test_cohort_retention_matches_model(spark):
 
     with pytest.raises(ValueError, match="granularity"):
         cohort_retention(ev, granularity="month")
+
+
+def test_top_paths_matches_model(spark):
+    import random
+
+    rng = random.Random(5)
+    types = ["a", "b", "c"]
+    rows = [
+        (rng.randrange(40), i, float(i), rng.choice(types))
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts double, event_type string")
+    got = [(r["rank"], r["path"], r["n_users"]) for r in
+           __import__("ddspark.events", fromlist=["top_paths"]).top_paths(
+               df, max_steps=3, top=10).collect()]
+
+    byu: dict[int, list[tuple[float, int, str]]] = {}
+    for u, eid, t, e in rows:
+        byu.setdefault(u, []).append((t, eid, e))
+    pc: dict[str, int] = {}
+    for evs in byu.values():
+        evs.sort()
+        p = " > ".join(e for _, _, e in evs[:3])
+        pc[p] = pc.get(p, 0) + 1
+    want = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == [(i + 1, p, n) for i, (p, n) in enumerate(want)]
+
+
+def test_flag_spikes_matches_model(spark):
+    from ddspark.timeseries import flag_spikes
+
+    rows = []
+    base = "2024-01-"
+    for day in range(1, 21):
+        v = 100 if day != 15 else 900  # spike on the 15th
+        rows.append((f"{base}{day:02d} 12:00:00", v))
+    df = spark.createDataFrame(rows, "t string, c long").select(
+        F.col("t").cast("timestamp_ntz").alias("t"), "c"
+    )
+    out = {r["bucket_start"].day: r for r in
+           flag_spikes(df, "t", "c", window=7, factor=3).collect()}
+    assert out[15]["spike"] and out[15]["trailing_sum"] == 700
+    assert not any(r["spike"] for d, r in out.items() if d != 15)
+    assert not out[1]["spike"] and out[1]["n_trailing"] == 0
+    # day 16's trailing window contains the spike but 100*7 < 3*1500
+    assert not out[16]["spike"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        flag_spikes(df, "t", "c", window=0)
