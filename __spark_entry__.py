@@ -1106,6 +1106,36 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff (ddspark/io.py corpus_diff): documents vs a
+    deterministically perturbed snapshot (every 7th doc removed, every
+    5th text edited, every 11th re-added under a new id) classified
+    added/removed/changed/unchanged via one fingerprint full-outer join.
+    The oracle is INDEPENDENT — it diffs with direct IS DISTINCT FROM
+    column comparison, no fingerprint — so the md5-hash shortcut itself
+    is what's being certified."""
+    from ddspark.io import corpus_diff
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    kept = docs.where(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "lang", "text"
+    )
+    new = kept.unionByName(added)
+    d = corpus_diff(docs, new, "doc_id")
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1872,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_retention": wrap(_q_cohort_retention),  # new in r5
         "events_top_paths": wrap(_q_top_paths),  # new in r5
         "ts_spike_detection": wrap(_q_spike_detection),  # new in r5
+        "io_corpus_diff": wrap(_q_corpus_diff),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -2738,6 +2769,35 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(DISTINCT ev.u) AS n_users
             FROM ev JOIN firstb ON ev.u = firstb.u
             GROUP BY 1, 2
+        """,
+        "io_corpus_diff": """
+            WITH oldc AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id IS NOT NULL
+            ),
+            newc AS (
+              SELECT doc_id, lang,
+                     CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 7 <> 0 AND doc_id IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 10000000, lang, text FROM documents
+              WHERE doc_id % 11 = 0 AND doc_id IS NOT NULL
+            ),
+            j AS (
+              SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN (o.lang IS DISTINCT FROM n.lang)
+                            OR (o.text IS DISTINCT FROM n.text)
+                          THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id
+            )
+            SELECT status, COUNT(*) AS n,
+                   MIN(doc_id) AS id_min, MAX(doc_id) AS id_max,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_sum
+            FROM j GROUP BY 1
         """,
         "events_top_paths": """
             WITH ev AS (

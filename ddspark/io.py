@@ -34,6 +34,7 @@ __all__ = [
     "write_webdataset",
     "read_webdataset",
     "webdataset_samples",
+    "corpus_diff",
 ]
 
 
@@ -660,3 +661,72 @@ def webdataset_samples(long_df: DataFrame, exts: list[str]) -> DataFrame:
         for e in exts
     ]
     return long_df.groupBy("key").agg(*aggs)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: list[str] | str,
+    compare: list[str] | None = None,
+) -> DataFrame:
+    """Dataset-version regression diff: classify every key as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two corpus
+    snapshots — the pre-flight a training-data refresh runs before
+    shipping ("3 docs changed" is a diff; "40% removed" is an incident).
+    Returns ``(*key, status)``; aggregate for counts or anti-filter for
+    samples.
+
+    ``compare`` (default: all shared non-key columns) diffs via an md5
+    fingerprint of the null-sentineled concatenation, so the join
+    carries ONE hash per row instead of every payload column, and the
+    whole diff is a single full-outer join keyed on ``key`` —
+    broadcastable/AQE-splittable like any equi-join.  NULL keys never
+    pair under SQL join semantics and are excluded.
+    """
+    key = [key] if isinstance(key, str) else list(key)
+    if compare is None:
+        compare = [
+            c for c in old.columns if c in new.columns and c not in key
+        ]
+    missing = [c for c in key + compare if c not in old.columns or c not in new.columns]
+    if missing or not compare:
+        raise ValueError(
+            f"columns missing from a side or nothing to compare: {missing or compare}"
+        )
+
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        parts = [
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in compare
+        ]
+        keep = F.lit(True)
+        for k in key:
+            keep = keep & F.col(k).isNotNull()
+        return df.where(keep).select(
+            *key, F.md5(F.concat_ws("\x01", *parts)).alias(alias)
+        )
+
+    o = fp(old, "fp_o")
+    # rename the new side's keys: old and new often derive from the SAME
+    # scan (a transformed snapshot), and frame-qualified columns are
+    # ambiguous in a self-join — distinct names are not
+    n = fp(new, "fp_n").select(
+        *[F.col(k).alias(f"_nk_{i}") for i, k in enumerate(key)], "fp_n"
+    )
+    cond = None
+    for i, k in enumerate(key):
+        c = F.col(k) == F.col(f"_nk_{i}")
+        cond = c if cond is None else cond & c
+    j = o.join(n, cond, "full")
+    status = (
+        F.when(F.col(key[0]).isNull(), F.lit("added"))
+        .when(F.col("_nk_0").isNull(), F.lit("removed"))
+        .when(F.col("fp_o") != F.col("fp_n"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        *[
+            F.coalesce(F.col(k), F.col(f"_nk_{i}")).alias(k)
+            for i, k in enumerate(key)
+        ],
+        status.alias("status"),
+    )

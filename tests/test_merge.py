@@ -72,3 +72,30 @@ def test_merge_upsert_semantics(spark):
         .executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_corpus_diff_classifies_all_statuses(spark):
+    from ddspark.io import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (None, "x", 0)],
+        "k int, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40), (None, "y", 0)],
+        "k int, s string, v int",
+    )
+    got = {r["k"]: r["status"] for r in corpus_diff(old, new, "k").collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+    # NULL payload participates in the fingerprint without false changes
+    o2 = spark.createDataFrame([(1, None)], "k int, s string")
+    n2 = spark.createDataFrame([(1, None)], "k int, s string")
+    assert corpus_diff(o2, n2, "k").collect()[0]["status"] == "unchanged"
+    # a real value equal to the NULL sentinel collides by design (the
+    # sentinel contains \x00, which no sane text column carries)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing"):
+        corpus_diff(old, new.drop("v"), "k", compare=["v"])
