@@ -160,10 +160,20 @@ def asof_join(
     # too-far match keeps its row but drops the attachment
     keep = F.col(left_ts).isNotNull() & F.col(ts_out).isNotNull()
     if tolerance is not None:
-        delta = F.abs(
-            F.col(left_ts).cast("double") - F.col(ts_out).cast("double")
-        )
-        keep = keep & (delta <= float(tolerance))
+        lt_type = dict(left.dtypes).get(left_ts, "")
+        if lt_type.startswith("timestamp"):
+            # timestamp columns cannot cast to double (TIMESTAMP_NTZ
+            # rejects it); exact integer microsecond difference instead
+            delta = F.abs(
+                F.expr(f"timestampdiff(MICROSECOND, `{ts_out}`, `{left_ts}`)")
+            )
+            limit = F.lit(int(float(tolerance) * 1_000_000))
+        else:
+            delta = F.abs(
+                F.col(left_ts).cast("double") - F.col(ts_out).cast("double")
+            )
+            limit = F.lit(float(tolerance))
+        keep = keep & (delta <= limit)
     fix = {name: F.when(keep, F.col(name)) for name in [ts_out, *out_names.values()]}
     return u.withColumns(fix)
 

@@ -33,6 +33,10 @@ def profile_table(
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"columns not in DataFrame: {missing}")
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        # column names are spliced into the stack() SQL string literal
+        raise ValueError(f"column names with quotes are unsupported: {bad}")
     dtypes = dict(df.dtypes)
 
     aggs = [F.count(F.lit(1)).alias("_n")]

@@ -47,6 +47,9 @@ def downsample_multi(
         raise ValueError(f"unsupported resolutions {bad or resolutions}; use {_UNITS}")
     if len(set(resolutions)) != len(resolutions):
         raise ValueError(f"duplicate resolutions: {resolutions}")
+    taken = {c for c in (by or []) if c == "_v" or c.startswith("_t_")}
+    if taken:
+        raise ValueError(f"by columns {sorted(taken)} are reserved internally")
 
     tcols = [f"_t_{r}" for r in resolutions]
     w = df.where(F.col(ts).isNotNull()).select(

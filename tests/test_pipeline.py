@@ -2308,3 +2308,24 @@ def test_ivf_upsert_appends_and_replaces(spark, tmp_path):
     got = got.sort_values(["qid", "rank"]).reset_index(drop=True)
     want = want.sort_values(["qid", "rank"]).reset_index(drop=True)
     assert got.equals(want), (got, want)
+
+
+def test_asof_join_tolerance_on_timestamp_columns(spark):
+    """Tolerance works on TIMESTAMP_NTZ columns (exact integer microsecond
+    difference — casting NTZ to double is illegal in Spark 4)."""
+    from ddspark.pipeline.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (1, "2024-01-01 02:00:00")],
+        "k int, ts string",
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7.0)], "k int, ts string, v double"
+    ).select("k", F.col("ts").cast("timestamp_ntz").alias("ts"), "v")
+
+    rows = {
+        str(r["ts"]): r["v"]
+        for r in asof_join(left, right, "k", tolerance=60.0).collect()
+    }
+    assert rows["2024-01-01 00:00:10"] == 7.0  # 10s away: inside 60s
+    assert rows["2024-01-01 02:00:00"] is None  # 2h away: nulled
