@@ -443,6 +443,33 @@ def main() -> None:
         )
     )
 
+    from ddspark.io import latest_snapshot, merge_upsert
+
+    chg = ev.select(
+        "user_id", "event_id", "event_type",
+        (F.col("event_type") == "error").alias("del"),
+    )
+    base = latest_snapshot(
+        chg.where(F.col("event_id") % 3 != 0), "user_id", "event_id",
+        delete_col="del",
+    )
+    ups = latest_snapshot(
+        chg.where(F.col("event_id") % 3 == 0), "user_id", "event_id"
+    )
+    mrg = merge_upsert(base, ups, "user_id", delete_col="del")
+    sections.append(
+        (
+            "MERGE upsert (round 5): zero joins",
+            "Things to check: NO Join node anywhere — base and compacted "
+            "updates Union under a priority tag and ONE max-struct "
+            "HashAggregate (partial+final) picks the winner per key; the "
+            "duplicate-key guards live in the Filter above it.  A "
+            "MERGE-shaped full-outer join would shuffle and sort both "
+            "sides; this is one exchange of candidate rows.",
+            formatted(mrg),
+        )
+    )
+
     from ddspark.timeseries import downsample_multi
 
     ds = downsample_multi(
