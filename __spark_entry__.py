@@ -1136,6 +1136,25 @@ def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_binning_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP equi-depth binning (agg.bucket_by_quantiles_grouped):
+    price quartiles per return flag, edges as one broadcast array per
+    group, assignment via size(filter(edges, e -> v >= e)) — no driver
+    collect, group cardinality unbounded.  The oracle recomputes each
+    group's edges with the per-group ANSI sketch replay and re-applies
+    the comparison rule."""
+    from ddspark.agg import bucket_by_quantiles_grouped
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = bucket_by_quantiles_grouped(
+        li, "l_extendedprice", "l_returnflag", k=4, cfg=SketchConfig(ALPHA)
+    )
+    return out.groupBy("l_returnflag", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("l_quantity") * 100).cast("long")).alias("qty_c"),
+    )
+
+
 def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) interleave — the layout key behind two-dimensional
     parquet min/max data skipping (ddspark/io.py write_zordered; the
@@ -1903,6 +1922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_paths": wrap(_q_top_paths),  # new in r5
         "ts_spike_detection": wrap(_q_spike_detection),  # new in r5
         "io_corpus_diff": wrap(_q_corpus_diff),  # new in r5
+        "sketch_quantile_binning_grouped": wrap(_q_quantile_binning_grouped),  # new in r5
         "ddsketch_price_by_returnflag": wrap(_q_price_by_returnflag),
         "ddsketch_price_global": wrap(_q_price_global),
         "ddsketch_events_by_type": wrap(_q_events_by_type),
@@ -1985,6 +2005,37 @@ def _binning_oracle() -> str:
                CAST(SUM(s.pc) AS BIGINT) AS price_c
         FROM src s, edges e
         GROUP BY 1
+    """
+
+
+def _binning_grouped_oracle() -> str:
+    from ddspark.agg import quantile_label
+
+    qs = [0.25, 0.5, 0.75]
+    labels = [quantile_label(q) for q in qs]
+    replay = ansi_sql_quantile_sketch(
+        "lineitem", "l_extendedprice", ["l_returnflag"], qs, ALPHA,
+        round_digits=ROUND,
+    )
+    chain = " + ".join(
+        f"(CASE WHEN s.v >= e.{p} THEN 1 ELSE 0 END)" for p in labels
+    )
+    return f"""
+        WITH edges AS (
+          SELECT l_returnflag, {', '.join(labels)} FROM ({replay})
+        ),
+        src AS (
+          SELECT l_returnflag AS f, l_extendedprice AS v,
+                 CAST(floor(l_quantity * 100) AS BIGINT) AS qc
+          FROM lineitem
+        )
+        SELECT s.f AS l_returnflag,
+               CAST(CASE WHEN s.v IS NULL THEN NULL ELSE {chain} END
+                    AS INTEGER) AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(s.qc) AS BIGINT) AS qty_c
+        FROM src s JOIN edges e ON s.f = e.l_returnflag
+        GROUP BY 1, 2
     """
 
 
@@ -2271,6 +2322,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "graph_pagerank": _pagerank_oracle(),
         "sketch_quantile_binning": _binning_oracle(),
+        "sketch_quantile_binning_grouped": _binning_grouped_oracle(),
         "profile_hot_keys": """
             WITH counts AS (
               SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1

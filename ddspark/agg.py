@@ -57,6 +57,8 @@ __all__ = [
     "quantile_sketch_collect",
     "sketch_to_driver",
     "quantile_label",
+    "bucket_by_quantiles",
+    "bucket_by_quantiles_grouped",
 ]
 
 STATE_FIELDS = [
@@ -993,3 +995,49 @@ def bucket_by_quantiles(
         term = (F.col(value_col) >= F.lit(e)).cast("int")
         b = term if b is None else b + term
     return df.withColumn(alias, b), edges
+
+
+def bucket_by_quantiles_grouped(
+    df: DataFrame,
+    value_col: str,
+    by: list[str] | str,
+    k: int = 10,
+    cfg: SketchConfig | None = None,
+    round_digits: int = 6,
+    alias: str = "bucket",
+) -> DataFrame:
+    """Per-GROUP equi-depth binning: every row's bucket is computed against
+    its own group's ``i/k`` sketch quantile edges (e.g. length deciles
+    *per language*) — the grouped twin of :func:`bucket_by_quantiles`.
+
+    **Scale**: group edges come from the cells quantile pipeline (one
+    scan, KB cells per group) and come back as ONE array column per
+    group; the assignment is a broadcast join on the group key plus a
+    single ``size(filter(edges, e -> v >= e))`` expression — no driver
+    collect at all, so group cardinality is unbounded.  Groups absent
+    from the edge table (no positive values) get a NULL bucket.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    qs = [i / k for i in range(1, k)]
+    est = quantile_sketch(
+        df.where(F.col(value_col) > 0), value_col, by=by, qs=qs, cfg=cfg,
+        exact_stats=False,
+    )
+    edges = est.select(
+        *by,
+        F.array(
+            *[
+                F.round(F.col(quantile_label(q)), round_digits)
+                for q in qs
+            ]
+        ).alias("_edges"),
+    )
+    j = df.join(F.broadcast(edges), by, "left")
+    v = F.col(value_col).cast("double")
+    bucket = F.when(
+        F.col("_edges").isNotNull() & v.isNotNull(),
+        F.size(F.filter("_edges", lambda e: v >= e)),
+    )
+    return j.withColumn(alias, bucket.cast("int")).drop("_edges")

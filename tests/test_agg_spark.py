@@ -324,3 +324,38 @@ def test_bucket_by_quantiles_equidepth_and_replay(spark):
         bucket_by_quantiles(li, "l_extendedprice", k=1)
     with _pytest.raises(ValueError, match="no positive"):
         bucket_by_quantiles(li.where("l_extendedprice < 0"), "l_extendedprice")
+
+
+def test_bucket_by_quantiles_grouped_matches_per_group_global(spark):
+    """Per-group binning == running the global binner on each group's rows
+    alone (same sketch, same edges), with no driver collect and a
+    broadcast edge join; null values and groups with no positive values
+    get NULL buckets."""
+    from ddspark.agg import bucket_by_quantiles, bucket_by_quantiles_grouped
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    out = bucket_by_quantiles_grouped(li, "l_extendedprice", "l_returnflag", k=4)
+    # (orderkey, linenumber) is NOT unique in the synthetic table — compare
+    # the (price, bucket) multiset per group
+    rows = out.select("l_returnflag", "l_extendedprice", "bucket").collect()
+    for flag in ("A", "N", "R"):
+        sub = li.where(F.col("l_returnflag") == flag)
+        per, _ = bucket_by_quantiles(sub, "l_extendedprice", k=4)
+        want = sorted(
+            (r["l_extendedprice"], r["bucket"])
+            for r in per.select("l_extendedprice", "bucket").collect()
+        )
+        got = sorted(
+            (r["l_extendedprice"], r["bucket"])
+            for r in rows
+            if r["l_returnflag"] == flag
+        )
+        assert got == want, flag
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        bucket_by_quantiles_grouped(li, "l_extendedprice", "l_returnflag", k=1)
