@@ -1847,6 +1847,50 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_top_terms(docs, "doc_id", "text", k=5)
 
 
+_PHRASES = [["fast", "table"], ["hash", "join", "query"]]
+_BM25_QUERY = ["hash", "join", "stream", "window"]
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the inverted positional index: one bigram
+    and one trigram phrase, each resolved by chained shifted-position
+    array intersections (no self-joins) — ``(phrase, doc_id, n_occ)``."""
+    from ddspark.pipeline.retrieval import phrase_search
+
+    docs = _read(spark, sf_dir, "documents")
+    parts = [
+        phrase_search(docs, ph).select(
+            F.lit(" ".join(ph)).alias("phrase"), "doc_id", "n_occ"
+        )
+        for ph in _PHRASES
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75 as exact rationals, IDF in
+    integer micro-nats): top-15 documents for a 4-term query with the
+    deterministic (score DESC, doc_id ASC) tie-break — exact BIGINT
+    scores, hash-matched against the DuckDB replay."""
+    from ddspark.pipeline.retrieval import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_QUERY, k=15)
+
+
+def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional n-gram containment |A∩B|/|A| — catches quoted/embedded
+    duplicates that symmetric Jaccard misses; same inverted-index
+    self-join and df_cap=8 hot-shingle guard as dedup_jaccard_pairs."""
+    from ddspark.pipeline.dedup import containment_pairs
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    return containment_pairs(docs, threshold=0.4, n=2, df_cap=8)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis race
     with hash-derived uniforms): 8 docs per language with inclusion odds
@@ -1876,6 +1920,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tie-stability oracle fix.  Names and output schemas stay byte-stable;
     # only the ordering rotates.
     return {
+        "text_phrase_search": wrap(_q_phrase_search),  # new in r5
+        "text_bm25_topk": wrap(_q_bm25_topk),  # new in r5
+        "dedup_containment_pairs": wrap(_q_containment_pairs),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -2959,6 +3006,9 @@ def oracle_sql() -> dict[str, str]:
         "countsketch_join_size": _countsketch_join_size_oracle_sql(),
         "text_lm_score": _lm_score_oracle_sql(),
         "text_tfidf_topk": _tfidf_oracle_sql(),
+        "text_phrase_search": _phrase_search_oracle(),
+        "text_bm25_topk": _bm25_oracle(),
+        "dedup_containment_pairs": _containment_oracle(),
         "curation_weighted_sample": _weighted_sample_oracle_sql(),
         "text_bpe_roundtrip": r"""
 WITH toks AS (
@@ -3093,6 +3143,57 @@ def _tfidf_oracle_sql() -> str:
     from ddspark.pipeline.textops import tfidf_top_terms_oracle_sql
 
     return tfidf_top_terms_oracle_sql("documents", "doc_id", "text", k=5)
+
+
+def _phrase_search_oracle() -> str:
+    from ddspark.pipeline.retrieval import phrase_search_oracle_sql
+
+    parts = [
+        "SELECT '{}' AS phrase, * FROM ({})".format(
+            " ".join(ph), phrase_search_oracle_sql(ph)
+        )
+        for ph in _PHRASES
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+def _bm25_oracle() -> str:
+    from ddspark.pipeline.retrieval import bm25_topk_oracle_sql
+
+    return bm25_topk_oracle_sql(_BM25_QUERY, k=15)
+
+
+def _containment_oracle() -> str:
+    # mirrors dedup_jaccard_pairs' CTEs (same tokenization, doc_id < 150
+    # slice, df_cap=8 hot-shingle guard) with the directional ratios
+    return r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM documents WHERE doc_id < 150
+),
+sh0 AS (
+  SELECT DISTINCT id, t[i] || ' ' || t[i+1] AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+hot AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 8),
+sh AS (SELECT id, shingle FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(i AS DOUBLE) / sa.sz, 6) AS c_ab,
+       ROUND(CAST(i AS DOUBLE) / sb.sz, 6) AS c_ba
+FROM inter
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE GREATEST(ROUND(CAST(i AS DOUBLE) / sa.sz, 6),
+               ROUND(CAST(i AS DOUBLE) / sb.sz, 6)) >= 0.4
+""".strip()
 
 
 def _lm_score_oracle_sql() -> str:

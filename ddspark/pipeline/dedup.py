@@ -35,6 +35,7 @@ __all__ = [
     "grams_from_tokens",
     "word_shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_coeffs",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -190,6 +191,65 @@ def jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram *containment* for every pair sharing a shingle:
+    ``C(A→B) = |A∩B| / |A|`` — the directional companion to
+    :func:`jaccard_pairs`.
+
+    Jaccard misses subset relationships: a tweet quoted inside a long
+    article has tiny Jaccard but containment ≈ 1 in the tweet→article
+    direction.  Containment is the signal ExactSubstr/CCNet-style
+    pipelines use to drop *quoted/embedded* duplicates that symmetric
+    similarity keeps.
+
+    Output: ``(id_a < id_b, c_ab, c_ba)`` rounded to 6 dp, kept when
+    ``max(c_ab, c_ba) >= threshold``; ``c_ab`` is the fraction of A's
+    shingles found in B (A contained-in B when ≈ 1).
+
+    Same scale posture as :func:`jaccard_pairs`: inverted-index
+    self-join on shingle hash, ``df_cap`` drops boilerplate shingles
+    before the join (sizes recomputed after the filter so the ratio
+    stays internally consistent), candidate count bounded at
+    ``n_shingles * df_cap^2 / 2``.
+    """
+    sh = word_shingles(df, id_col, text_col, n).withColumn(
+        "sh", F.xxhash64("shingle")
+    ).select("id", "sh")
+    if df_cap is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    # sizes is one row per document — no broadcast hint (same OOM rationale
+    # as jaccard_pairs); AQE picks broadcast when it actually fits
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("c_ab", F.round(F.col("inter") / F.col("sz_a"), 6))
+        .withColumn("c_ba", F.round(F.col("inter") / F.col("sz_b"), 6))
+        .where(F.greatest("c_ab", "c_ba") >= threshold)
+        .select("id_a", "id_b", "c_ab", "c_ba")
+    )
 
 
 def minhash_signatures(

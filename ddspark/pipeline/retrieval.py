@@ -1,0 +1,347 @@
+"""Full-text retrieval over a document corpus: inverted index (postings
+with positions), conjunctive boolean search, exact phrase search, and
+BM25 ranked retrieval.
+
+A training-data pipeline needs retrieval for targeted curation (pull all
+documents mentioning a benchmark), contamination forensics (where does
+this exact phrase occur?), and quality-weighted sampling (BM25 against a
+topic query).  The reference (DataDog/sketches-py) has no text surface at
+all — this module is engine surface in the same spirit as `textops` /
+`dedup`: everything is expressed as JVM-side column expressions +
+hash-partitioned aggregations, and every scoring formula is quantized so
+a DuckDB ANSI twin reproduces it bit-for-bit (the gate hashes values).
+
+Tokenization is :func:`ddspark.pipeline.dedup.word_tokens` — the single
+shared normalization rule — with empty tokens dropped, so retrieval,
+shingling and decontamination can never disagree about what a "term" is.
+
+Scale notes (100 TB corpus):
+
+* The postings build is one ``posexplode`` + one ``(term, doc)``
+  aggregation — a single hash shuffle keyed by term+doc; no windows, no
+  driver state.  Positions arrays are per-(term, doc) and bounded by the
+  document length.
+* Searches never materialize the full index: the query's term set (a few
+  literals) is pushed as an ``isin`` filter *before* the aggregation, so
+  the shuffle carries only postings of queried terms.
+* BM25's corpus constants (N, total token count) travel as a one-row
+  broadcast crossJoin, not a driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import word_tokens
+
+__all__ = [
+    "tokens_with_positions",
+    "build_postings",
+    "boolean_and_search",
+    "phrase_search",
+    "bm25_topk",
+    "phrase_search_oracle_sql",
+    "bm25_topk_oracle_sql",
+]
+
+
+def _clean_tokens(text: Column) -> Column:
+    """Normalized token array with empty tokens removed (the retrieval
+    variant of :func:`word_tokens`; blank/whitespace-only text yields an
+    empty array instead of ``[""]``)."""
+    return F.filter(word_tokens(text), lambda x: x != "")
+
+
+def tokens_with_positions(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(id, pos, term)`` — one row per token occurrence, 0-based
+    position.  The projection boundary materializes the token array once
+    per document before the explode (same rationale as
+    ``dedup.grams_from_tokens``)."""
+    return df.select(
+        F.col(id_col).alias("id"), _clean_tokens(F.col(text_col)).alias("_t")
+    ).select("id", F.posexplode("_t").alias("pos", "term"))
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """The inverted index: ``(term, id, tf, positions ARRAY<INT>)``,
+    positions sorted ascending.
+
+    One explode + one ``(term, id)`` hash aggregation; repartitioned by
+    ``term`` on output so a ``.write.bucketBy("term")`` (or a downstream
+    term-keyed join) needs no further exchange.  A posting row's size is
+    bounded by the doc's length — no per-term skew beyond natural term
+    frequency (cap hot terms upstream with a stopword filter if needed).
+    """
+    tp = tokens_with_positions(df, id_col, text_col)
+    return (
+        tp.groupBy("term", "id")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .repartition("term")
+    )
+
+
+def boolean_and_search(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Documents containing ALL of ``terms``: ``(id, total_tf)``.
+
+    The term filter is applied before the aggregation, so the shuffle
+    carries only occurrences of the queried terms; the conjunctive check
+    is ``count(distinct term) == len(terms)`` inside one aggregate —
+    no self-joins, no index materialization.
+    """
+    if not terms:
+        raise ValueError("boolean_and_search needs at least one term")
+    uniq = sorted(set(terms))
+    tp = tokens_with_positions(df, id_col, text_col).where(
+        F.col("term").isin(uniq)
+    )
+    return (
+        tp.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("total_tf"),
+            F.count_distinct("term").alias("_nt"),
+        )
+        .where(F.col("_nt") == len(uniq))
+        .select(F.col("id").alias(id_col), "total_tf")
+    )
+
+
+def phrase_search(
+    df: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase occurrences: ``(id, n_occ)`` for documents where the
+    tokens of ``phrase`` appear consecutively; ``n_occ`` counts distinct
+    start positions.
+
+    Algorithm: per document, gather the position set P(w) of each phrase
+    word with conditional aggregation (one shuffle, keyed by doc), then
+    chain shifted intersections entirely in array expressions:
+    ``S_0 = P(w_0)``, ``S_j = S_(j-1) ∩ {p - j : p ∈ P(w_j)}`` — a match
+    starts at i iff i survives all m-1 intersections.  Repeated words in
+    the phrase are handled naturally (each step re-checks the offset).
+    No self-join: cost is one aggregation over occurrences of the m
+    query words only.
+    """
+    if not phrase:
+        raise ValueError("phrase_search needs at least one token")
+    tp = tokens_with_positions(df, id_col, text_col).where(
+        F.col("term").isin(sorted(set(phrase)))
+    )
+    per_word = [
+        F.sort_array(
+            F.collect_list(F.when(F.col("term") == w, F.col("pos")))
+        ).alias(f"_p{j}")
+        for j, w in enumerate(phrase)
+    ]
+    g = tp.groupBy("id").agg(*per_word)
+
+    def _shift(j: int):
+        # single-arg lambda on purpose: PySpark dispatches higher-order
+        # lambdas BY ARITY, so a `lambda p, _j=j:` form would be invoked
+        # as (element, index) and subtract the array index instead of j
+        return lambda p: p - j
+
+    starts = F.col("_p0")
+    for j in range(1, len(phrase)):
+        starts = F.array_intersect(
+            starts, F.transform(F.col(f"_p{j}"), _shift(j))
+        )
+    return (
+        g.select(F.col("id").alias(id_col), F.size(starts).alias("n_occ"))
+        .where(F.col("n_occ") > 0)
+    )
+
+
+# BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75).
+# With integer tf, dl, corpus token count L and doc count N:
+#   tf_norm = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))      [avgdl = L/N]
+#           = 44*tf*L / (20*tf*L + 6*L + 18*dl*N)             [×20L/20L]
+# — numerator and denominator are exact integer expressions, evaluated in
+# double (one multiply chain + one correctly-rounded division, identical
+# in any IEEE-754 engine).  IDF uses the Robertson "+0.5" form,
+#   idf = ln(1 + (N - df + 0.5)/(df + 0.5)) = ln((2N+2)/(2df+1)),
+# quantized to integer micro-nats exactly like tfidf_top_terms, so the
+# only libm call sits behind a floor(1e6·…) that the gate already
+# vouches for cross-engine.
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 ranked retrieval: top-``k`` documents for ``query_terms`` as
+    ``(rank, id, score_micro)`` with the deterministic tie-break
+    ``(score_micro DESC, id ASC)``.
+
+    ``score_micro = Σ_t floor(idf_micro(t) · 44·tf·L /
+    (20·tf·L + 6·L + 18·dl·N))`` — see the rational-form note above; the
+    per-term floor makes the sum an exact BIGINT so ranking is
+    bit-identical cross-engine.  All int→double conversions and the one
+    product/division per term are correctly-rounded IEEE-754 ops (exact
+    determinism, though the *mathematical* value is quantized at the
+    1e-6 level — the standard trade of this codebase's scoring ops).
+
+    Plan: doc lengths are one narrow aggregation; tf rows exist only for
+    the queried terms (``isin`` pushed below the explode); N and L ride
+    a broadcast one-row crossJoin; the final top-k is a single
+    ``row_number`` window over ≤ |matched docs| rows.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk needs at least one query term")
+    uniq = sorted(set(query_terms))
+
+    base = df.select(
+        F.col(id_col).alias("id"), _clean_tokens(F.col(text_col)).alias("_t")
+    )
+    dl = base.select("id", F.size("_t").alias("dl"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_l")
+    )
+
+    tp = base.select("id", F.explode("_t").alias("term")).where(
+        F.col("term").isin(uniq)
+    )
+    tf = tp.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dft.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.floor(
+            F.lit(1e6)
+            * F.log(
+                (2.0 * F.col("_n") + 2.0) / (2.0 * F.col("_df") + 1.0)
+            )
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+
+    term_scores = (
+        tf.join(idf, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "id",
+            F.floor(
+                F.col("idf_micro").cast("double")
+                * (
+                    (44.0 * F.col("tf") * F.col("_l"))
+                    / (
+                        20.0 * F.col("tf") * F.col("_l")
+                        + 6.0 * F.col("_l")
+                        + 18.0 * F.col("dl") * F.col("_n")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    scored = term_scores.groupBy("id").agg(F.sum("s").alias("score_micro"))
+    # Distributed top-k (TakeOrdered: per-partition partial top-k, no
+    # single-partition window over every matched doc), THEN rank the k
+    # survivors — the global window touches ≤ k rows.
+    topk = scored.orderBy(
+        F.col("score_micro").desc(), F.col("id").asc()
+    ).limit(k)
+    w = Window.orderBy(F.col("score_micro").desc(), F.col("id").asc())
+    return topk.select(
+        F.row_number().over(w).alias("rank"),
+        F.col("id").alias(id_col),
+        "score_micro",
+    )
+
+
+_TOKS_CTE = r"""toks AS (
+  SELECT {id_col} AS id,
+         list_filter(string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS t
+  FROM {table}
+)"""
+
+
+def phrase_search_oracle_sql(
+    phrase: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """ANSI twin of :func:`phrase_search` (DuckDB lists are 1-based)."""
+    m = len(phrase)
+    conds = " AND ".join(
+        "t[i+{j}] = '{w}'".format(j=j, w=w.replace("'", "''"))
+        for j, w in enumerate(phrase)
+    )
+    toks = _TOKS_CTE.format(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH {toks}
+SELECT id AS {id_col},
+       CAST(len(list_filter(range(1, len(t) - {m} + 2), i -> {conds})) AS INT) AS n_occ
+FROM toks
+WHERE len(t) >= {m}
+  AND len(list_filter(range(1, len(t) - {m} + 2), i -> {conds})) > 0
+""".strip()
+
+
+def bm25_topk_oracle_sql(
+    query_terms: list[str],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """ANSI twin of :func:`bm25_topk` — same rational form, same
+    micro-nat quantization, same double evaluation order."""
+    uniq = sorted(set(query_terms))
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in uniq)
+    toks = _TOKS_CTE.format(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH {toks},
+dl AS (SELECT id, len(t) AS dl FROM toks),
+corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+tp AS (
+  SELECT id, u.term FROM toks, UNNEST(t) AS u(term)
+  WHERE u.term IN ({in_list})
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM tp GROUP BY 1, 2),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1e6 * ln((2.0 * corpus.n + 2.0) / (2.0 * COUNT(*) + 1.0))) AS BIGINT)
+           AS idf_micro
+  FROM tf CROSS JOIN corpus GROUP BY term, corpus.n
+),
+term_scores AS (
+  SELECT tf.id,
+         CAST(FLOOR(CAST(idf.idf_micro AS DOUBLE) *
+              ((44.0 * tf.tf * corpus.l) /
+               (20.0 * tf.tf * corpus.l + 6.0 * corpus.l + 18.0 * dl.dl * corpus.n)))
+              AS BIGINT) AS s
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl ON dl.id = tf.id
+  CROSS JOIN corpus
+),
+scored AS (SELECT id, SUM(s) AS score_micro FROM term_scores GROUP BY id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id ASC) AS INT) AS rank,
+       id AS {id_col},
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM scored
+QUALIFY rank <= {k}
+""".strip()

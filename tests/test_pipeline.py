@@ -114,6 +114,33 @@ def test_jaccard_matches_python_oracle(dup_docs):
         assert rec["jaccard"] == pytest.approx(want, abs=1e-6)
 
 
+def test_containment_matches_python_oracle(dup_docs):
+    pairs = dedup.containment_pairs(dup_docs, threshold=0.01).toPandas()
+    pdf = dup_docs.toPandas()
+
+    def shingles(t, n=3):
+        toks = " ".join(t.lower().split()).split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    assert len(pairs) > 0
+    for rec in pairs.to_dict("records"):
+        a, b = shingles(texts[rec["id_a"]]), shingles(texts[rec["id_b"]])
+        assert rec["c_ab"] == pytest.approx(len(a & b) / len(a), abs=1e-6)
+        assert rec["c_ba"] == pytest.approx(len(a & b) / len(b), abs=1e-6)
+
+
+def test_containment_is_directional(dup_docs):
+    # doc 4 = doc 0 + "tail": every shingle of 0 is in 4 (c_ab = 1 with
+    # a=0), but 4 has extra shingles so c_ba < 1 — jaccard alone would
+    # score this pair below 1 and a subset-detection threshold would
+    # miss it.
+    pairs = dedup.containment_pairs(dup_docs, threshold=0.9).toPandas()
+    rec = pairs.set_index(["id_a", "id_b"]).loc[(0, 4)]
+    assert rec["c_ab"] == 1.0
+    assert rec["c_ba"] < 1.0
+
+
 def test_minhash_lsh_pairs(dup_docs):
     pairs = dedup.minhash_dedup_pairs(dup_docs, threshold=0.5).toPandas()
     got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}

@@ -1,0 +1,174 @@
+"""Full-text retrieval: inverted index, boolean/phrase search, BM25.
+
+Brute-force Python replays over small corpora are the oracles here (the
+gate adds the DuckDB twins at sf0.01/sf0.1); edge cases cover repeated
+phrase words, overlapping occurrences, phrase-at-position-0, and the
+BM25 tie-break.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from ddspark.pipeline.retrieval import (
+    bm25_topk,
+    boolean_and_search,
+    build_postings,
+    phrase_search,
+    tokens_with_positions,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "cat cat cat"),
+    (2, "the the the the"),
+    (3, "on the mat sat the cat"),
+    (4, "dog"),
+    (5, ""),
+    (6, "  the   cat  "),  # messy whitespace normalizes away
+]
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in text.strip().lower().split() if t]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_tokens_with_positions(spark):
+    rows = tokens_with_positions(_df(spark)).collect()
+    got = {(r.id, r.pos, r.term) for r in rows}
+    want = {
+        (i, p, t) for i, txt in DOCS for p, t in enumerate(_tok(txt))
+    }
+    assert got == want
+
+
+def test_build_postings_tf_and_positions(spark):
+    rows = build_postings(_df(spark)).collect()
+    by_key = {(r.term, r.id): r for r in rows}
+    r = by_key[("the", 2)]
+    assert r.tf == 4 and r.positions == [0, 1, 2, 3]
+    r = by_key[("cat", 1)]
+    assert r.tf == 3 and r.positions == [0, 1, 2]
+    assert ("dog", 4) in by_key and ("", 5) not in by_key
+    # every positions array is sorted and sized tf
+    for r in rows:
+        assert list(r.positions) == sorted(r.positions)
+        assert len(r.positions) == r.tf
+
+
+def test_boolean_and(spark):
+    got = {
+        (r.doc_id, r.total_tf)
+        for r in boolean_and_search(_df(spark), ["cat", "the"]).collect()
+    }
+    assert got == {(0, 3), (3, 3), (6, 2)}
+    # single term degenerates to tf > 0
+    got1 = {r.doc_id for r in boolean_and_search(_df(spark), ["dog"]).collect()}
+    assert got1 == {4}
+    with pytest.raises(ValueError):
+        boolean_and_search(_df(spark), [])
+
+
+def _phrase_oracle(phrase: list[str]) -> dict[int, int]:
+    out = {}
+    m = len(phrase)
+    for i, txt in DOCS:
+        t = _tok(txt)
+        n = sum(
+            1
+            for s in range(len(t) - m + 1)
+            if t[s : s + m] == phrase
+        )
+        if n:
+            out[i] = n
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        ["the", "cat"],
+        ["cat", "sat", "on"],
+        ["cat", "cat"],  # overlapping repeats: positions 0 and 1 in doc 1
+        ["the", "the", "the"],  # overlapping triple in doc 2
+        ["on", "the", "mat", "sat"],
+        ["missing", "phrase"],
+    ],
+)
+def test_phrase_search_matches_bruteforce(spark, phrase):
+    got = {
+        (r.doc_id, r.n_occ) for r in phrase_search(_df(spark), phrase).collect()
+    }
+    assert got == set(_phrase_oracle(phrase).items())
+
+
+def test_phrase_at_position_zero(spark):
+    got = {(r.doc_id, r.n_occ) for r in phrase_search(_df(spark), ["cat", "cat", "cat"]).collect()}
+    assert got == {(1, 1)}
+
+
+def _bm25_oracle(query: list[str], k: int) -> list[tuple[int, int, int]]:
+    toks = {i: _tok(t) for i, t in DOCS}
+    dl = {i: len(t) for i, t in toks.items()}
+    n = len(DOCS)
+    l = sum(dl.values())
+    uniq = sorted(set(query))
+    tf = {
+        (i, w): toks[i].count(w)
+        for i in toks
+        for w in uniq
+        if w in toks[i]
+    }
+    dft = {w: sum(1 for (i, ww) in tf if ww == w) for w in uniq}
+    scores: dict[int, int] = {}
+    for (i, w), f in tf.items():
+        idf = math.floor(1e6 * math.log((2.0 * n + 2.0) / (2.0 * dft[w] + 1.0)))
+        s = math.floor(
+            float(idf)
+            * ((44.0 * f * l) / (20.0 * f * l + 6.0 * l + 18.0 * dl[i] * n))
+        )
+        scores[i] = scores.get(i, 0) + s
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(r + 1, i, s) for r, (i, s) in enumerate(ranked)]
+
+
+def test_bm25_matches_bruteforce(spark):
+    got = [
+        (r.rank, r.doc_id, r.score_micro)
+        for r in bm25_topk(_df(spark), ["cat", "mat"], k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == _bm25_oracle(["cat", "mat"], 10)
+
+
+def test_bm25_tiebreak_and_k(spark):
+    # duplicate docs force equal scores -> doc_id ASC breaks the tie
+    dup = spark.createDataFrame(
+        [(10, "x y"), (11, "x y"), (12, "x y"), (13, "z")],
+        ["doc_id", "text"],
+    )
+    got = [
+        (r.rank, r.doc_id)
+        for r in bm25_topk(dup, ["x"], k=2).orderBy("rank").collect()
+    ]
+    assert got == [(1, 10), (2, 11)]
+
+
+def test_bm25_partition_invariance(spark):
+    base = _df(spark)
+    a = bm25_topk(base.repartition(1), ["cat", "the"], k=5).collect()
+    b = bm25_topk(base.repartition(7), ["cat", "the"], k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_phrase_plan_has_no_python_and_one_agg_shuffle(spark):
+    plan = phrase_search(_df(spark), ["the", "cat"])._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # pure JVM column expressions
+    assert "CartesianProduct" not in plan
