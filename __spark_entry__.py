@@ -1891,6 +1891,41 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.4, n=2, df_cap=8)
 
 
+def _q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→click attribution: every (view, click) pair per user with the
+    click at most 30 minutes after the view — the stream-stream-join
+    shape (equality key + event-time range predicate); the same function
+    runs unchanged on streaming inputs with watermark-bounded state
+    (tests/test_streaming.py::test_attribution_join_streaming)."""
+    from ddspark.pipeline.joins import attribution_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "user_id",
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        "user_id",
+    )
+    j = attribution_join(
+        views, clicks, "user_id", "view_ts", "click_ts", "30 minutes"
+    )
+    return j.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        # ts is TIMESTAMP_NTZ in the parquet; session tz is UTC and the
+        # subtraction cancels any fixed offset, so the cast is exact
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis race
     with hash-derived uniforms): 8 docs per language with inclusion odds
@@ -1923,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_phrase_search": wrap(_q_phrase_search),  # new in r5
         "text_bm25_topk": wrap(_q_bm25_topk),  # new in r5
         "dedup_containment_pairs": wrap(_q_containment_pairs),  # new in r5
+        "join_event_attribution": wrap(_q_event_attribution),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3009,6 +3045,20 @@ def oracle_sql() -> dict[str, str]:
         "text_phrase_search": _phrase_search_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "dedup_containment_pairs": _containment_oracle(),
+        "join_event_attribution": """
+WITH v AS (
+  SELECT event_id AS view_id, ts AS view_ts, user_id
+  FROM events WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, ts AS click_ts, user_id
+  FROM events WHERE event_type = 'click'
+)
+SELECT user_id, view_id, click_id,
+       epoch_us(click_ts) - epoch_us(view_ts) AS gap_us
+FROM v JOIN c USING (user_id)
+WHERE click_ts >= view_ts AND click_ts <= view_ts + INTERVAL 30 MINUTE
+""".strip(),
         "curation_weighted_sample": _weighted_sample_oracle_sql(),
         "text_bpe_roundtrip": r"""
 WITH toks AS (

@@ -13,7 +13,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join", "asof_join", "range_join", "key_profile"]
+__all__ = [
+    "salted_join",
+    "asof_join",
+    "range_join",
+    "attribution_join",
+    "key_profile",
+]
 
 
 def salted_join(
@@ -260,6 +266,76 @@ def range_join(
         # under `left`, NULL on unmatched rows)
         out = out.drop(r[k])
     return out
+
+
+def attribution_join(
+    lead: DataFrame,
+    follow: DataFrame,
+    on: list[str] | str,
+    lead_ts: str,
+    follow_ts: str,
+    max_gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Event attribution: every (lead, follow) pair with equal ``on`` keys
+    where the follow event lands within ``max_gap`` AFTER the lead event
+    (``lead_ts <= follow_ts <= lead_ts + max_gap``, inclusive) — the
+    view→click / impression→purchase join of every funnel pipeline.
+
+    Works identically on batch AND streaming inputs: the time-range
+    predicate rides in the join condition, which is exactly the shape
+    Structured Streaming's stream-stream inner join supports.  For
+    streaming sources pass ``watermark`` (e.g. ``"1 hour"``): it is
+    applied to both event-time columns and bounds the join state —
+    Spark buffers a lead row only until the follow-side watermark passes
+    ``lead_ts + max_gap``, so state is O(events inside the watermark
+    horizon), not O(stream).  Inner-join matches emit as they arrive
+    (no watermark wait on output, only on state eviction).
+
+    Batch plan: a plain equi-join on ``on`` with the range predicate in
+    the condition — hash/sort-merge joinable, AQE-splittable, no
+    cartesian product.  Hot keys (one user with millions of events)
+    concentrate pairs quadratically; profile with :func:`key_profile`
+    and pre-cap pathological keys upstream.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    if not on:
+        raise ValueError("attribution_join needs at least one equality key")
+    for c, df, side in ((lead_ts, lead, "lead"), (follow_ts, follow, "follow")):
+        if c not in df.columns:
+            raise ValueError(f"{side} side is missing column {c!r}")
+    if lead_ts == follow_ts:
+        raise ValueError(
+            "lead_ts and follow_ts must be distinct column names "
+            "(rename one side so both timestamps survive the join)"
+        )
+    clash = [
+        c
+        for c in follow.columns
+        if c in lead.columns and c not in on
+    ]
+    if clash:
+        raise ValueError(
+            f"follow columns {clash} clash with lead names: rename them first"
+        )
+    streaming = lead.isStreaming or follow.isStreaming
+    if streaming and watermark is None:
+        raise ValueError(
+            "streaming attribution_join requires `watermark` — without it "
+            "the join state grows unboundedly"
+        )
+    if watermark is not None:
+        lead = lead.withWatermark(lead_ts, watermark)
+        follow = follow.withWatermark(follow_ts, watermark)
+    cond = F.col(follow_ts).between(
+        F.col(lead_ts), F.col(lead_ts) + F.expr(f"INTERVAL {max_gap}")
+    )
+    for k in on:
+        cond = cond & (lead[k] == follow[k])
+    j = lead.join(follow, cond, "inner")
+    for k in on:
+        j = j.drop(follow[k])
+    return j
 
 
 def key_profile(

@@ -890,3 +890,164 @@ def test_upsert_state_sink_with_real_stream(spark, tmp_path):
         for r in latest_snapshot(whole, "k", "seq", delete_col="del").collect()
     )
     assert got == want
+
+
+# ------------------------------------------------- stream-stream attribution
+
+
+def _attrib_frames():
+    """Views and clicks with matches straddling the 10-minute gap: exact
+    duplicate-boundary, inside, outside, click-before-view, wrong user."""
+    t0 = pd.Timestamp("2026-02-01 00:00:00")
+    views = pd.DataFrame(
+        {
+            "view_id": [1, 2, 3, 4],
+            "view_ts": [
+                t0,
+                t0 + pd.Timedelta(minutes=30),
+                t0 + pd.Timedelta(minutes=60),
+                t0 + pd.Timedelta(minutes=90),
+            ],
+            "user_id": [7, 7, 8, 9],
+        }
+    )
+    clicks = pd.DataFrame(
+        {
+            "click_id": [10, 11, 12, 13, 14],
+            "click_ts": [
+                t0 + pd.Timedelta(minutes=5),      # in window of view 1 (u7)
+                t0 + pd.Timedelta(minutes=10),     # boundary: gap == max_gap
+                t0 + pd.Timedelta(minutes=59),     # before view 3 -> no match
+                t0 + pd.Timedelta(minutes=65),     # in window of view 3 (u8)
+                t0 + pd.Timedelta(minutes=95),     # u8 but view 4 is u9 -> no
+            ],
+            "user_id": [7, 7, 8, 8, 8],
+        }
+    )
+    return views, clicks
+
+
+def test_attribution_join_batch_semantics(spark):
+    from ddspark.pipeline.joins import attribution_join
+
+    vpdf, cpdf = _attrib_frames()
+    out = attribution_join(
+        spark.createDataFrame(vpdf),
+        spark.createDataFrame(cpdf),
+        "user_id",
+        "view_ts",
+        "click_ts",
+        max_gap="10 minutes",
+    )
+    got = {(r.view_id, r.click_id) for r in out.collect()}
+    # boundary click (gap exactly 10 min) is INCLUDED; click before view
+    # and cross-user clicks are not
+    assert got == {(1, 10), (1, 11), (3, 13)}
+
+
+def test_attribution_join_guards(spark):
+    from ddspark.pipeline.joins import attribution_join
+
+    vpdf, cpdf = _attrib_frames()
+    v, c = spark.createDataFrame(vpdf), spark.createDataFrame(cpdf)
+    with pytest.raises(ValueError, match="equality key"):
+        attribution_join(v, c, [], "view_ts", "click_ts")
+    with pytest.raises(ValueError, match="missing column"):
+        attribution_join(v, c, "user_id", "nope_ts", "click_ts")
+    with pytest.raises(ValueError, match="distinct column names"):
+        attribution_join(
+            v.withColumnRenamed("view_ts", "ts"),
+            c.withColumnRenamed("click_ts", "ts").withColumnRenamed(
+                "click_id", "cid"
+            ),
+            "user_id",
+            "ts",
+            "ts",
+        )
+    with pytest.raises(ValueError, match="clash"):
+        attribution_join(
+            v, c.withColumnRenamed("click_id", "view_id"),
+            "user_id", "view_ts", "click_ts",
+        )
+
+
+def test_attribution_join_streaming_matches_batch(spark, tmp_path):
+    """The SAME function on two file streams (3 + 3 micro-batches, both
+    sides watermarked) emits exactly the batch join's rows — the
+    stream-stream inner join with range condition that Structured
+    Streaming state-bounds via watermark + max_gap."""
+    from ddspark.pipeline.joins import attribution_join
+
+    rng = np.random.default_rng(17)
+    t0 = pd.Timestamp("2026-02-01 00:00:00")
+    n_v, n_c = 300, 400
+    vpdf = pd.DataFrame(
+        {
+            "view_id": np.arange(n_v, dtype=np.int64),
+            "view_ts": t0
+            + pd.to_timedelta(rng.integers(0, 7200, n_v), unit="s"),
+            "user_id": rng.integers(0, 40, n_v).astype(np.int64),
+        }
+    )
+    cpdf = pd.DataFrame(
+        {
+            "click_id": np.arange(n_c, dtype=np.int64),
+            "click_ts": t0
+            + pd.to_timedelta(rng.integers(0, 7200, n_c), unit="s"),
+            "user_id": rng.integers(0, 40, n_c).astype(np.int64),
+        }
+    )
+    # micro-batches must be ROUGHLY time-ordered (as a real stream is):
+    # a batch spanning the whole 2h range would advance the watermark past
+    # rows still to arrive in later files, and the join would (correctly,
+    # per watermark semantics) drop them as late
+    vpdf = vpdf.sort_values("view_ts", ignore_index=True)
+    cpdf = cpdf.sort_values("click_ts", ignore_index=True)
+    vsrc, csrc = str(tmp_path / "views"), str(tmp_path / "clicks")
+    for i, part in enumerate(np.array_split(np.arange(n_v), 3)):
+        spark.createDataFrame(vpdf.iloc[part]).write.parquet(f"{vsrc}/f{i}.parquet")
+    for i, part in enumerate(np.array_split(np.arange(n_c), 3)):
+        spark.createDataFrame(cpdf.iloc[part]).write.parquet(f"{csrc}/f{i}.parquet")
+
+    vs = (
+        spark.readStream.schema("view_id long, view_ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(vsrc + "/*")
+    )
+    cs = (
+        spark.readStream.schema("click_id long, click_ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(csrc + "/*")
+    )
+    with pytest.raises(ValueError, match="watermark"):
+        attribution_join(vs, cs, "user_id", "view_ts", "click_ts")
+    out = attribution_join(
+        vs, cs, "user_id", "view_ts", "click_ts",
+        max_gap="10 minutes", watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attrib_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.view_id, r.click_id)
+        for r in spark.sql("SELECT * FROM attrib_stream_test").collect()
+    )
+    want = sorted(
+        (r.view_id, r.click_id)
+        for r in attribution_join(
+            spark.createDataFrame(vpdf),
+            spark.createDataFrame(cpdf),
+            "user_id",
+            "view_ts",
+            "click_ts",
+            max_gap="10 minutes",
+        ).collect()
+    )
+    assert len(want) > 50  # the synthetic data actually exercises the join
+    assert got == want
