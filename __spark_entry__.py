@@ -1698,6 +1698,78 @@ def _q_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_theta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV A-not-B: estimated distinct word-3-gram difference for
+    every ORDERED language pair, certified by the Poisson 5-sigma
+    half-width (the difference sample count is Poisson exactly like the
+    intersection's).  Bound-check oracle shape: DuckDB recomputes the
+    exact directional difference |A\\B| = |A| - |A∩B| + TRUE."""
+    from ddspark.pipeline.dedup import word_shingles
+    from ddspark.sketches.theta import (
+        theta_difference,
+        theta_intersect_bound,
+        theta_summary,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    sh = word_shingles(docs, id_col="lang", text_col="text", n=3)
+    summ = {
+        r["id"]: r
+        for r in theta_summary(sh, "shingle", k=2048, by=["id"]).collect()
+    }
+    ests = []
+    langs = sorted(summ)
+    for la in langs:
+        for lb in langs:
+            if la == lb:
+                continue
+            a, b = summ[la], summ[lb]
+            est, nd, theta = theta_difference(
+                a["ks"], a["theta"], b["ks"], b["theta"]
+            )
+            ests.append((la, lb, est, theta_intersect_bound(nd, theta)))
+    est_df = spark.createDataFrame(
+        ests, "lang_a string, lang_b string, est double, half double"
+    )
+    sizes = sh.groupBy(F.col("id")).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("lang_a"), F.col("b.id").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    exact = (
+        sizes.alias("sa")
+        .crossJoin(sizes.alias("sb").withColumnRenamed("id", "id_b"))
+        .where(F.col("sa.id") != F.col("id_b"))
+        .select(
+            F.col("sa.id").alias("lang_a"),
+            F.col("id_b").alias("lang_b"),
+            F.col("sa.sz").alias("sz_a"),
+        )
+        .join(inter, ["lang_a", "lang_b"], "left")
+        .select(
+            "lang_a",
+            "lang_b",
+            (F.col("sz_a") - F.coalesce(F.col("i"), F.lit(0)))
+            .cast("double")
+            .alias("exact_diff"),
+        )
+    )
+    return exact.join(F.broadcast(est_df), ["lang_a", "lang_b"]).select(
+        "lang_a",
+        "lang_b",
+        "exact_diff",
+        (F.abs(F.col("est") - F.col("exact_diff")) <= F.col("half")).alias(
+            "within_bound"
+        ),
+    )
+
+
 def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle shape: point-frequency estimates must satisfy the
     CM guarantee ``exact <= est <= exact + (e/width) * N`` per probe."""
@@ -1959,6 +2031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_topk": wrap(_q_bm25_topk),  # new in r5
         "dedup_containment_pairs": wrap(_q_containment_pairs),  # new in r5
         "join_event_attribution": wrap(_q_event_attribution),  # new in r5
+        "theta_shingle_diff": wrap(_q_theta_diff),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3085,6 +3158,7 @@ FROM w GROUP BY 1
             FROM events WHERE user_id IS NOT NULL GROUP BY event_type
         """,
         "theta_shingle_overlap": _theta_overlap_oracle(),
+        "theta_shingle_diff": _theta_diff_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
             SELECT event_type,
@@ -3527,6 +3601,26 @@ SELECT a.id AS lang_a, b.id AS lang_b,
        TRUE AS within_bound
 FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
 GROUP BY 1, 2
+"""
+
+
+def _theta_diff_oracle() -> str:
+    from ddspark.pipeline.oracles import _shingle_ctes
+
+    return f"""
+WITH {_shingle_ctes('documents', 'lang', 'text', None, 3)},
+sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS lang_a, b.id AS lang_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id <> b.id
+  GROUP BY 1, 2
+)
+SELECT sa.id AS lang_a, sb.id AS lang_b,
+       CAST(sa.sz - COALESCE(inter.i, 0) AS DOUBLE) AS exact_diff,
+       TRUE AS within_bound
+FROM sizes sa
+JOIN sizes sb ON sa.id <> sb.id
+LEFT JOIN inter ON inter.lang_a = sa.id AND inter.lang_b = sb.id
 """
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "theta_union",
     "theta_intersect",
     "theta_intersect_bound",
+    "theta_difference",
 ]
 
 _PORTABLE_SCALE = float(1 << 60)
@@ -184,6 +185,26 @@ def theta_intersect(ks_a, theta_a: float, ks_b, theta_b: float) -> tuple[float, 
     theta = min(theta_a, theta_b)
     common = np.intersect1d(_clip(ks_a, theta), _clip(ks_b, theta))
     n = int(len(common))
+    return (n / theta if theta < 1.0 else float(n)), n, theta
+
+
+def theta_difference(
+    ks_a, theta_a: float, ks_b, theta_b: float
+) -> tuple[float, int, float]:
+    """Set-difference estimate ``|A \\ B|``: ``(est, n_diff_samples,
+    theta)`` — the A-not-B operation that completes the theta algebra
+    (HLL supports union only; intersection/difference need the KMV
+    sample).
+
+    Both samples are clipped to the smaller theta; A's retained values
+    absent from B's are a uniform sample of the true difference at rate
+    theta, so ``est = n_diff / theta`` (exact when both sketches are
+    exact).  The sampled count is ~Poisson(true * theta), so
+    :func:`theta_intersect_bound` certifies this estimate too.
+    """
+    theta = min(theta_a, theta_b)
+    diff = np.setdiff1d(_clip(ks_a, theta), _clip(ks_b, theta))
+    n = int(len(diff))
     return (n / theta if theta < 1.0 else float(n)), n, theta
 
 

@@ -453,6 +453,45 @@ class TestTheta:
         true_union = 2 * n - overlap
         assert abs(u_est - true_union) <= 5.0 * true_union / (k - 2) ** 0.5
 
+    def test_difference(self, spark):
+        from ddspark.sketches.theta import (
+            theta_difference,
+            theta_intersect_bound,
+            theta_summary,
+        )
+
+        n, overlap, k = 20000, 6000, 1024
+        a = self._items(spark, n)  # x0..x19999
+        b = spark.createDataFrame(
+            [(f"x{i}",) for i in range(n - overlap, 2 * n - overlap)],
+            "item string",
+        )
+        sa = theta_summary(a, "item", k=k).first()
+        sb = theta_summary(b, "item", k=k).first()
+        est, nd, theta = theta_difference(sa["ks"], sa["theta"], sb["ks"], sb["theta"])
+        half = theta_intersect_bound(nd, theta)
+        assert abs(est - (n - overlap)) <= half
+        # reverse direction: |B \ A| has the same true size here
+        est2, nd2, _ = theta_difference(sb["ks"], sb["theta"], sa["ks"], sa["theta"])
+        assert abs(est2 - (n - overlap)) <= theta_intersect_bound(nd2, theta)
+
+    def test_exact_difference_when_both_small(self, spark):
+        from ddspark.sketches.theta import theta_difference, theta_summary
+
+        a = self._items(spark, 100)
+        b = spark.createDataFrame(
+            [(f"x{i}",) for i in range(60, 160)], "item string"
+        )
+        sa = theta_summary(a, "item", k=1024).first()
+        sb = theta_summary(b, "item", k=1024).first()
+        est, nd, theta = theta_difference(sa["ks"], sa["theta"], sb["ks"], sb["theta"])
+        assert (est, theta) == (60.0, 1.0)  # exact: x0..x59
+        # identity: |A\B| + |A∩B| == |A| in exact mode
+        from ddspark.sketches.theta import theta_intersect
+
+        i_est, _, _ = theta_intersect(sa["ks"], sa["theta"], sb["ks"], sb["theta"])
+        assert est + i_est == 100.0
+
     def test_exact_intersection_when_both_small(self, spark):
         from ddspark.sketches.theta import theta_intersect, theta_summary
 
