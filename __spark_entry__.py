@@ -1770,6 +1770,34 @@ def _q_theta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Pearson correlation of quantity vs extendedprice per
+    returnflag: integer-scaled values, exact DECIMAL sums (order-
+    independent), fixed-order double combination — hash-matched, which
+    F.corr's float accumulation could never be."""
+    from ddspark.profile import pearson_corr_exact
+
+    li = _read(spark, sf_dir, "lineitem")
+    return pearson_corr_exact(
+        li,
+        "l_quantity",
+        "l_extendedprice",
+        by=["l_returnflag"],
+        x_scale=1,
+        y_scale=100,
+    )
+
+
+def _q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square contingency cells for lang x source over documents:
+    exact integer marginals, per-cell (O-E)^2/E contributions (no float
+    sum over cells, so every value is deterministic cross-engine)."""
+    from ddspark.profile import crosstab_chi2
+
+    docs = _read(spark, sf_dir, "documents")
+    return crosstab_chi2(docs, "lang", "source")
+
+
 def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle shape: point-frequency estimates must satisfy the
     CM guarantee ``exact <= est <= exact + (e/width) * N`` per probe."""
@@ -2032,6 +2060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_pairs": wrap(_q_containment_pairs),  # new in r5
         "join_event_attribution": wrap(_q_event_attribution),  # new in r5
         "theta_shingle_diff": wrap(_q_theta_diff),  # new in r5
+        "profile_corr_exact": wrap(_q_corr_exact),  # new in r5
+        "profile_crosstab_chi2": wrap(_q_crosstab_chi2),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3159,6 +3189,8 @@ FROM w GROUP BY 1
         """,
         "theta_shingle_overlap": _theta_overlap_oracle(),
         "theta_shingle_diff": _theta_diff_oracle(),
+        "profile_corr_exact": _corr_exact_oracle(),
+        "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
             SELECT event_type,
@@ -3622,6 +3654,25 @@ FROM sizes sa
 JOIN sizes sb ON sa.id <> sb.id
 LEFT JOIN inter ON inter.lang_a = sa.id AND inter.lang_b = sb.id
 """
+
+
+def _corr_exact_oracle() -> str:
+    from ddspark.profile import pearson_corr_exact_oracle_sql
+
+    return pearson_corr_exact_oracle_sql(
+        "lineitem",
+        "l_quantity",
+        "l_extendedprice",
+        by=["l_returnflag"],
+        x_scale=1,
+        y_scale=100,
+    )
+
+
+def _crosstab_oracle() -> str:
+    from ddspark.profile import crosstab_chi2_oracle_sql
+
+    return crosstab_chi2_oracle_sql("documents", "lang", "source")
 
 
 def _pii_oracle() -> str:

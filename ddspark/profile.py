@@ -15,7 +15,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["profile_table"]
+__all__ = [
+    "profile_table",
+    "pearson_corr_exact",
+    "pearson_corr_exact_oracle_sql",
+    "crosstab_chi2",
+    "crosstab_chi2_oracle_sql",
+]
 
 
 def profile_table(
@@ -61,3 +67,175 @@ def profile_table(
         )
     )
     return stacked
+
+
+def pearson_corr_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Pearson correlation with cross-engine bit-reproducible results:
+    ``(by..., n, corr)``.
+
+    ``F.corr``'s streaming-covariance accumulation is float and
+    partition-order dependent, so two runs (or two engines) disagree in
+    the last ulps and a value-hashing gate can't vouch for it.  This
+    version is deterministic: values are scaled to integers (``x_scale``
+    = 10^decimals, e.g. 100 for 2-dp prices), all five sums
+    (Σx, Σy, Σxy, Σx², Σy²) accumulate as exact DECIMAL integers
+    (order-independent), and only the final textbook combination
+
+        corr = (nΣxy − ΣxΣy) / (√(nΣx² − Σx²) · √(nΣy² − Σy²))
+
+    runs in double — a fixed sequence of correctly-rounded IEEE-754 ops
+    on exact inputs, identical in any engine (sqrt is correctly rounded
+    per IEEE).  One scan, one partial+final aggregation; the scan stays
+    pruned to ``by + [x, y]``.
+
+    Precision bounds: a scaled value must fit the per-row product —
+    |x·y| < 10^18 after scaling (DECIMAL(18,0) each, product
+    DECIMAL(37,0), sums DECIMAL(38,0) ≈ 10^38 headroom for ~10^19 rows
+    of max-magnitude products; Spark raises on overflow under ANSI
+    rather than wrapping).  Constant columns yield NULL (zero variance).
+    """
+    by = list(by or [])
+    xi = F.round(F.col(x_col) * x_scale).cast("decimal(18,0)")
+    yi = F.round(F.col(y_col) * y_scale).cast("decimal(18,0)")
+    pre = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*by, xi.alias("_x"), yi.alias("_y"))
+    sums = pre.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    var_x = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    num = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    corr = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), ndigits),
+    )
+    return sums.select(*by, "n", corr.alias("corr"))
+
+
+def pearson_corr_exact_oracle_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`pearson_corr_exact` — same decimal sums, same
+    double combination order."""
+    by = list(by or [])
+    by_sel = "".join(f"{c}, " for c in by)
+    group = f"GROUP BY {', '.join(by)}" if by else ""
+    return f"""
+WITH pre AS (
+  SELECT {by_sel}
+         CAST(ROUND({x_col} * {x_scale}) AS DECIMAL(18,0)) AS x,
+         CAST(ROUND({y_col} * {y_scale}) AS DECIMAL(18,0)) AS y
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+sums AS (
+  SELECT {by_sel}
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pre {group}
+)
+SELECT {by_sel} n,
+       CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+            THEN ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+                       (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) *
+                        SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), {ndigits})
+       END AS corr
+FROM sums
+""".strip()
+
+
+def crosstab_chi2(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Chi-square contingency table: one row per (row, col) cell with
+    ``observed`` (exact BIGINT), ``expected`` = row_total·col_total/N,
+    and the cell's chi-square contribution ``(O−E)²/E`` (both rounded).
+
+    The independence screen a corpus profiler runs on categorical pairs
+    (language × source, split × label) to spot sampling bias.  Per-cell
+    contributions are emitted instead of the summed statistic so every
+    output value is a fixed-order double expression on exact integer
+    counts — deterministic cross-engine, where a float sum over cells
+    would be partition-order dependent.  Plan: one (row, col) count
+    aggregation plus two marginal aggregations joined back on their
+    keys — three narrow shuffles over counts, never over data rows.
+    """
+    cell = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("observed"))
+    rtot = df.groupBy(row_col).agg(F.count(F.lit(1)).alias("_rt"))
+    ctot = df.groupBy(col_col).agg(F.count(F.lit(1)).alias("_ct"))
+    ntot = df.agg(F.count(F.lit(1)).alias("_n"))
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.col("observed").cast("double")
+    return (
+        cell.join(rtot, row_col)
+        .join(ctot, col_col)
+        .crossJoin(F.broadcast(ntot))
+        .select(
+            row_col,
+            col_col,
+            "observed",
+            F.round(e, ndigits).alias("expected"),
+            F.round((o - e) * (o - e) / e, ndigits).alias("chi2_contrib"),
+        )
+    )
+
+
+def crosstab_chi2_oracle_sql(
+    table: str, row_col: str, col_col: str, ndigits: int = 6
+) -> str:
+    """ANSI twin of :func:`crosstab_chi2`."""
+    return f"""
+WITH cell AS (
+  SELECT {row_col}, {col_col}, COUNT(*) AS observed
+  FROM {table} GROUP BY 1, 2
+),
+rtot AS (SELECT {row_col}, COUNT(*) AS rt FROM {table} GROUP BY 1),
+ctot AS (SELECT {col_col}, COUNT(*) AS ct FROM {table} GROUP BY 1),
+ntot AS (SELECT COUNT(*) AS n FROM {table})
+SELECT cell.{row_col}, cell.{col_col}, observed,
+       ROUND(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE),
+             {ndigits}) AS expected,
+       ROUND((CAST(observed AS DOUBLE) -
+              CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(observed AS DOUBLE) -
+                CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+             / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)),
+             {ndigits}) AS chi2_contrib
+FROM cell
+JOIN rtot USING ({row_col})
+JOIN ctot USING ({col_col})
+CROSS JOIN ntot
+""".strip()

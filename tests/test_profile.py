@@ -36,3 +36,68 @@ def test_profile_table_single_scan(spark):
     )
     assert plan.count("FileScan") == 1, plan
     assert "Expand" in plan  # the multi-DISTINCT lowering
+
+
+def test_pearson_corr_exact_matches_numpy(spark):
+    import numpy as np
+
+    from ddspark.profile import pearson_corr_exact
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(1, 50, 400).astype(float)
+    y = np.round(3.0 * x + rng.normal(0, 20, 400), 2)
+    g = rng.choice(["a", "b"], 400)
+    df = spark.createDataFrame(
+        list(zip(g.tolist(), x.tolist(), y.tolist())), "g string, x double, y double"
+    )
+    got = {
+        r["g"]: (r["n"], r["corr"])
+        for r in pearson_corr_exact(df, "x", "y", by=["g"], y_scale=100).collect()
+    }
+    for grp in ("a", "b"):
+        m = g == grp
+        want = np.corrcoef(x[m], np.round(y[m] * 100))[0, 1]
+        n, corr = got[grp]
+        assert n == int(m.sum())
+        assert corr == pytest.approx(want, abs=1e-6)
+
+
+def test_pearson_corr_exact_edge_cases(spark):
+    from ddspark.profile import pearson_corr_exact
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("a", 1.0, 7.0), ("b", 1.0, None), ("b", 2.0, 4.0), ("b", 3.0, 2.0)],
+        "g string, x double, y double",
+    )
+    got = {r["g"]: (r["n"], r["corr"]) for r in pearson_corr_exact(df, "x", "y", by=["g"]).collect()}
+    assert got["a"] == (2, None)  # zero x-variance -> NULL, not div-by-zero
+    assert got["b"] == (2, -1.0)  # NULL row dropped; perfect inverse
+
+
+def test_pearson_corr_partition_invariant(spark):
+    from ddspark.profile import pearson_corr_exact
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    a = pearson_corr_exact(li, "l_quantity", "l_extendedprice", y_scale=100).collect()
+    b = pearson_corr_exact(
+        li.repartition(13), "l_quantity", "l_extendedprice", y_scale=100
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["corr"] is not None
+
+
+def test_crosstab_chi2_known_table(spark):
+    from ddspark.profile import crosstab_chi2
+
+    # 2x2 with a known chi2: O = [[10, 20], [20, 10]], N=60
+    rows = (
+        [("r1", "c1")] * 10 + [("r1", "c2")] * 20
+        + [("r2", "c1")] * 20 + [("r2", "c2")] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = {(x["r"], x["c"]): x for x in crosstab_chi2(df, "r", "c").collect()}
+    # every marginal is 30 -> E = 30*30/60 = 15 per cell, contrib = 25/15
+    for k, rec in out.items():
+        assert rec["expected"] == 15.0
+        assert rec["chi2_contrib"] == pytest.approx(25 / 15, abs=1e-6)
+    assert sum(rec["observed"] for rec in out.values()) == 60
