@@ -1487,6 +1487,29 @@ def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round_quantiles(out)
 
 
+def _q_rolling_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling quantiles per event type from ONE scan: daily
+    sketch cells exploded to the windows they serve and re-aggregated —
+    the replication factor hits cells (KBs/day), never raw rows.  The
+    oracle replays the identical ANSI sketch over an events-to-window
+    self-join, so the monoid path is value-matched against the
+    read-every-row-7-times formulation."""
+    from ddspark.agg import quantile_sketch_rolling
+
+    ev = _read(spark, sf_dir, "events").where(F.col("value") > 0)
+    res = quantile_sketch_rolling(
+        ev, "value", "ts", ["event_type"], window_days=7,
+        qs=QS, cfg=SketchConfig(0.05),
+    )
+    out = res.select(
+        "event_type",
+        F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
+        "count",
+        *[quantile_label(q) for q in QS],
+    )
+    return _round_quantiles(out)
+
+
 def _q_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionized quantile sketches: row-level gaps-and-islands session
     assignment (``ddspark.streaming.sessionize``) composed with the fused
@@ -2062,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theta_shingle_diff": wrap(_q_theta_diff),  # new in r5
         "profile_corr_exact": wrap(_q_corr_exact),  # new in r5
         "profile_crosstab_chi2": wrap(_q_crosstab_chi2),  # new in r5
+        "ddsketch_rolling_quantiles": wrap(_q_rolling_quantiles),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -2901,6 +2925,22 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, "
             "event_type, value FROM events) evt",
             "value", ["day", "event_type"], QS, 0.05, round_digits=ROUND,
+        ),
+        # rolling twin: every positive event row joins to each present
+        # (event_type, day) window-end within the next 7 days — the
+        # read-every-row-W-times formulation the cell-explode path avoids
+        "ddsketch_rolling_quantiles": ansi_sql_quantile_sketch(
+            "(SELECT t.event_type, t.window_end, e.value "
+            "FROM (SELECT event_type, CAST(ts AS DATE) AS d, value "
+            "      FROM events WHERE value > 0) e "
+            "JOIN (SELECT DISTINCT event_type, "
+            "             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS window_end, "
+            "             CAST(ts AS DATE) AS td "
+            "      FROM events WHERE value > 0) t "
+            "  ON e.event_type = t.event_type "
+            " AND e.d BETWEEN t.td - 6 AND t.td) rolled",
+            "value", ["event_type", "window_end"], QS, 0.05,
+            round_digits=ROUND,
         ),
         # Session boundaries are derived over DISTINCT (user_id, ts) and
         # joined back to the rows: with duplicate timestamps (the 10x

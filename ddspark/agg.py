@@ -697,6 +697,76 @@ def quantile_sketch_rollup(
     return out
 
 
+def quantile_sketch_rolling(
+    df: DataFrame,
+    value_col: str,
+    time_col: str,
+    by: list[str],
+    window_days: int = 7,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    cfg: SketchConfig | None = None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Trailing-window quantiles per day — rolling p95 without rescanning
+    the window: for every ``(by, day)`` present in the data, the quantiles
+    of ``value_col`` over days ``[day - window_days + 1, day]``.
+
+    The sketch monoid makes this one scan: build per-``(by, day)`` bucket
+    cells once, EXPLODE each day's cells to the ``window_days`` trailing
+    windows it belongs to, and re-aggregate — a raw-row implementation
+    reads every row ``window_days`` times (or sorts per key); here the
+    replication factor applies to CELLS (KBs per group-day), so the
+    shuffle carries ``groups × days × window × live-buckets`` cell rows
+    regardless of data volume.  Window ends are restricted to days
+    actually present for the group (one cell-sized left-semi join).
+
+    Output: ``by... | window_end DATE | count sum min max avg | p...``.
+    """
+    by = list(by)
+    cfg = cfg or SketchConfig()
+    epoch = F.to_date(F.lit("1970-01-01"))
+    base = df.withColumn(
+        "_day", F.datediff(F.col(time_col).cast("date"), epoch)
+    )
+    cells = build_cells(base, value_col, by + ["_day"], cfg, weight_col)
+    tgt = cells.withColumn(
+        "_tday",
+        F.explode(
+            F.sequence(F.col("_day"), F.col("_day") + int(window_days) - 1)
+        ),
+    ).withColumn("_base", F.col("_tday") == F.col("_day")).drop("_day")
+    # Restrict window ends to days actually present for the group WITHOUT
+    # re-deriving them from a second scan or a self-join on the cells
+    # branch (either doubles the FileScan): each exploded cell remembers
+    # whether it IS its own window end (`_base`), and a window-max over
+    # (by, window_end) keeps exactly the groups where some cell is.  The
+    # window partitions by the same keys finalize's windows use, so the
+    # sort/exchange is shared — net cost ~zero.
+    roll = tgt.groupBy(*by, "_tday", "_sgn", "_k").agg(
+        F.sum("_c").alias("_c"),
+        F.sum("_s").alias("_s"),
+        F.min("_mn").alias("_mn"),
+        F.max("_mx").alias("_mx"),
+        F.sum("_rc").alias("_rc"),
+        F.max("_base").alias("_b"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(*by, "_tday")
+    roll = (
+        roll.withColumn("_present", F.max("_b").over(w))
+        .where(F.col("_present"))
+        .drop("_b", "_present")
+    )
+    fin = finalize_cells_sql(roll, list(qs), by + ["_tday"], cfg)
+    return fin.withColumn(
+        "window_end", F.date_add(epoch, F.col("_tday").cast("int"))
+    ).drop("_tday").select(
+        *by, "window_end",
+        *[c for c in fin.columns if c not in by + ["_tday"]],
+    )
+
+
 def quantile_sketch_collect(
     df: DataFrame,
     value_col: str,

@@ -414,3 +414,101 @@ def test_finalize_cells_vec_lean_cells(spark):
         map(tuple, d[sorted(d.columns)].round(9).itertuples(index=False))
     )
     assert key(vec) == key(sql[sorted(vec.columns)])
+
+
+# ------------------------------------------------ rolling trailing windows
+
+
+def test_rolling_quantiles_match_per_window_sketch(spark):
+    """quantile_sketch_rolling (daily cells exploded to windows) must equal
+    quantile_sketch run directly on each trailing window's rows."""
+    import pandas as pd
+
+    from ddspark.agg import quantile_label, quantile_sketch, quantile_sketch_rolling
+    from ddspark.sketch import SketchConfig
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2026-03-01")
+            + pd.to_timedelta(rng.integers(0, 12 * 86400, n), unit="s"),
+            "g": rng.choice(["a", "b"], n),
+            "v": np.round(rng.lognormal(2.0, 1.0, n), 3),
+        }
+    )
+    # punch a hole: no data for g='a' on day 5 -> that window_end must be absent
+    day5 = (pdf["ts"].dt.normalize() == pd.Timestamp("2026-03-06")) & (pdf["g"] == "a")
+    pdf = pdf[~day5].reset_index(drop=True)
+    df = spark.createDataFrame(pdf)
+    cfg = SketchConfig(0.02)
+    qs = [0.5, 0.95]
+    got = {
+        (r["g"], str(r["window_end"])): (r["count"], r[quantile_label(0.5)], r[quantile_label(0.95)])
+        for r in quantile_sketch_rolling(df, "v", "ts", ["g"], 7, qs, cfg).collect()
+    }
+    # absent day is absent from output
+    assert ("a", "2026-03-06") not in got
+    days = sorted({(g, d) for g, d in zip(pdf["g"], pdf["ts"].dt.date)})
+    assert set(got) == {(g, str(d)) for g, d in days}
+    for g, d in days[:: max(1, len(days) // 8)]:  # spot-check a spread
+        lo = pd.Timestamp(d) - pd.Timedelta(days=6)
+        hi = pd.Timestamp(d) + pd.Timedelta(days=1)
+        sub = pdf[(pdf["g"] == g) & (pdf["ts"] >= lo) & (pdf["ts"] < hi)]
+        want = quantile_sketch(
+            spark.createDataFrame(sub[["v"]]), "v", qs=qs, cfg=cfg
+        ).collect()[0]
+        n_, p50, p95 = got[(g, str(d))]
+        assert n_ == float(len(sub))
+        assert p50 == want[quantile_label(0.5)]
+        assert p95 == want[quantile_label(0.95)]
+
+
+def test_rolling_quantiles_partition_invariant(spark):
+    import pandas as pd
+
+    from ddspark.agg import quantile_sketch_rolling
+    from ddspark.sketch import SketchConfig
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2026-03-01")
+            + pd.to_timedelta(rng.integers(0, 5 * 86400, 1000), unit="s"),
+            "g": rng.choice(["x", "y"], 1000),
+            "v": rng.uniform(1, 100, 1000).round(2),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    a = quantile_sketch_rolling(df.repartition(1), "v", "ts", ["g"], 3, cfg=SketchConfig(0.01)).collect()
+    b = quantile_sketch_rolling(df.repartition(11), "v", "ts", ["g"], 3, cfg=SketchConfig(0.01)).collect()
+    assert len(a) == len(b) > 0
+    key = lambda r: (r["g"], str(r["window_end"]))
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        da, db = ra.asDict(), rb.asDict()
+        # exact-stat sum/avg are float sums (partition-order last-ulp
+        # drift is inherent); count, extremes, and every quantile — the
+        # cells themselves — must be bit-identical
+        for c in da:
+            if c in ("sum", "avg"):
+                assert abs(da[c] - db[c]) <= 1e-9 * max(1.0, abs(da[c]))
+            else:
+                assert da[c] == db[c], c
+
+
+def test_rolling_quantiles_plan_one_scan_no_python(spark):
+    """The cell-explode formulation must stay one FileScan (the presence
+    filter rides a window over the cells, not a second scan or self-join)
+    and fully JVM-side."""
+    from ddspark.agg import quantile_sketch_rolling
+    from ddspark.sketch import SketchConfig
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").where(
+        "value > 0"
+    )
+    plan = (
+        quantile_sketch_rolling(ev, "value", "ts", ["event_type"], 7, cfg=SketchConfig(0.05))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("FileScan") == 1, plan
+    assert "Python" not in plan
