@@ -2049,6 +2049,16 @@ def _q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus collocations: top-20 adjacent word pairs by PMI in integer
+    micro-nats (exact-integer log argument, deterministic tie-break) —
+    hash-matched against the full DuckDB replay."""
+    from ddspark.pipeline.textops import collocations_pmi
+
+    docs = _read(spark, sf_dir, "documents")
+    return collocations_pmi(docs, "text", k=20, min_count=5)
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis race
     with hash-derived uniforms): 8 docs per language with inclusion odds
@@ -2086,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corr_exact": wrap(_q_corr_exact),  # new in r5
         "profile_crosstab_chi2": wrap(_q_crosstab_chi2),  # new in r5
         "ddsketch_rolling_quantiles": wrap(_q_rolling_quantiles),  # new in r5
+        "text_collocations_pmi": wrap(_q_collocations_pmi),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3186,6 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "text_lm_score": _lm_score_oracle_sql(),
         "text_tfidf_topk": _tfidf_oracle_sql(),
         "text_phrase_search": _phrase_search_oracle(),
+        "text_collocations_pmi": _collocations_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "dedup_containment_pairs": _containment_oracle(),
         "join_event_attribution": """
@@ -3351,6 +3363,12 @@ def _phrase_search_oracle() -> str:
         for ph in _PHRASES
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def _collocations_oracle() -> str:
+    from ddspark.pipeline.textops import collocations_pmi_oracle_sql
+
+    return collocations_pmi_oracle_sql("documents", "text", k=20, min_count=5)
 
 
 def _bm25_oracle() -> str:

@@ -29,6 +29,8 @@ __all__ = [
     "hashed_bow_score_oracle_sql",
     "tfidf_top_terms",
     "tfidf_top_terms_oracle_sql",
+    "collocations_pmi",
+    "collocations_pmi_oracle_sql",
     "fingerprint",
     "winnow_fingerprints",
     "winnow_neardup_pairs",
@@ -631,4 +633,130 @@ scored AS (
 SELECT id AS {id_col}, CAST(rank AS INT) AS rank, term,
        CAST(tf AS BIGINT) AS tf, score_micro
 FROM scored WHERE rank <= {k}
+""".strip()
+
+
+def collocations_pmi(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus collocations: top-``k`` adjacent word pairs by pointwise
+    mutual information — ``(rank, w1, w2, pair_count, pmi_micro)``.
+
+    PMI = ln(T·c(w1 w2) / (c(w1)·c(w2))) over corpus-wide bigram/unigram
+    occurrence counts (T = total bigram positions), quantized to integer
+    micro-nats (``floor(1e6·ln(...))``, exact-integer argument via one
+    correctly-rounded division) so ranking — tie-broken by
+    ``(pmi_micro DESC, w1, w2)`` — hashes identically cross-engine.
+    ``min_count`` drops hapax pairs whose PMI is spuriously high (the
+    standard collocation-extraction guard).
+
+    Plan shape: one tokenize + one bigram explode, a bigram-keyed count,
+    a unigram-keyed count joined twice (unigram table is vocabulary-
+    bounded), T as a broadcast one-row crossJoin; top-k via distributed
+    TakeOrdered, then a rank window over k rows.
+    """
+    from pyspark.sql import Window
+
+    from .dedup import grams_from_tokens, word_tokens
+
+    toks = df.select(word_tokens(F.col(text_col)).alias("_t")).select(
+        F.filter("_t", lambda x: x != "").alias("_t")
+    )
+    bi = toks.select(
+        F.explode(grams_from_tokens(F.col("_t"), 2)).alias("bigram")
+    ).select(
+        F.split("bigram", " ").getItem(0).alias("w1"),
+        F.split("bigram", " ").getItem(1).alias("w2"),
+    )
+    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = (
+        bi.select(F.col("w1").alias("w"))
+        .unionAll(bi.select(F.col("w2").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = bi.agg(F.count(F.lit(1)).alias("_t2"))
+    scored = (
+        pair.where(F.col("pair_count") >= min_count)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (
+                        2.0 * F.col("_t2").cast("double")
+                        * F.col("pair_count").cast("double")
+                    )
+                    / (
+                        2.0 * F.col("_c1").cast("double")
+                        * F.col("_c2").cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    topk = scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+    w = Window.orderBy(
+        F.col("pmi_micro").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return topk.select(
+        F.row_number().over(w).alias("rank"), "w1", "w2", "pair_count", "pmi_micro"
+    )
+
+
+def collocations_pmi_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    k: int = 20,
+    min_count: int = 5,
+) -> str:
+    """ANSI twin of :func:`collocations_pmi` — both sides count unigrams
+    over BIGRAM SLOTS (each interior token twice), so the 2x cancels in
+    a numerator/denominator pair kept verbatim for order parity."""
+    return rf"""
+WITH toks AS (
+  SELECT list_filter(string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS t
+  FROM {table}
+),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2
+),
+pair AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bi GROUP BY 1, 2),
+uni AS (
+  SELECT w, COUNT(*) AS c FROM (
+    SELECT w1 AS w FROM bi UNION ALL SELECT w2 AS w FROM bi
+  ) GROUP BY 1
+),
+total AS (SELECT COUNT(*) AS t2 FROM bi),
+scored AS (
+  SELECT w1, w2, pair_count,
+         CAST(FLOOR(1e6 * ln(
+             (2.0 * CAST(total.t2 AS DOUBLE) * CAST(pair_count AS DOUBLE)) /
+             (2.0 * CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE))
+         )) AS BIGINT) AS pmi_micro
+  FROM pair
+  JOIN uni u1 ON u1.w = pair.w1
+  JOIN uni u2 ON u2.w = pair.w2
+  CROSS JOIN total
+  WHERE pair_count >= {min_count}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS INT) AS rank,
+       w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi_micro
+FROM scored
+QUALIFY rank <= {k}
 """.strip()

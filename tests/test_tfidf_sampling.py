@@ -127,3 +127,49 @@ def test_weighted_sample_excludes_nonpositive_and_invariant(spark):
     a = weighted_sample(df.repartition(4), 2, "w", "doc_id").collect()
     b = weighted_sample(df.coalesce(1), 2, "w", "doc_id").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -------------------------------------------------------------- PMI
+
+
+def test_collocations_pmi_matches_python(spark):
+    import math
+
+    from ddspark.pipeline.textops import collocations_pmi
+
+    texts = [
+        "new york is a big city",
+        "new york has new ideas",
+        "york new style",
+        "a big city and a big idea",
+        "new york new york new york",
+    ] * 3  # min_count reachable
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.rank, r.w1, r.w2, r.pair_count, r.pmi_micro)
+        for r in collocations_pmi(df, "text", k=5, min_count=3)
+        .orderBy("rank")
+        .collect()
+    ]
+    # python oracle over bigram slots
+    pairs, uni, total = {}, {}, 0
+    for t in texts:
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+            uni[a] = uni.get(a, 0) + 1
+            uni[b] = uni.get(b, 0) + 1
+            total += 1
+    scored = [
+        (
+            w1,
+            w2,
+            c,
+            math.floor(1e6 * math.log((2.0 * total * c) / (2.0 * uni[w1] * uni[w2]))),
+        )
+        for (w1, w2), c in pairs.items()
+        if c >= 3
+    ]
+    scored.sort(key=lambda r: (-r[3], r[0], r[1]))
+    want = [(i + 1, w1, w2, c, p) for i, (w1, w2, c, p) in enumerate(scored[:5])]
+    assert got == want
