@@ -1821,6 +1821,16 @@ def _q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crosstab_chi2(docs, "lang", "source")
 
 
+def _q_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column Shannon entropy over events (ID-leak / near-constant
+    detector): per-value terms floor-quantized to exact BIGINT micro-nats
+    so the sum is order-independent; NULL is its own category."""
+    from ddspark.profile import column_entropy
+
+    ev = _read(spark, sf_dir, "events")
+    return column_entropy(ev, ["event_type", "user_id", "props"])
+
+
 def _q_countmin_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bound-check oracle shape: point-frequency estimates must satisfy the
     CM guarantee ``exact <= est <= exact + (e/width) * N`` per probe."""
@@ -2097,6 +2107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_crosstab_chi2": wrap(_q_crosstab_chi2),  # new in r5
         "ddsketch_rolling_quantiles": wrap(_q_rolling_quantiles),  # new in r5
         "text_collocations_pmi": wrap(_q_collocations_pmi),  # new in r5
+        "profile_entropy": wrap(_q_column_entropy),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3242,6 +3253,7 @@ FROM w GROUP BY 1
         "theta_shingle_overlap": _theta_overlap_oracle(),
         "theta_shingle_diff": _theta_diff_oracle(),
         "profile_corr_exact": _corr_exact_oracle(),
+        "profile_entropy": _entropy_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3725,6 +3737,12 @@ def _corr_exact_oracle() -> str:
         x_scale=1,
         y_scale=100,
     )
+
+
+def _entropy_oracle() -> str:
+    from ddspark.profile import column_entropy_oracle_sql
+
+    return column_entropy_oracle_sql("events", ["event_type", "user_id", "props"])
 
 
 def _crosstab_oracle() -> str:

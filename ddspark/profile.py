@@ -21,6 +21,8 @@ __all__ = [
     "pearson_corr_exact_oracle_sql",
     "crosstab_chi2",
     "crosstab_chi2_oracle_sql",
+    "column_entropy",
+    "column_entropy_oracle_sql",
 ]
 
 
@@ -238,4 +240,93 @@ FROM cell
 JOIN rtot USING ({row_col})
 JOIN ctot USING ({col_col})
 CROSS JOIN ntot
+""".strip()
+
+
+def column_entropy(
+    df: DataFrame,
+    cols: list[str],
+    ndigits: int = 6,
+) -> DataFrame:
+    """Shannon entropy per column, deterministic cross-engine:
+    ``(column, n, n_distinct, entropy_nats)``.
+
+    The detector for near-constant columns (entropy ≈ 0), unique-ID
+    leaks into features (entropy ≈ ln n), and skewed categoricals.
+    ``H = ln N − (Σ_v c_v·ln c_v)/N`` — the inner sum is a float sum
+    over distinct values, which would be partition-order dependent, so
+    each value's term is floor-quantized to an integer
+    (``floor(1e6·c·ln c)``, exact BIGINT) and summed EXACTLY; the final
+    entropy is one fixed-order double expression over two exact
+    integers.  Quantization bias is < 1e-6 nats per distinct value,
+    bounded and documented rather than order-dependent.
+
+    One scan for all columns: rows unpivot via ``stack`` to
+    ``(column, value)`` (values compared as strings; NULL is its own
+    category), then a single (column, value) count aggregation and a
+    per-column rollup of the quantized terms.  Shuffle carries value
+    counts, never rows beyond the unpivot projection.
+    """
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    bad = [c for c in cols if "'" in c or "`" in c]
+    if bad:
+        raise ValueError(f"column names with quotes are unsupported: {bad}")
+    parts = ", ".join(
+        f"'{c}', coalesce(CAST(`{c}` AS STRING), '\\u0000NULL')" for c in cols
+    )
+    long = df.selectExpr(f"stack({len(cols)}, {parts}) AS (column, value)")
+    counts = long.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_col = counts.groupBy("column").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(
+            F.floor(
+                F.lit(1e6)
+                * F.col("c").cast("double")
+                * F.log(F.col("c").cast("double"))
+            ).cast("long")
+        ).alias("_s_micro"),
+    )
+    h = F.log(F.col("n").cast("double")) - (
+        F.col("_s_micro").cast("double")
+        / (F.lit(1e6) * F.col("n").cast("double"))
+    )
+    return per_col.select(
+        "column",
+        "n",
+        "n_distinct",
+        F.round(h, ndigits).alias("entropy_nats"),
+    )
+
+
+def column_entropy_oracle_sql(
+    table: str, cols: list[str], ndigits: int = 6
+) -> str:
+    """ANSI twin of :func:`column_entropy`."""
+    selects = " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", "
+        f"COALESCE(CAST({c} AS VARCHAR), chr(0) || 'NULL') AS value "
+        f"FROM {table}"
+        for c in cols
+    )
+    return f"""
+WITH long AS ({selects}),
+counts AS (SELECT "column", value, COUNT(*) AS c FROM long GROUP BY 1, 2),
+per_col AS (
+  SELECT "column",
+         SUM(c) AS n,
+         COUNT(*) AS n_distinct,
+         SUM(CAST(FLOOR(1e6 * CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS BIGINT))
+           AS s_micro
+  FROM counts GROUP BY "column"
+)
+SELECT "column", CAST(n AS BIGINT) AS n, CAST(n_distinct AS BIGINT) AS n_distinct,
+       ROUND(ln(CAST(n AS DOUBLE)) -
+             (CAST(s_micro AS DOUBLE) / (1e6 * CAST(n AS DOUBLE))),
+             {ndigits}) AS entropy_nats
+FROM per_col
 """.strip()

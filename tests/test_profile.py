@@ -101,3 +101,42 @@ def test_crosstab_chi2_known_table(spark):
         assert rec["expected"] == 15.0
         assert rec["chi2_contrib"] == pytest.approx(25 / 15, abs=1e-6)
     assert sum(rec["observed"] for rec in out.values()) == 60
+
+
+def test_column_entropy_known_values(spark):
+    import math
+
+    from ddspark.profile import column_entropy
+
+    rows = [("a", 1), ("a", 2), ("b", 3), ("c", None)] * 4  # 16 rows
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = {r["column"]: r for r in column_entropy(df, ["g", "v"]).collect()}
+
+    def h(counts):
+        n = sum(counts)
+        s = sum(math.floor(1e6 * c * math.log(c)) for c in counts)
+        return round(math.log(n) - s / (1e6 * n), 6)
+
+    assert out["g"]["n"] == 16 and out["g"]["n_distinct"] == 3
+    assert out["g"]["entropy_nats"] == h([8, 4, 4])
+    # NULL is its own category for v
+    assert out["v"]["n_distinct"] == 4
+    assert out["v"]["entropy_nats"] == h([4, 4, 4, 4])
+    # uniform over 4 -> ln(4) (within quantization bias)
+    assert abs(out["v"]["entropy_nats"] - math.log(4)) < 1e-5
+
+
+def test_column_entropy_constant_and_unique(spark):
+    from ddspark.profile import column_entropy
+
+    import math
+
+    df = spark.createDataFrame(
+        [(i, "same") for i in range(100)], "id long, k string"
+    )
+    out = {r["column"]: r for r in column_entropy(df, ["id", "k"]).collect()}
+    assert out["k"]["entropy_nats"] == 0.0  # constant column
+    assert abs(out["id"]["entropy_nats"] - math.log(100)) < 1e-5  # ID leak
+
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        column_entropy(df, ["nope"])
