@@ -2024,6 +2024,16 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.4, n=2, df_cap=8)
 
 
+def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/3 proximity search ('hash' within 3 tokens of 'merge'):
+    per-doc position sets in one conditional aggregate, proximity via a
+    nested filter/exists higher-order expression — no self-join."""
+    from ddspark.pipeline.retrieval import proximity_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return proximity_search(docs, "hash", "merge", max_dist=3)
+
+
 def _q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """view→click attribution: every (view, click) pair per user with the
     click at most 30 minutes after the view — the stream-stream-join
@@ -2108,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_rolling_quantiles": wrap(_q_rolling_quantiles),  # new in r5
         "text_collocations_pmi": wrap(_q_collocations_pmi),  # new in r5
         "profile_entropy": wrap(_q_column_entropy),  # new in r5
+        "text_proximity_search": wrap(_q_proximity_search),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3209,6 +3220,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_topk": _tfidf_oracle_sql(),
         "text_phrase_search": _phrase_search_oracle(),
         "text_collocations_pmi": _collocations_oracle(),
+        "text_proximity_search": _proximity_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "dedup_containment_pairs": _containment_oracle(),
         "join_event_attribution": """
@@ -3375,6 +3387,12 @@ def _phrase_search_oracle() -> str:
         for ph in _PHRASES
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def _proximity_oracle() -> str:
+    from ddspark.pipeline.retrieval import proximity_search_oracle_sql
+
+    return proximity_search_oracle_sql("hash", "merge", max_dist=3)
 
 
 def _collocations_oracle() -> str:

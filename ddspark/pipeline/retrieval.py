@@ -40,6 +40,8 @@ __all__ = [
     "build_postings",
     "boolean_and_search",
     "phrase_search",
+    "proximity_search",
+    "proximity_search_oracle_sql",
     "bm25_topk",
     "phrase_search_oracle_sql",
     "bm25_topk_oracle_sql",
@@ -165,6 +167,82 @@ def phrase_search(
         g.select(F.col("id").alias(id_col), F.size(starts).alias("n_occ"))
         .where(F.col("n_occ") > 0)
     )
+
+
+def proximity_search(
+    df: DataFrame,
+    term_a: str,
+    term_b: str,
+    max_dist: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR/k search: documents where ``term_a`` occurs within
+    ``max_dist`` tokens of ``term_b`` — ``(id, n_anchors)``, counting
+    the ``term_a`` positions that have a ``term_b`` within range.
+
+    The unordered-adjacency relaxation of :func:`phrase_search` (same
+    one-aggregation shape): both terms' position sets gather in one
+    conditional aggregate, the proximity test is a nested higher-order
+    expression ``filter(P_a, a -> exists(P_b, b -> |a-b| <= d))`` — all
+    JVM column expressions, no self-join, cost bounded by occurrences
+    of the two queried terms.
+    """
+    if term_a == term_b:
+        raise ValueError("proximity_search needs two distinct terms")
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    tp = tokens_with_positions(df, id_col, text_col).where(
+        F.col("term").isin([term_a, term_b])
+    )
+    g = tp.groupBy("id").agg(
+        F.collect_list(
+            F.when(F.col("term") == term_a, F.col("pos"))
+        ).alias("_pa"),
+        F.collect_list(
+            F.when(F.col("term") == term_b, F.col("pos"))
+        ).alias("_pb"),
+    )
+    anchors = F.size(
+        F.filter(
+            "_pa",
+            lambda a: F.exists(
+                F.col("_pb"), lambda b: F.abs(a - b) <= max_dist
+            ),
+        )
+    )
+    return (
+        g.select(F.col("id").alias(id_col), anchors.alias("n_anchors"))
+        .where(F.col("n_anchors") > 0)
+    )
+
+
+def proximity_search_oracle_sql(
+    term_a: str,
+    term_b: str,
+    max_dist: int = 5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """ANSI twin of :func:`proximity_search` (nested list lambdas)."""
+    ea = term_a.replace("'", "''")
+    eb = term_b.replace("'", "''")
+    toks = _TOKS_CTE.format(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH {toks},
+pos AS (
+  SELECT id,
+         [i - 1 FOR i IN range(1, len(t) + 1) IF t[i] = '{ea}'] AS pa,
+         [i - 1 FOR i IN range(1, len(t) + 1) IF t[i] = '{eb}'] AS pb
+  FROM toks
+)
+SELECT id AS {id_col},
+       CAST(len(list_filter(pa, a -> len(list_filter(pb, b -> abs(a - b) <= {max_dist})) > 0)) AS INT)
+         AS n_anchors
+FROM pos
+WHERE len(list_filter(pa, a -> len(list_filter(pb, b -> abs(a - b) <= {max_dist})) > 0)) > 0
+""".strip()
 
 
 # BM25 constants as exact rationals: k1 = 6/5 (1.2), b = 3/4 (0.75).

@@ -172,3 +172,35 @@ def test_phrase_plan_has_no_python_and_one_agg_shuffle(spark):
     plan = phrase_search(_df(spark), ["the", "cat"])._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan  # pure JVM column expressions
     assert "CartesianProduct" not in plan
+
+
+def _prox_oracle(a: str, b: str, d: int) -> dict[int, int]:
+    out = {}
+    for i, txt in DOCS:
+        t = _tok(txt)
+        pa = [p for p, w in enumerate(t) if w == a]
+        pb = [p for p, w in enumerate(t) if w == b]
+        n = sum(1 for x in pa if any(abs(x - y) <= d for y in pb))
+        if n:
+            out[i] = n
+    return out
+
+
+@pytest.mark.parametrize("a,b,d", [("cat", "mat", 3), ("the", "sat", 1), ("dog", "cat", 2)])
+def test_proximity_search_matches_bruteforce(spark, a, b, d):
+    from ddspark.pipeline.retrieval import proximity_search
+
+    got = {
+        (r.doc_id, r.n_anchors)
+        for r in proximity_search(_df(spark), a, b, d).collect()
+    }
+    assert got == set(_prox_oracle(a, b, d).items())
+
+
+def test_proximity_search_guards(spark):
+    from ddspark.pipeline.retrieval import proximity_search
+
+    with pytest.raises(ValueError, match="distinct terms"):
+        proximity_search(_df(spark), "cat", "cat")
+    with pytest.raises(ValueError, match="max_dist"):
+        proximity_search(_df(spark), "cat", "mat", 0)
