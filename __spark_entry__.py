@@ -1811,6 +1811,18 @@ def _q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Spearman rank correlation per returnflag: tie-averaged
+    integer ranks (2x-scaled to stay exact) through the same DECIMAL-sum
+    Pearson path — robust to the price outliers Pearson sees."""
+    from ddspark.profile import spearman_corr_exact
+
+    li = _read(spark, sf_dir, "lineitem")
+    return spearman_corr_exact(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"]
+    )
+
+
 def _q_crosstab_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chi-square contingency cells for lang x source over documents:
     exact integer marginals, per-cell (O-E)^2/E contributions (no float
@@ -2119,6 +2131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_collocations_pmi": wrap(_q_collocations_pmi),  # new in r5
         "profile_entropy": wrap(_q_column_entropy),  # new in r5
         "text_proximity_search": wrap(_q_proximity_search),  # new in r5
+        "profile_spearman": wrap(_q_spearman),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3266,6 +3279,7 @@ FROM w GROUP BY 1
         "theta_shingle_diff": _theta_diff_oracle(),
         "profile_corr_exact": _corr_exact_oracle(),
         "profile_entropy": _entropy_oracle(),
+        "profile_spearman": _spearman_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3754,6 +3768,14 @@ def _corr_exact_oracle() -> str:
         by=["l_returnflag"],
         x_scale=1,
         y_scale=100,
+    )
+
+
+def _spearman_oracle() -> str:
+    from ddspark.profile import spearman_corr_exact_oracle_sql
+
+    return spearman_corr_exact_oracle_sql(
+        "lineitem", "l_quantity", "l_extendedprice", by=["l_returnflag"]
     )
 
 

@@ -23,6 +23,8 @@ __all__ = [
     "crosstab_chi2_oracle_sql",
     "column_entropy",
     "column_entropy_oracle_sql",
+    "spearman_corr_exact",
+    "spearman_corr_exact_oracle_sql",
 ]
 
 
@@ -330,3 +332,68 @@ SELECT "column", CAST(n AS BIGINT) AS n, CAST(n_distinct AS BIGINT) AS n_distinc
              {ndigits}) AS entropy_nats
 FROM per_col
 """.strip()
+
+
+def spearman_corr_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation, deterministic cross-engine:
+    ``(by..., n, corr)`` — the robust (monotone-relationship) companion
+    to :func:`pearson_corr_exact`, immune to outliers and nonlinearity.
+
+    Ties get average ranks; ``2·avg_rank = 2·min_rank + tie_count − 1``
+    is an exact integer, so the whole computation is Pearson on integer
+    ranks through the same exact-DECIMAL-sum / fixed-order-double path
+    (the shared factor 2 cancels in the correlation).  Rank windows sort
+    each group once per axis — two keyed sorts over ``by``; at extreme
+    group sizes prefer the sketch quantile operators for distribution
+    comparisons instead of a full rank sort.
+    """
+    from pyspark.sql import Window as _W
+
+    by = list(by or [])
+    part = by if by else [F.lit(1)]
+
+    def rank2(c: str) -> F.Column:
+        w = _W.partitionBy(*part).orderBy(F.col(c))
+        tie = _W.partitionBy(*part, c)
+        return (
+            2 * F.rank().over(w) + F.count(F.lit(1)).over(tie) - 1
+        ).cast("double")
+
+    pre = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*by, F.col(x_col), F.col(y_col))
+    ranked = pre.select(
+        *by, rank2(x_col).alias("_rx"), rank2(y_col).alias("_ry")
+    )
+    return pearson_corr_exact(ranked, "_rx", "_ry", by=by, ndigits=ndigits)
+
+
+def spearman_corr_exact_oracle_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`spearman_corr_exact`."""
+    by = list(by or [])
+    by_sel = "".join(f"{c}, " for c in by)
+    part = ", ".join(by) if by else "1"
+    ranked = f"""(
+  SELECT {by_sel}
+         CAST(2 * RANK() OVER (PARTITION BY {part} ORDER BY {x_col})
+              + COUNT(*) OVER (PARTITION BY {part}, {x_col}) - 1 AS DOUBLE) AS _rx,
+         CAST(2 * RANK() OVER (PARTITION BY {part} ORDER BY {y_col})
+              + COUNT(*) OVER (PARTITION BY {part}, {y_col}) - 1 AS DOUBLE) AS _ry
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+) ranked"""
+    return pearson_corr_exact_oracle_sql(
+        ranked, "_rx", "_ry", by=by, ndigits=ndigits
+    )

@@ -140,3 +140,48 @@ def test_column_entropy_constant_and_unique(spark):
 
     with pytest.raises(ValueError, match="not in DataFrame"):
         column_entropy(df, ["nope"])
+
+
+def test_spearman_matches_numpy_ranks(spark):
+    import numpy as np
+
+    from ddspark.profile import spearman_corr_exact
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(1, 20, 300).astype(float)  # heavy ties
+    y = np.exp(x / 3.0) + rng.normal(0, 5, 300)  # monotone-ish, nonlinear
+    df = spark.createDataFrame(
+        list(zip(x.tolist(), y.tolist())), "x double, y double"
+    )
+    got = spearman_corr_exact(df, "x", "y").collect()[0]
+
+    def avg_rank(v):
+        order = np.argsort(v, kind="stable")
+        ranks = np.empty(len(v), dtype=float)
+        sorted_v = v[order]
+        i = 0
+        while i < len(v):
+            j = i
+            while j + 1 < len(v) and sorted_v[j + 1] == sorted_v[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+            i = j + 1
+        return ranks
+
+    rx, ry = avg_rank(x), avg_rank(y)
+    want = np.corrcoef(rx, ry)[0, 1]
+    assert got["n"] == 300
+    assert got["corr"] == pytest.approx(want, abs=2e-6)
+    # monotone signal -> strongly positive
+    assert got["corr"] > 0.8
+
+
+def test_spearman_invariance_and_perfect_monotone(spark):
+    from ddspark.profile import spearman_corr_exact
+
+    rows = [(float(i), float(i * i)) for i in range(1, 50)]  # nonlinear but monotone
+    df = spark.createDataFrame(rows, "x double, y double")
+    assert spearman_corr_exact(df, "x", "y").collect()[0]["corr"] == 1.0
+    a = spearman_corr_exact(df.repartition(7), "x", "y").collect()
+    b = spearman_corr_exact(df.repartition(1), "x", "y").collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
