@@ -1811,6 +1811,26 @@ def _q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for 'merge' (±3 tokens) over a doc
+    slice — map-only + one explode, zero shuffles; every snippet string
+    hash-matched against DuckDB list slicing."""
+    from ddspark.pipeline.retrieval import kwic_snippets
+
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return kwic_snippets(docs, "merge", context=3)
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width 12-bucket histogram of extendedprice: broadcast global
+    extremes + map-side bucket expression + k-row count agg; empty
+    buckets emitted via a generated spine so the shape is always k."""
+    from ddspark.profile import fixed_width_histogram
+
+    li = _read(spark, sf_dir, "lineitem")
+    return fixed_width_histogram(li, "l_extendedprice", k=12)
+
+
 def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Spearman rank correlation per returnflag: tie-averaged
     integer ranks (2x-scaled to stay exact) through the same DECIMAL-sum
@@ -2132,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_entropy": wrap(_q_column_entropy),  # new in r5
         "text_proximity_search": wrap(_q_proximity_search),  # new in r5
         "profile_spearman": wrap(_q_spearman),  # new in r5
+        "text_kwic_snippets": wrap(_q_kwic),  # new in r5
+        "profile_histogram": wrap(_q_histogram),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3280,6 +3302,8 @@ FROM w GROUP BY 1
         "profile_corr_exact": _corr_exact_oracle(),
         "profile_entropy": _entropy_oracle(),
         "profile_spearman": _spearman_oracle(),
+        "text_kwic_snippets": _kwic_oracle(),
+        "profile_histogram": _histogram_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3769,6 +3793,21 @@ def _corr_exact_oracle() -> str:
         x_scale=1,
         y_scale=100,
     )
+
+
+def _kwic_oracle() -> str:
+    from ddspark.pipeline.retrieval import kwic_snippets_oracle_sql
+
+    return kwic_snippets_oracle_sql(
+        "merge", context=3,
+        table="(SELECT * FROM documents WHERE doc_id < 100) d",
+    )
+
+
+def _histogram_oracle() -> str:
+    from ddspark.profile import fixed_width_histogram_oracle_sql
+
+    return fixed_width_histogram_oracle_sql("lineitem", "l_extendedprice", k=12)
 
 
 def _spearman_oracle() -> str:

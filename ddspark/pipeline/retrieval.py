@@ -43,6 +43,8 @@ __all__ = [
     "proximity_search",
     "proximity_search_oracle_sql",
     "bm25_topk",
+    "kwic_snippets",
+    "kwic_snippets_oracle_sql",
     "phrase_search_oracle_sql",
     "bm25_topk_oracle_sql",
 ]
@@ -422,4 +424,83 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, id ASC) AS INT) AS ran
        CAST(score_micro AS BIGINT) AS score_micro
 FROM scored
 QUALIFY rank <= {k}
+""".strip()
+
+
+def kwic_snippets(
+    df: DataFrame,
+    term: str,
+    context: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keyword-in-context concordance: one row per occurrence of ``term``
+    with its ±``context``-token window — ``(id, pos, snippet)``.
+
+    The contamination-forensics view ("show me every place this
+    benchmark string appears, with context").  Map-only + one explode:
+    the token array materializes once per document behind a projection
+    boundary, occurrences explode from a filtered position sequence, and
+    each snippet is one ``slice`` + ``concat_ws`` — no shuffle at all.
+    """
+    if not term:
+        raise ValueError("kwic_snippets needs a non-empty term")
+    if context < 0:
+        raise ValueError(f"context must be >= 0, got {context}")
+    base = df.select(
+        F.col(id_col).alias("id"), _clean_tokens(F.col(text_col)).alias("_t")
+    ).where(
+        # empty docs out BEFORE the position sequence: sequence(0, -1)
+        # produces a DESCENDING [0, -1] in Spark, and _t[0] on an empty
+        # array raises under ANSI instead of yielding no rows
+        F.size("_t") > 0
+    )
+    hits = base.select(
+        "id",
+        "_t",
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.size("_t") - 1),
+                lambda i: F.col("_t")[i] == term,
+            )
+        ).alias("pos"),
+    )
+    start = F.greatest(F.lit(0), F.col("pos") - context)
+    # slice() is 1-based; length trims at the array end automatically
+    snippet = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("_t"),
+            start + 1,
+            F.least(
+                F.col("pos") + context, F.size("_t") - 1
+            ) - start + 1,
+        ),
+    )
+    return hits.select(
+        F.col("id").alias(id_col), "pos", snippet.alias("snippet")
+    )
+
+
+def kwic_snippets_oracle_sql(
+    term: str,
+    context: int = 3,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """ANSI twin of :func:`kwic_snippets` (DuckDB lists are 1-based)."""
+    e = term.replace("'", "''")
+    toks = _TOKS_CTE.format(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH {toks},
+hits AS (
+  SELECT id, t, u.i - 1 AS pos
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+  WHERE t[u.i] = '{e}'
+)
+SELECT id AS {id_col}, CAST(pos AS INT) AS pos,
+       array_to_string(t[GREATEST(1, pos + 1 - {context}) : LEAST(len(t), pos + 1 + {context})], ' ')
+         AS snippet
+FROM hits
 """.strip()

@@ -25,6 +25,8 @@ __all__ = [
     "column_entropy_oracle_sql",
     "spearman_corr_exact",
     "spearman_corr_exact_oracle_sql",
+    "fixed_width_histogram",
+    "fixed_width_histogram_oracle_sql",
 ]
 
 
@@ -397,3 +399,96 @@ def spearman_corr_exact_oracle_sql(
     return pearson_corr_exact_oracle_sql(
         ranked, "_rx", "_ry", by=by, ndigits=ndigits
     )
+
+
+def fixed_width_histogram(
+    df: DataFrame,
+    col: str,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Fixed-width histogram over the global [min, max] range of ``col``:
+    ``(bucket, lo, hi, n)`` with ``k`` equal-width buckets (the last
+    bucket closed on max).
+
+    The complement to the sketch-driven equi-depth binning
+    (``agg.bucket_by_quantiles``): equi-WIDTH shows the shape of the
+    distribution; equi-DEPTH balances partition sizes.  Bucket
+    assignment ``least(floor((v−min)·k/(max−min)), k−1)`` is a fixed
+    sequence of correctly-rounded double ops on the broadcast global
+    extremes, so cell counts are deterministic cross-engine.  Plan: one
+    4-number extremes aggregate broadcast into a map-side bucket
+    expression + one k-row count aggregation — two scans of one column
+    or one with cache; empty buckets are emitted with n=0 via a
+    sequence-generated bucket spine (so the output shape is always k).
+    Degenerate min==max collapses to one bucket holding everything.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    ext = df.where(F.col(col).isNotNull()).agg(
+        F.min(col).cast("double").alias("_mn"),
+        F.max(col).cast("double").alias("_mx"),
+    )
+    v = F.col(col).cast("double")
+    span = F.col("_mx") - F.col("_mn")
+    bucket = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_mn")) * k / span).cast("int"), F.lit(k - 1)
+        )
+    )
+    counts = (
+        df.where(F.col(col).isNotNull())
+        .crossJoin(F.broadcast(ext))
+        .select(bucket.alias("bucket"), "_mn", "_mx")
+        .groupBy("bucket", "_mn", "_mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = (
+        df.sparkSession.range(k)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .crossJoin(F.broadcast(ext))
+    )
+    out = spine.join(counts, ["bucket", "_mn", "_mx"], "left").select(
+        "bucket",
+        F.round(
+            F.col("_mn")
+            + F.col("bucket") * (F.col("_mx") - F.col("_mn")) / k,
+            ndigits,
+        ).alias("lo"),
+        F.round(
+            F.col("_mn")
+            + (F.col("bucket") + 1) * (F.col("_mx") - F.col("_mn")) / k,
+            ndigits,
+        ).alias("hi"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+    return out
+
+
+def fixed_width_histogram_oracle_sql(
+    table: str, col: str, k: int = 10, ndigits: int = 6
+) -> str:
+    """ANSI twin of :func:`fixed_width_histogram`."""
+    return f"""
+WITH ext AS (
+  SELECT CAST(MIN({col}) AS DOUBLE) AS mn, CAST(MAX({col}) AS DOUBLE) AS mx
+  FROM {table} WHERE {col} IS NOT NULL
+),
+counts AS (
+  SELECT CASE WHEN ext.mx - ext.mn = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR((CAST({col} AS DOUBLE) - ext.mn) * {k} / (ext.mx - ext.mn)) AS INT), {k - 1})
+         END AS bucket,
+         COUNT(*) AS n
+  FROM {table} CROSS JOIN ext
+  WHERE {col} IS NOT NULL
+  GROUP BY 1
+),
+spine AS (SELECT CAST(u.b AS INT) AS bucket FROM UNNEST(generate_series(0, {k - 1})) AS u(b))
+SELECT spine.bucket,
+       ROUND(ext.mn + spine.bucket * (ext.mx - ext.mn) / {k}, {ndigits}) AS lo,
+       ROUND(ext.mn + (spine.bucket + 1) * (ext.mx - ext.mn) / {k}, {ndigits}) AS hi,
+       COALESCE(counts.n, 0) AS n
+FROM spine
+CROSS JOIN ext
+LEFT JOIN counts ON counts.bucket = spine.bucket
+""".strip()

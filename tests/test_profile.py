@@ -185,3 +185,23 @@ def test_spearman_invariance_and_perfect_monotone(spark):
     a = spearman_corr_exact(df.repartition(7), "x", "y").collect()
     b = spearman_corr_exact(df.repartition(1), "x", "y").collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_fixed_width_histogram_known(spark):
+    from ddspark.profile import fixed_width_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 100)], "v double")
+    out = {r["bucket"]: r for r in fixed_width_histogram(df, "v", 10).collect()}
+    assert len(out) == 10
+    # span [0, 99], width 9.9: bucket b covers [9.9b, 9.9(b+1))
+    assert out[0]["n"] == 10 and out[0]["lo"] == 0.0 and out[0]["hi"] == 9.9
+    assert out[9]["n"] == 10  # max lands in the last bucket (closed)
+    assert sum(r["n"] for r in out.values()) == 100
+
+    # empty buckets are emitted; degenerate min==max collapses to bucket 0
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    rows = {r["bucket"]: r["n"] for r in fixed_width_histogram(one, "v", 4).collect()}
+    assert rows == {0: 2, 1: 0, 2: 0, 3: 0}
+
+    with pytest.raises(ValueError, match="k must be"):
+        fixed_width_histogram(df, "v", 0)

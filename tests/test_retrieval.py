@@ -204,3 +204,27 @@ def test_proximity_search_guards(spark):
         proximity_search(_df(spark), "cat", "cat")
     with pytest.raises(ValueError, match="max_dist"):
         proximity_search(_df(spark), "cat", "mat", 0)
+
+
+def test_kwic_snippets_windows(spark):
+    from ddspark.pipeline.retrieval import kwic_snippets
+
+    got = {
+        (r.doc_id, r.pos, r.snippet)
+        for r in kwic_snippets(_df(spark), "the", context=2).collect()
+    }
+    want = set()
+    for i, txt in DOCS:
+        t = _tok(txt)
+        for p, w in enumerate(t):
+            if w == "the":
+                want.add((i, p, " ".join(t[max(0, p - 2) : p + 3])))
+    assert got == want
+    # boundary: term at position 0 and at the end both truncate cleanly
+    assert (2, 0, "the the the") in got
+    assert (2, 3, "the the the") in got
+
+    with pytest.raises(ValueError, match="non-empty"):
+        kwic_snippets(_df(spark), "")
+    with pytest.raises(ValueError, match="context"):
+        kwic_snippets(_df(spark), "the", -1)
