@@ -900,9 +900,25 @@ def upsert_state_sink(
     return sink
 
 
-def read_upsert_state(spark, state_dir: str) -> DataFrame:
-    """Latest committed snapshot written by :func:`upsert_state_sink`."""
+def read_upsert_state(spark, state_dir: str, version: int | None = None) -> DataFrame:
+    """Committed snapshot written by :func:`upsert_state_sink` — the
+    latest by default, or time-travel to an earlier committed ``version``
+    (the batch_id embedded in the snapshot directory name).
+
+    Versions are retained until :func:`upsert_state_sink`'s
+    ``retain_versions`` GC drops them; reading a GC'd or never-committed
+    version raises with the list that IS available rather than silently
+    serving the wrong snapshot.
+    """
     versions = _state_versions(state_dir)
     if not versions:
         raise FileNotFoundError(f"no committed upsert state under {state_dir}")
-    return spark.read.parquet(versions[-1][1])
+    if version is None:
+        return spark.read.parquet(versions[-1][1])
+    for v, path in versions:
+        if v == version:
+            return spark.read.parquet(path)
+    raise FileNotFoundError(
+        f"version {version} not committed under {state_dir}; "
+        f"available: {[v for v, _ in versions]}"
+    )

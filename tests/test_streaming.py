@@ -1051,3 +1051,36 @@ def test_attribution_join_streaming_matches_batch(spark, tmp_path):
     )
     assert len(want) > 50  # the synthetic data actually exercises the join
     assert got == want
+
+
+def test_upsert_state_time_travel(spark, tmp_path):
+    """read_upsert_state(version=) serves any retained committed snapshot;
+    GC'd / unknown versions raise with the available list."""
+    from ddspark.io import latest_snapshot
+    from ddspark.streaming import read_upsert_state, upsert_state_sink
+
+    state = str(tmp_path / "tt_state")
+    sink = upsert_state_sink(state, "k", "seq", retain_versions=10)
+    batches = [
+        pd.DataFrame({"k": [1, 2], "seq": [0, 1], "val": [10, 20]}),
+        pd.DataFrame({"k": [2, 3], "seq": [2, 3], "val": [21, 30]}),
+        pd.DataFrame({"k": [1], "seq": [4], "val": [11]}),
+    ]
+    for i, pdf in enumerate(batches):
+        sink(spark.createDataFrame(pdf), i)
+
+    def snap(upto):
+        whole = spark.createDataFrame(pd.concat(batches[: upto + 1], ignore_index=True))
+        return sorted(tuple(r) for r in latest_snapshot(whole, "k", "seq").collect())
+
+    for v in range(3):
+        got = sorted(
+            tuple(r) for r in read_upsert_state(spark, state, version=v).collect()
+        )
+        assert got == snap(v), v
+    # default = latest
+    assert sorted(
+        tuple(r) for r in read_upsert_state(spark, state).collect()
+    ) == snap(2)
+    with pytest.raises(FileNotFoundError, match="available: \\[0, 1, 2\\]"):
+        read_upsert_state(spark, state, version=9)
