@@ -1811,6 +1811,16 @@ def _q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic between en and de document-length
+    distributions — the covariate-drift detector; integer CDFs over the
+    merged distinct value axis, deterministic argmax tie-break."""
+    from ddspark.profile import ks_drift
+
+    docs = _read(spark, sf_dir, "documents")
+    return ks_drift(docs, "n_chars", "lang", "en", "de")
+
+
 def _q_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword-in-context concordance for 'merge' (±3 tokens) over a doc
     slice — map-only + one explode, zero shuffles; every snippet string
@@ -2154,6 +2164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_spearman": wrap(_q_spearman),  # new in r5
         "text_kwic_snippets": wrap(_q_kwic),  # new in r5
         "profile_histogram": wrap(_q_histogram),  # new in r5
+        "profile_ks_drift": wrap(_q_ks_drift),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "ddsketch_session_events": wrap(_q_session_events),
@@ -3304,6 +3315,7 @@ FROM w GROUP BY 1
         "profile_spearman": _spearman_oracle(),
         "text_kwic_snippets": _kwic_oracle(),
         "profile_histogram": _histogram_oracle(),
+        "profile_ks_drift": _ks_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3802,6 +3814,12 @@ def _kwic_oracle() -> str:
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
     )
+
+
+def _ks_oracle() -> str:
+    from ddspark.profile import ks_drift_oracle_sql
+
+    return ks_drift_oracle_sql("documents", "n_chars", "lang", "en", "de")
 
 
 def _histogram_oracle() -> str:

@@ -27,6 +27,8 @@ __all__ = [
     "spearman_corr_exact_oracle_sql",
     "fixed_width_histogram",
     "fixed_width_histogram_oracle_sql",
+    "ks_drift",
+    "ks_drift_oracle_sql",
 ]
 
 
@@ -491,4 +493,115 @@ SELECT spine.bucket,
 FROM spine
 CROSS JOIN ext
 LEFT JOIN counts ON counts.bucket = spine.bucket
+""".strip()
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two groups'
+    distributions of ``value_col``: one row
+    ``(n_a, n_b, ks, at_value)`` where ``ks = max_v |F_a(v) − F_b(v)|``
+    and ``at_value`` is the smallest value attaining it.
+
+    The drift detector for corpus refreshes (did this month's document
+    lengths shift?) and split validation (train vs test covariate
+    drift).  Exact and deterministic: per-value counts per group are
+    integers, CDFs are one cumulative window over the merged DISTINCT
+    value axis, and each |F_a − F_b| is a fixed-order double expression
+    on exact integers.
+
+    **Scale**: the cumulative window is a single global sort over the
+    DISTINCT values (post-aggregation) — fine for integer-ish or
+    bounded-cardinality columns (lengths, counts, scores).  For
+    continuous high-cardinality columns, pre-bucket (e.g. round, or the
+    sketch key expression) so the distinct axis is bounded; the result
+    is then the KS of the bucketed CDFs, within one bucket width of
+    exact.
+    """
+    from pyspark.sql import Window as _W
+
+    counts = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("ca").over(w).alias("fa"),
+        F.sum("cb").over(w).alias("fb"),
+    )
+    totals = counts.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b")
+    )
+    diff = cum.crossJoin(F.broadcast(totals)).select(
+        "v",
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("fa").cast("double") / F.col("n_a").cast("double")
+            - F.col("fb").cast("double") / F.col("n_b").cast("double")
+        ).alias("d"),
+    )
+    best = diff.orderBy(F.col("d").desc(), F.col("v").asc()).limit(1)
+    return best.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("d"), ndigits).alias("ks"),
+        F.col("v").cast("double").alias("at_value"),
+    )
+
+
+def ks_drift_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`ks_drift`."""
+    ea = group_a.replace("'", "''")
+    eb = group_b.replace("'", "''")
+    return f"""
+WITH counts AS (
+  SELECT {value_col} AS v,
+         SUM(CASE WHEN {group_col} = '{ea}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN {group_col} = '{eb}' THEN 1 ELSE 0 END) AS cb
+  FROM {table}
+  WHERE {group_col} IN ('{ea}', '{eb}') AND {value_col} IS NOT NULL
+  GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fa,
+         SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS fb
+  FROM counts
+),
+totals AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM counts),
+diff AS (
+  SELECT v, n_a, n_b,
+         ABS(CAST(fa AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(fb AS DOUBLE) / CAST(n_b AS DOUBLE)) AS d
+  FROM cum CROSS JOIN totals
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(d, {ndigits}) AS ks, CAST(v AS DOUBLE) AS at_value
+FROM diff
+ORDER BY d DESC, v ASC
+LIMIT 1
 """.strip()

@@ -205,3 +205,34 @@ def test_fixed_width_histogram_known(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         fixed_width_histogram(df, "v", 0)
+
+
+def test_ks_drift_known_and_identical(spark):
+    from ddspark.profile import ks_drift
+
+    # identical distributions -> ks == 0
+    rows = [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_drift(df, "v", "g", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["ks"]) == (10, 10, 0.0)
+
+    # disjoint supports -> ks == 1 at the boundary
+    rows = [("a", float(v)) for v in range(5)] + [("b", float(v + 10)) for v in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_drift(df, "v", "g", "a", "b").collect()[0]
+    assert r["ks"] == 1.0 and r["at_value"] == 4.0
+
+    # hand-computed shifted case vs python
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    xa = rng.integers(0, 50, 400)
+    xb = rng.integers(5, 55, 300)
+    rows = [("a", float(v)) for v in xa] + [("b", float(v)) for v in xb]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = ks_drift(df, "v", "g", "a", "b").collect()[0]
+    pts = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(np.sort(xa), pts, side="right") / len(xa)
+    fb = np.searchsorted(np.sort(xb), pts, side="right") / len(xb)
+    want = np.abs(fa - fb).max()
+    assert r["ks"] == pytest.approx(want, abs=1e-6)
