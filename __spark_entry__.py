@@ -1811,6 +1811,20 @@ def _q_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_SCALES = [1, 100, 100, 100]
+
+
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairwise deterministic correlations among 4 lineitem measures
+    from ONE scan (k sums + k squares + 6 cross-products in a single
+    aggregation; struct-array explode so no branch recomputes it)."""
+    from ddspark.profile import pearson_corr_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    return pearson_corr_matrix(li, _CORR_COLS, _CORR_SCALES)
+
+
 def _q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact two-sample KS statistic between en and de document-length
     distributions — the covariate-drift detector; integer CDFs over the
@@ -2169,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kwic_snippets": wrap(_q_kwic),  # new in r5
         "profile_histogram": wrap(_q_histogram),  # new in r5
         "profile_ks_drift": wrap(_q_ks_drift),  # new in r5
+        "profile_corr_matrix": wrap(_q_corr_matrix),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3321,6 +3336,7 @@ FROM w GROUP BY 1
         "text_kwic_snippets": _kwic_oracle(),
         "profile_histogram": _histogram_oracle(),
         "profile_ks_drift": _ks_oracle(),
+        "profile_corr_matrix": _corr_matrix_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3819,6 +3835,12 @@ def _kwic_oracle() -> str:
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
     )
+
+
+def _corr_matrix_oracle() -> str:
+    from ddspark.profile import pearson_corr_matrix_oracle_sql
+
+    return pearson_corr_matrix_oracle_sql("lineitem", _CORR_COLS, _CORR_SCALES)
 
 
 def _ks_oracle() -> str:

@@ -29,6 +29,8 @@ __all__ = [
     "fixed_width_histogram_oracle_sql",
     "ks_drift",
     "ks_drift_oracle_sql",
+    "pearson_corr_matrix",
+    "pearson_corr_matrix_oracle_sql",
 ]
 
 
@@ -605,3 +607,113 @@ FROM diff
 ORDER BY d DESC, v ASC
 LIMIT 1
 """.strip()
+
+
+def pearson_corr_matrix(
+    df: DataFrame,
+    cols: list[str],
+    scales: list[int] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """All pairwise deterministic Pearson correlations among ``cols`` from
+    ONE scan: ``(col_x, col_y, n, corr)`` for every pair x < y (by input
+    order).
+
+    The feature-redundancy screen of a corpus profiler.  A naive loop
+    over :func:`pearson_corr_exact` scans the table k(k−1)/2 times; here
+    every sum — k column sums, k squares, k(k−1)/2 cross-products, all
+    exact DECIMAL integers — lands in ONE aggregation, and each pair's
+    correlation is the same fixed-order double combination.  Rows with a
+    NULL in ANY profiled column are dropped (one shared mask keeps every
+    pair's n identical — the listwise-deletion convention).  Output rows
+    come from exploding a computed struct array over the single wide agg
+    row, so no branch recomputes the aggregate.  Same DECIMAL(18) per
+    value / DECIMAL(37) per product overflow bounds as
+    :func:`pearson_corr_exact`.
+    """
+    if len(cols) < 2:
+        raise ValueError("pearson_corr_matrix needs at least two columns")
+    if len(set(cols)) != len(cols):
+        raise ValueError(f"duplicate columns: {cols}")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    scales = list(scales) if scales is not None else [1] * len(cols)
+    if len(scales) != len(cols):
+        raise ValueError("scales must align with cols")
+
+    mask = F.lit(True)
+    for c in cols:
+        mask = mask & F.col(c).isNotNull()
+    pre = df.where(mask).select(
+        *[
+            F.round(F.col(c) * s).cast("decimal(18,0)").alias(f"_x{i}")
+            for i, (c, s) in enumerate(zip(cols, scales))
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(f"_x{i}").cast("double").alias(f"_s{i}"))
+        aggs.append(
+            F.sum(F.col(f"_x{i}") * F.col(f"_x{i}")).cast("double").alias(f"_q{i}")
+        )
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            aggs.append(
+                F.sum(F.col(f"_x{i}") * F.col(f"_x{j}"))
+                .cast("double")
+                .alias(f"_p{i}_{j}")
+            )
+    wide = pre.agg(*aggs)
+
+    nd = F.col("_n").cast("double")
+    structs = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            var_x = nd * F.col(f"_q{i}") - F.col(f"_s{i}") * F.col(f"_s{i}")
+            var_y = nd * F.col(f"_q{j}") - F.col(f"_s{j}") * F.col(f"_s{j}")
+            num = nd * F.col(f"_p{i}_{j}") - F.col(f"_s{i}") * F.col(f"_s{j}")
+            corr = F.when(
+                (var_x > 0) & (var_y > 0),
+                F.round(num / (F.sqrt(var_x) * F.sqrt(var_y)), ndigits),
+            )
+            structs.append(
+                F.struct(
+                    F.lit(cols[i]).alias("col_x"),
+                    F.lit(cols[j]).alias("col_y"),
+                    corr.alias("corr"),
+                )
+            )
+    return wide.select(
+        "_n", F.explode(F.array(*structs)).alias("_pair")
+    ).select(
+        F.col("_pair.col_x").alias("col_x"),
+        F.col("_pair.col_y").alias("col_y"),
+        F.col("_n").alias("n"),
+        F.col("_pair.corr").alias("corr"),
+    )
+
+
+def pearson_corr_matrix_oracle_sql(
+    table: str,
+    cols: list[str],
+    scales: list[int] | None = None,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`pearson_corr_matrix` — the same shared NULL
+    mask and per-pair combination, one UNION ALL branch per pair."""
+    scales = list(scales) if scales is not None else [1] * len(cols)
+    mask = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    masked = f"(SELECT * FROM {table} WHERE {mask}) m"
+    parts = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            inner = pearson_corr_exact_oracle_sql(
+                masked, cols[i], cols[j],
+                x_scale=scales[i], y_scale=scales[j], ndigits=ndigits,
+            )
+            parts.append(
+                f"SELECT '{cols[i]}' AS col_x, '{cols[j]}' AS col_y, n, corr "
+                f"FROM ({inner}) p{i}_{j}"
+            )
+    return "\nUNION ALL\n".join(parts)

@@ -236,3 +236,53 @@ def test_ks_drift_known_and_identical(spark):
     fb = np.searchsorted(np.sort(xb), pts, side="right") / len(xb)
     want = np.abs(fa - fb).max()
     assert r["ks"] == pytest.approx(want, abs=1e-6)
+
+
+def test_corr_matrix_matches_pairwise(spark):
+    import numpy as np
+
+    from ddspark.profile import pearson_corr_exact, pearson_corr_matrix
+
+    rng = np.random.default_rng(31)
+    n = 500
+    a = rng.integers(0, 100, n).astype(float)
+    b = a * 2 + rng.integers(0, 10, n)
+    c = rng.integers(0, 100, n).astype(float)
+    df = spark.createDataFrame(
+        list(zip(a.tolist(), b.tolist(), c.tolist())),
+        "a double, b double, c double",
+    )
+    mat = {
+        (r["col_x"], r["col_y"]): (r["n"], r["corr"])
+        for r in pearson_corr_matrix(df, ["a", "b", "c"]).collect()
+    }
+    assert set(mat) == {("a", "b"), ("a", "c"), ("b", "c")}
+    for (x, y), (nn, corr) in mat.items():
+        single = pearson_corr_exact(df, x, y).collect()[0]
+        assert (nn, corr) == (single["n"], single["corr"]), (x, y)
+    assert mat[("a", "b")][1] > 0.99  # near-collinear pair detected
+
+    plan = (
+        pearson_corr_matrix(df, ["a", "b", "c"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan") <= plan.count("HashAggregate")  # no per-pair rescans
+
+
+def test_corr_matrix_shared_null_mask_and_guards(spark):
+    from ddspark.profile import pearson_corr_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, None), (2.0, 4.0, 1.0), (3.0, 5.0, 2.0), (4.0, 9.0, 3.0)],
+        "a double, b double, c double",
+    )
+    rows = pearson_corr_matrix(df, ["a", "b", "c"]).collect()
+    # listwise deletion: the NULL c row drops from EVERY pair
+    assert all(r["n"] == 3 for r in rows)
+
+    with pytest.raises(ValueError, match="at least two"):
+        pearson_corr_matrix(df, ["a"])
+    with pytest.raises(ValueError, match="duplicate"):
+        pearson_corr_matrix(df, ["a", "a"])
+    with pytest.raises(ValueError, match="align"):
+        pearson_corr_matrix(df, ["a", "b"], scales=[1])

@@ -228,3 +228,65 @@ def test_kwic_snippets_windows(spark):
         kwic_snippets(_df(spark), "")
     with pytest.raises(ValueError, match="context"):
         kwic_snippets(_df(spark), "the", -1)
+
+
+# ------------------------------------------------------ property-based
+
+
+def _run_phrase_property(spark, corpora, phrase):
+    docs = [(i, " ".join(t)) for i, t in enumerate(corpora)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {(r.doc_id, r.n_occ) for r in phrase_search(df, phrase).collect()}
+    want = set()
+    m = len(phrase)
+    for i, t in enumerate(corpora):
+        n = sum(1 for s in range(len(t) - m + 1) if t[s : s + m] == phrase)
+        if n:
+            want.add((i, n))
+    assert got == want
+
+
+def test_phrase_search_property_random_corpora(spark):
+    """Randomized adversarial cases beyond the curated fixtures: tiny
+    alphabet maximizes repeated/overlapping phrase words."""
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "b", "c"]
+    for trial in range(25):
+        corpora = [
+            [rng.choice(alphabet) for _ in range(rng.randint(0, 12))]
+            for _ in range(6)
+        ]
+        phrase = [rng.choice(alphabet) for _ in range(rng.randint(1, 3))]
+        _run_phrase_property(spark, corpora, phrase)
+
+
+def test_proximity_search_property_random_corpora(spark):
+    import random
+
+    from ddspark.pipeline.retrieval import proximity_search
+
+    rng = random.Random(99)
+    alphabet = ["x", "y", "z", "w"]
+    for trial in range(25):
+        corpora = [
+            [rng.choice(alphabet) for _ in range(rng.randint(0, 15))]
+            for _ in range(6)
+        ]
+        a, b = rng.sample(alphabet, 2)
+        d = rng.randint(1, 4)
+        docs = [(i, " ".join(t)) for i, t in enumerate(corpora)]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            (r.doc_id, r.n_anchors)
+            for r in proximity_search(df, a, b, d).collect()
+        }
+        want = set()
+        for i, t in enumerate(corpora):
+            pa = [p for p, w in enumerate(t) if w == a]
+            pb = [p for p, w in enumerate(t) if w == b]
+            n = sum(1 for x in pa if any(abs(x - y) <= d for y in pb))
+            if n:
+                want.add((i, n))
+        assert got == want
