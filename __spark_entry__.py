@@ -1815,6 +1815,18 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _CORR_SCALES = [1, 100, 100, 100]
 
 
+def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over extendedprice — digits via the
+    BIGINT decimal string (floor(abs(.)) on BOTH sides: Spark's
+    double->BIGINT cast truncates where DuckDB's rounds), expectations as
+    exact per-digit micro constants x N.  TPC-H prices are uniform, so
+    the screen correctly shows the non-Benford shape."""
+    from ddspark.profile import benford_screen
+
+    li = _read(spark, sf_dir, "lineitem")
+    return benford_screen(li, "l_extendedprice")
+
+
 def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairwise deterministic correlations among 4 lineitem measures
     from ONE scan (k sums + k squares + 6 cross-products in a single
@@ -2184,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram": wrap(_q_histogram),  # new in r5
         "profile_ks_drift": wrap(_q_ks_drift),  # new in r5
         "profile_corr_matrix": wrap(_q_corr_matrix),  # new in r5
+        "profile_benford": wrap(_q_benford),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3337,6 +3350,7 @@ FROM w GROUP BY 1
         "profile_histogram": _histogram_oracle(),
         "profile_ks_drift": _ks_oracle(),
         "profile_corr_matrix": _corr_matrix_oracle(),
+        "profile_benford": _benford_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3835,6 +3849,12 @@ def _kwic_oracle() -> str:
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
     )
+
+
+def _benford_oracle() -> str:
+    from ddspark.profile import benford_screen_oracle_sql
+
+    return benford_screen_oracle_sql("lineitem", "l_extendedprice")
 
 
 def _corr_matrix_oracle() -> str:

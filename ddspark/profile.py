@@ -31,6 +31,8 @@ __all__ = [
     "ks_drift_oracle_sql",
     "pearson_corr_matrix",
     "pearson_corr_matrix_oracle_sql",
+    "benford_screen",
+    "benford_screen_oracle_sql",
 ]
 
 
@@ -717,3 +719,82 @@ def pearson_corr_matrix_oracle_sql(
                 f"FROM ({inner}) p{i}_{j}"
             )
     return "\nUNION ALL\n".join(parts)
+
+
+def benford_screen(
+    df: DataFrame,
+    col: str,
+) -> DataFrame:
+    """Benford first-digit screen over an integer-valued column: one row
+    per leading digit 1-9 with ``observed`` (exact BIGINT) and
+    ``expected_micro`` = N·floor(1e6·log10(1+1/d)) — the fabricated-data
+    / unit-mixing detector for numeric columns spanning several orders
+    of magnitude.
+
+    Determinism notes: values route through ``floor(abs(col))`` (NOT a
+    double->BIGINT cast: Spark's cast truncates where DuckDB's ROUNDS)
+    and the digit is the first character of the BIGINT's decimal string
+    — integer-to-string is identical cross-engine, where
+    ``floor(log10(v))`` on doubles is NOT (log10(1000) rounds below 3
+    in some libms).  The per-digit expectation quantizes the libm call
+    behind the same floor(1e6·…) pattern the gate already vouches for,
+    then scales by exact-integer N — every output value is a BIGINT.
+    Zeros and NULLs are excluded from N.  One map-side digit expression
+    + one 9-row aggregation; digits absent from the data are emitted
+    with observed=0 via a spine.
+    """
+    import math
+
+    v = F.floor(F.abs(F.col(col))).cast("bigint")
+    digits = (
+        df.where(F.col(col).isNotNull())
+        .select(v.alias("_v"))
+        .where(F.col("_v") > 0)
+        .select(F.substring(F.col("_v").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    total = digits.agg(F.count(F.lit(1)).alias("_n"))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    e_micro = {d: math.floor(1e6 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    e_col = F.lit(None).cast("long")
+    for d in range(1, 10):
+        e_col = F.when(F.col("digit") == d, F.lit(e_micro[d])).otherwise(e_col)
+    return (
+        spine.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            F.coalesce(F.col("observed"), F.lit(0)).alias("observed"),
+            (e_col * F.col("_n")).alias("expected_micro"),
+        )
+    )
+
+
+def benford_screen_oracle_sql(table: str, col: str) -> str:
+    """ANSI twin of :func:`benford_screen` (same python-side quantized
+    per-digit constants — the floor'd values are data-independent, so
+    both engines splice in the SAME integers)."""
+    import math
+
+    cases = " ".join(
+        f"WHEN {d} THEN {math.floor(1e6 * math.log10(1 + 1 / d))}"
+        for d in range(1, 10)
+    )
+    return f"""
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(FLOOR(ABS({col})) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM {table}
+  WHERE {col} IS NOT NULL AND FLOOR(ABS({col})) > 0
+),
+counts AS (SELECT digit, COUNT(*) AS observed FROM digits GROUP BY 1),
+total AS (SELECT COUNT(*) AS n FROM digits),
+spine AS (SELECT CAST(u.d AS INT) AS digit FROM UNNEST(generate_series(1, 9)) AS u(d))
+SELECT spine.digit,
+       COALESCE(counts.observed, 0) AS observed,
+       (CASE spine.digit {cases} END) * total.n AS expected_micro
+FROM spine
+LEFT JOIN counts ON counts.digit = spine.digit
+CROSS JOIN total
+""".strip()

@@ -286,3 +286,31 @@ def test_corr_matrix_shared_null_mask_and_guards(spark):
         pearson_corr_matrix(df, ["a", "a"])
     with pytest.raises(ValueError, match="align"):
         pearson_corr_matrix(df, ["a", "b"], scales=[1])
+
+
+def test_benford_screen(spark):
+    import math
+
+    from ddspark.profile import benford_screen
+
+    # Benford-distributed synthetic data: v = floor(10^(u*3)) for uniform u
+    import numpy as np
+
+    rng = np.random.default_rng(41)
+    vals = np.floor(10 ** (rng.uniform(0, 3, 20000))).astype(float)
+    df = spark.createDataFrame([(float(v),) for v in vals], "v double")
+    out = {r["digit"]: r for r in benford_screen(df, "v").collect()}
+    assert set(out) == set(range(1, 10))
+    n = sum(r["observed"] for r in out.values())
+    for d in range(1, 10):
+        exp = out[d]["expected_micro"] / 1e6
+        assert exp == math.floor(1e6 * math.log10(1 + 1 / d)) * n / 1e6
+        # Benford data ~matches its expectation within 4 sigma
+        p = math.log10(1 + 1 / d)
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(out[d]["observed"] - n * p) < 4 * sigma, d
+
+    # truncation semantics: 0.9 -> floor 0 excluded; -25.7 -> digit 2
+    edge = spark.createDataFrame([(0.9,), (-25.7,), (None,)], "v double")
+    rows = {r["digit"]: r["observed"] for r in benford_screen(edge, "v").collect()}
+    assert rows[2] == 1 and sum(rows.values()) == 1
