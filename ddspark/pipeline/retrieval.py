@@ -40,6 +40,7 @@ __all__ = [
     "build_postings",
     "boolean_and_search",
     "phrase_search",
+    "phrase_search_postings",
     "proximity_search",
     "proximity_search_oracle_sql",
     "bm25_topk",
@@ -504,3 +505,45 @@ SELECT id AS {id_col}, CAST(pos AS INT) AS pos,
          AS snippet
 FROM hits
 """.strip()
+
+
+def phrase_search_postings(
+    postings: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`phrase_search` against a prebuilt :func:`build_postings`
+    index instead of raw text — ``(id, n_occ)``.
+
+    The index-reuse path: at corpus scale you build postings ONCE (and
+    typically ``write_bucketed`` them by term), then every query reads
+    only the queried terms' posting rows — no re-tokenization of 100 TB
+    per query, and with a term-bucketed table the term filter prunes at
+    the scan.  Bit-identical to the raw-text search
+    (tests/test_retrieval.py pins equality).
+    """
+    if not phrase:
+        raise ValueError("phrase_search_postings needs at least one token")
+    tp = postings.where(F.col("term").isin(sorted(set(phrase)))).select(
+        "id", "term", "positions"
+    )
+    per_word = [
+        F.max(F.when(F.col("term") == w, F.col("positions"))).alias(f"_p{j}")
+        for j, w in enumerate(phrase)
+    ]
+    g = tp.groupBy("id").agg(*per_word)
+    for j in range(len(phrase)):
+        g = g.where(F.col(f"_p{j}").isNotNull())
+
+    def _shift(j: int):
+        return lambda p: p - j
+
+    starts = F.col("_p0")
+    for j in range(1, len(phrase)):
+        starts = F.array_intersect(
+            starts, F.transform(F.col(f"_p{j}"), _shift(j))
+        )
+    return (
+        g.select(F.col("id").alias(id_col), F.size(starts).alias("n_occ"))
+        .where(F.col("n_occ") > 0)
+    )

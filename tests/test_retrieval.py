@@ -290,3 +290,17 @@ def test_proximity_search_property_random_corpora(spark):
             if n:
                 want.add((i, n))
         assert got == want
+
+
+def test_phrase_search_postings_equals_raw(spark):
+    """Index-reuse path: searching the prebuilt postings table returns
+    exactly the raw-text phrase search, for every fixture phrase."""
+    from ddspark.pipeline.retrieval import phrase_search_postings
+
+    post = build_postings(_df(spark))
+    for phrase in (["the", "cat"], ["cat", "cat"], ["the", "the", "the"], ["nope", "x"]):
+        raw = {(r.doc_id, r.n_occ) for r in phrase_search(_df(spark), phrase).collect()}
+        idx = {(r.doc_id, r.n_occ) for r in phrase_search_postings(post, phrase).collect()}
+        assert idx == raw, phrase
+    with pytest.raises(ValueError):
+        phrase_search_postings(post, [])
