@@ -280,62 +280,69 @@ def bm25_topk(
     determinism, though the *mathematical* value is quantized at the
     1e-6 level — the standard trade of this codebase's scoring ops).
 
-    Plan: doc lengths are one narrow aggregation; tf rows exist only for
-    the queried terms (``isin`` pushed below the explode); N and L ride
-    a broadcast one-row crossJoin; the final top-k is a single
-    ``row_number`` window over ≤ |matched docs| rows.
+    Plan — NO wide shuffles at all: per-doc term frequencies are
+    map-side ``size(filter(_t, x -> x = term))`` expressions over the
+    token array (m filters per doc, no (term, doc) explode/shuffle, no
+    doc-length join); corpus stats — N, L, and every per-term document
+    frequency — reduce through ONE tiny aggregate that broadcasts back;
+    non-matching docs drop before scoring; the top-k is distributed
+    TakeOrdered and the rank window touches ≤ k rows.  (An earlier
+    formulation shuffled queried-term tf rows AND joined a doc-sized dl
+    table — the map-side form deletes both exchanges.)
     """
     if not query_terms:
         raise ValueError("bm25_topk needs at least one query term")
     uniq = sorted(set(query_terms))
 
-    base = df.select(
-        F.col(id_col).alias("id"), _clean_tokens(F.col(text_col)).alias("_t")
-    )
-    dl = base.select("id", F.size("_t").alias("dl"))
-    corpus = dl.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_l")
-    )
+    def tf_expr(w: str) -> Column:
+        lit_w = F.lit(w)  # closed over: the HOF lambda must stay 1-arg
+        return F.size(F.filter("_t", lambda x: x == lit_w))
 
-    tp = base.select("id", F.explode("_t").alias("term")).where(
-        F.col("term").isin(uniq)
+    per_doc = df.select(
+        F.col(id_col).alias("id"), _clean_tokens(F.col(text_col)).alias("_t")
+    ).select(
+        "id",
+        F.size("_t").alias("dl"),
+        *[tf_expr(w).alias(f"_tf{j}") for j, w in enumerate(uniq)],
     )
-    tf = tp.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
-    idf = dft.crossJoin(F.broadcast(corpus)).select(
-        "term",
-        F.floor(
+    # one reduction carries N, L, and every df_t — broadcast back
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("dl").alias("_l"),
+        *[
+            F.sum((F.col(f"_tf{j}") > 0).cast("long")).alias(f"_df{j}")
+            for j in range(len(uniq))
+        ],
+    )
+    matched = per_doc.where(
+        sum(F.col(f"_tf{j}") for j in range(len(uniq))) > 0
+    ).crossJoin(F.broadcast(stats))
+
+    def term_score(j: int) -> Column:
+        idf = F.floor(
             F.lit(1e6)
             * F.log(
-                (2.0 * F.col("_n") + 2.0) / (2.0 * F.col("_df") + 1.0)
+                (2.0 * F.col("_n") + 2.0) / (2.0 * F.col(f"_df{j}") + 1.0)
             )
-        )
-        .cast("long")
-        .alias("idf_micro"),
-    )
-
-    term_scores = (
-        tf.join(idf, "term")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(corpus))
-        .select(
-            "id",
-            F.floor(
-                F.col("idf_micro").cast("double")
-                * (
-                    (44.0 * F.col("tf") * F.col("_l"))
-                    / (
-                        20.0 * F.col("tf") * F.col("_l")
-                        + 6.0 * F.col("_l")
-                        + 18.0 * F.col("dl") * F.col("_n")
-                    )
+        ).cast("long")
+        tf = F.col(f"_tf{j}")
+        s = F.floor(
+            idf.cast("double")
+            * (
+                (44.0 * tf * F.col("_l"))
+                / (
+                    20.0 * tf * F.col("_l")
+                    + 6.0 * F.col("_l")
+                    + 18.0 * F.col("dl") * F.col("_n")
                 )
             )
-            .cast("long")
-            .alias("s"),
-        )
+        ).cast("long")
+        return F.when(tf > 0, s).otherwise(F.lit(0))
+
+    scored = matched.select(
+        "id",
+        sum(term_score(j) for j in range(len(uniq))).alias("score_micro"),
     )
-    scored = term_scores.groupBy("id").agg(F.sum("s").alias("score_micro"))
     # Distributed top-k (TakeOrdered: per-partition partial top-k, no
     # single-partition window over every matched doc), THEN rank the k
     # survivors — the global window touches ≤ k rows.
