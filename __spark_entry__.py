@@ -1815,6 +1815,16 @@ _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _CORR_SCALES = [1, 100, 100, 100]
 
 
+def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U between en and de document lengths —
+    integer-exact tie-averaged rank sums over the distinct-value axis
+    (u2_a + u2_b == 2*n_a*n_b by construction), AUC effect size."""
+    from ddspark.profile import mannwhitney_u
+
+    docs = _read(spark, sf_dir, "documents")
+    return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
+
+
 def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen over extendedprice — digits via the
     BIGINT decimal string (floor(abs(.)) on BOTH sides: Spark's
@@ -2197,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_ks_drift": wrap(_q_ks_drift),  # new in r5
         "profile_corr_matrix": wrap(_q_corr_matrix),  # new in r5
         "profile_benford": wrap(_q_benford),  # new in r5
+        "profile_mannwhitney": wrap(_q_mannwhitney),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3351,6 +3362,7 @@ FROM w GROUP BY 1
         "profile_ks_drift": _ks_oracle(),
         "profile_corr_matrix": _corr_matrix_oracle(),
         "profile_benford": _benford_oracle(),
+        "profile_mannwhitney": _mannwhitney_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3849,6 +3861,12 @@ def _kwic_oracle() -> str:
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
     )
+
+
+def _mannwhitney_oracle() -> str:
+    from ddspark.profile import mannwhitney_u_oracle_sql
+
+    return mannwhitney_u_oracle_sql("documents", "n_chars", "lang", "en", "de")
 
 
 def _benford_oracle() -> str:

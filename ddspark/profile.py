@@ -33,6 +33,8 @@ __all__ = [
     "pearson_corr_matrix_oracle_sql",
     "benford_screen",
     "benford_screen_oracle_sql",
+    "mannwhitney_u",
+    "mannwhitney_u_oracle_sql",
 ]
 
 
@@ -797,4 +799,118 @@ SELECT spine.digit,
 FROM spine
 LEFT JOIN counts ON counts.digit = spine.digit
 CROSS JOIN total
+""".strip()
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two groups: one
+    row ``(n_a, n_b, u2_a, u2_b, auc)``.
+
+    The nonparametric location-shift companion to :func:`ks_drift`
+    (KS sees any distributional difference; U targets "does one group
+    tend to have larger values", with AUC = U_a/(n_a·n_b) as the
+    probability a random a-value exceeds a random b-value — the
+    effect-size number a curation A/B readout wants).
+
+    Everything is integer-exact: per-value counts, tie-averaged rank
+    sums via the doubled form ``2·avg_rank(v) = 2·C_v + c_v + 1`` (C_v =
+    rows before v, c_v = rows at v), ``u2 = 2U`` stays BIGINT, and the
+    identity ``u2_a + u2_b = 2·n_a·n_b`` is a built-in self-check.  Only
+    the AUC is a (fixed-order, rounded) double.  Same scale posture as
+    :func:`ks_drift`: the cumulative window runs over DISTINCT values
+    post-aggregation — pre-bucket continuous high-cardinality columns.
+    """
+    from pyspark.sql import Window as _W
+
+    counts = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    w = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, -1)
+    with_c = counts.select(
+        "v",
+        "ca",
+        "cb",
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)).alias(
+            "_before"
+        ),
+    )
+    # 2*rank-sum contribution of value v for group a: ca * (2C + c + 1)
+    sums = with_c.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (2 * F.col("_before") + F.col("ca") + F.col("cb") + 1)
+        ).alias("_r2a"),
+    )
+    u2a = F.col("_r2a") - F.col("n_a") * (F.col("n_a") + 1)
+    u2b = 2 * F.col("n_a") * F.col("n_b") - u2a
+    return sums.select(
+        "n_a",
+        "n_b",
+        u2a.alias("u2_a"),
+        u2b.alias("u2_b"),
+        F.round(
+            u2a.cast("double")
+            / (2.0 * F.col("n_a").cast("double") * F.col("n_b").cast("double")),
+            ndigits,
+        ).alias("auc"),
+    )
+
+
+def mannwhitney_u_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`mannwhitney_u`."""
+    ea = group_a.replace("'", "''")
+    eb = group_b.replace("'", "''")
+    return f"""
+WITH counts AS (
+  SELECT {value_col} AS v,
+         SUM(CASE WHEN {group_col} = '{ea}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN {group_col} = '{eb}' THEN 1 ELSE 0 END) AS cb
+  FROM {table}
+  WHERE {group_col} IN ('{ea}', '{eb}') AND {value_col} IS NOT NULL
+  GROUP BY 1
+),
+with_c AS (
+  SELECT v, ca, cb,
+         COALESCE(SUM(ca + cb) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM counts
+),
+sums AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+         SUM(ca * (2 * before + ca + cb + 1)) AS r2a
+  FROM with_c
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(r2a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+       CAST(2 * n_a * n_b - (r2a - n_a * (n_a + 1)) AS BIGINT) AS u2_b,
+       ROUND(CAST(r2a - n_a * (n_a + 1) AS DOUBLE)
+             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
+             {ndigits}) AS auc
+FROM sums
 """.strip()

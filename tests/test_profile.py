@@ -314,3 +314,50 @@ def test_benford_screen(spark):
     edge = spark.createDataFrame([(0.9,), (-25.7,), (None,)], "v double")
     rows = {r["digit"]: r["observed"] for r in benford_screen(edge, "v").collect()}
     assert rows[2] == 1 and sum(rows.values()) == 1
+
+
+def test_mannwhitney_matches_python_ranks(spark):
+    import numpy as np
+
+    from ddspark.profile import mannwhitney_u
+
+    rng = np.random.default_rng(55)
+    a = rng.integers(0, 30, 250)  # heavy ties
+    b = rng.integers(5, 35, 180)  # shifted up
+    rows = [("a", float(v)) for v in a] + [("b", float(v)) for v in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+
+    comb = np.concatenate([a, b]).astype(float)
+    order = np.argsort(comb, kind="stable")
+    ranks = np.empty(len(comb))
+    sv = comb[order]
+    i = 0
+    while i < len(comb):
+        j = i
+        while j + 1 < len(comb) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    r_a = ranks[: len(a)].sum()
+    u_a = r_a - len(a) * (len(a) + 1) / 2.0
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert r["u2_a"] == int(round(2 * u_a))
+    assert r["u2_a"] + r["u2_b"] == 2 * len(a) * len(b)  # identity
+    assert r["auc"] == pytest.approx(u_a / (len(a) * len(b)), abs=1e-6)
+    assert r["auc"] < 0.5  # b is shifted up, so P(a > b) < 0.5
+
+
+def test_mannwhitney_extremes(spark):
+    from ddspark.profile import mannwhitney_u
+
+    # complete separation: every a below every b -> auc = 0
+    rows = [("a", float(v)) for v in range(5)] + [("b", float(v + 10)) for v in range(5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert (r["u2_a"], r["auc"]) == (0, 0.0)
+    # identical single value -> pure ties, auc = 0.5
+    rows = [("a", 7.0)] * 4 + [("b", 7.0)] * 6
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
+    assert r["auc"] == 0.5
