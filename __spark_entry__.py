@@ -905,6 +905,22 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(edges, iters=4)
 
 
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the same deterministic 1000-node link
+    graph as graph_pagerank, via degree-ordered edge orientation (the
+    wedge join's per-node fan-out is O(sqrt(E)) instead of hub-degree
+    squared); the oracle counts canonical u<v<w triangles independently."""
+    from ddspark.pipeline.graph import triangle_count
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return triangle_count(edges)
+
+
 def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events viewed as a CDC changelog of per-user state: version =
     event_id, payload = last event type + integer cents, tombstone =
@@ -2208,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_corr_matrix": wrap(_q_corr_matrix),  # new in r5
         "profile_benford": wrap(_q_benford),  # new in r5
         "profile_mannwhitney": wrap(_q_mannwhitney),  # new in r5
+        "graph_triangles": wrap(_q_triangles),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3363,6 +3380,7 @@ FROM w GROUP BY 1
         "profile_corr_matrix": _corr_matrix_oracle(),
         "profile_benford": _benford_oracle(),
         "profile_mannwhitney": _mannwhitney_oracle(),
+        "graph_triangles": _triangles_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3860,6 +3878,18 @@ def _kwic_oracle() -> str:
     return kwic_snippets_oracle_sql(
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
+    )
+
+
+def _triangles_oracle() -> str:
+    from ddspark.pipeline.graph import triangle_count_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    return triangle_count_oracle_sql(
+        "SELECT user_id % 1000 AS src, "
+        f"({h}) % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL"
     )
 
 

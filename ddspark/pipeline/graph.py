@@ -31,7 +31,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank_integer", "pagerank_oracle_sql"]
+__all__ = [
+    "pagerank_integer",
+    "pagerank_oracle_sql",
+    "triangle_count",
+    "triangle_count_oracle_sql",
+]
 
 
 def pagerank_integer(
@@ -130,3 +135,98 @@ def pagerank_oracle_sql(
         prev = f"r{i}"
     parts.append(f" SELECT node, r AS rank FROM {prev}")
     return "\n".join(parts)
+
+
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact triangle count of the UNDIRECTED simple graph underlying
+    ``edges``: one row ``(n_nodes, n_edges, n_triangles)``.
+
+    The clustering / community-density signal for link-graph curation
+    (spam farms show abnormal triangle density).  Self-loops drop;
+    direction and duplicate edges collapse.
+
+    Scale design — degree-ordered orientation (the standard bound for
+    the two-path join): orient every undirected edge from its
+    lower-(degree, id) endpoint to the higher one, making the oriented
+    out-degree of ANY node at most O(sqrt(|E|)); then count pairs of
+    oriented wedges ``a→b, a→c`` closed by the oriented edge ``b→c``.
+    Each triangle is counted exactly once, and the wedge join's fan-out
+    per node is bounded by that sqrt — a raw-degree join on a power-law
+    graph would square the hub degree instead.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient by (degree, id): strict total order, ties broken by id
+    ed = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+            )
+            .otherwise(F.struct(F.col("v").alias("a"), F.col("u").alias("b")))
+            .alias("o")
+        )
+        .select("o.a", "o.b")
+    )
+    w1 = ed.select(F.col("a"), F.col("b").alias("x"))
+    w2 = ed.select(F.col("a"), F.col("b").alias("y"))
+    wedges = w1.join(w2, "a").where(F.col("x") < F.col("y"))
+    closed = wedges.join(
+        ed.select(F.col("a").alias("x"), F.col("b").alias("y")).unionAll(
+            ed.select(F.col("b").alias("x"), F.col("a").alias("y"))
+        ).where(F.col("x") < F.col("y")).distinct(),
+        ["x", "y"],
+        "left_semi",
+    )
+    return (
+        closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(deg.agg(F.count(F.lit(1)).alias("n_nodes"))))
+        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def triangle_count_oracle_sql(edges_sql: str) -> str:
+    """ANSI twin of :func:`triangle_count` over an edge subquery with
+    columns (src, dst) — canonical undirected triangle join u<v<w."""
+    return f"""
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+nodes AS (SELECT COUNT(DISTINCT n) AS n_nodes FROM (
+  SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+)),
+tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT nodes.n_nodes AS n_nodes,
+       (SELECT COUNT(*) FROM e) AS n_edges,
+       tri.n_triangles AS n_triangles
+FROM nodes CROSS JOIN tri
+""".strip()

@@ -59,3 +59,47 @@ def test_pagerank_guards(spark):
         pagerank_integer(df, iters=0)
     empty = df.where("src > 99")
     assert pagerank_integer(empty, iters=2).count() == 0
+
+
+def test_triangle_count_known_graphs(spark):
+    import itertools
+    import random
+
+    from ddspark.pipeline.graph import triangle_count
+
+    def brute(edges):
+        es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+        nodes = sorted({n for e in es for n in e})
+        cnt = sum(
+            1
+            for a, b, c in itertools.combinations(nodes, 3)
+            if (a, b) in es and (b, c) in es and (a, c) in es
+        )
+        return len(nodes), len(es), cnt
+
+    rng = random.Random(7)
+    cases = [
+        [(1, 2), (2, 3), (1, 3)],                   # one triangle
+        [(1, 2), (2, 3), (3, 4), (4, 1)],           # 4-cycle: none
+        [(1, 2), (2, 1), (2, 3), (1, 3), (3, 3)],   # dup/reverse/self-loop
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(150)],
+        # hub fan + path: degree-ordered orientation's worst naive case
+        [(0, i) for i in range(1, 20)] + [(i, i + 1) for i in range(1, 19)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = triangle_count(df).collect()[0]
+        assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == brute(edges)
+
+
+def test_triangle_count_partition_invariant(spark):
+    import random
+
+    from ddspark.pipeline.graph import triangle_count
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(400)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = triangle_count(df.repartition(1)).collect()[0]
+    b = triangle_count(df.repartition(13)).collect()[0]
+    assert tuple(a) == tuple(b)
