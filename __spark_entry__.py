@@ -921,6 +921,21 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the link graph: exact Pearson over
+    symmetrized endpoint degrees via the DECIMAL-sum path — a one-number
+    structural fingerprint to monitor across crawl snapshots."""
+    from ddspark.pipeline.graph import degree_assortativity
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return degree_assortativity(edges)
+
+
 def _cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events viewed as a CDC changelog of per-user state: version =
     event_id, payload = last event type + integer cents, tombstone =
@@ -2225,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_benford": wrap(_q_benford),  # new in r5
         "profile_mannwhitney": wrap(_q_mannwhitney),  # new in r5
         "graph_triangles": wrap(_q_triangles),  # new in r5
+        "graph_assortativity": wrap(_q_assortativity),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3381,6 +3397,7 @@ FROM w GROUP BY 1
         "profile_benford": _benford_oracle(),
         "profile_mannwhitney": _mannwhitney_oracle(),
         "graph_triangles": _triangles_oracle(),
+        "graph_assortativity": _assortativity_oracle(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """
@@ -3878,6 +3895,18 @@ def _kwic_oracle() -> str:
     return kwic_snippets_oracle_sql(
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
+    )
+
+
+def _assortativity_oracle() -> str:
+    from ddspark.pipeline.graph import degree_assortativity_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    return degree_assortativity_oracle_sql(
+        "SELECT user_id % 1000 AS src, "
+        f"({h}) % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL"
     )
 
 

@@ -36,6 +36,8 @@ __all__ = [
     "pagerank_oracle_sql",
     "triangle_count",
     "triangle_count_oracle_sql",
+    "degree_assortativity",
+    "degree_assortativity_oracle_sql",
 ]
 
 
@@ -230,3 +232,75 @@ SELECT nodes.n_nodes AS n_nodes,
        tri.n_triangles AS n_triangles
 FROM nodes CROSS JOIN tri
 """.strip()
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity of the undirected simple graph: the exact
+    Pearson correlation of endpoint degrees over all symmetrized edge
+    slots — one row ``(n, corr)`` (n = 2·|E|).
+
+    Positive: hubs link to hubs (social graphs); negative: hubs link to
+    leaves (web/biology).  A one-number structural fingerprint to
+    monitor across crawl snapshots.  Degrees are exact integers and the
+    correlation runs through
+    :func:`ddspark.profile.pearson_corr_exact`'s DECIMAL-sum fixed-order
+    path, so the value hash-matches cross-engine.  Plan: one distinct +
+    one degree aggregation + two degree joins — all keyed by node id.
+    """
+    from ddspark.profile import pearson_corr_exact
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    pairs = (
+        e.join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+        .select("du", "dv")
+    )
+    sym = pairs.unionAll(
+        pairs.select(F.col("dv").alias("du"), F.col("du").alias("dv"))
+    )
+    return pearson_corr_exact(sym, "du", "dv")
+
+
+def degree_assortativity_oracle_sql(edges_sql: str) -> str:
+    """ANSI twin of :func:`degree_assortativity`."""
+    from ddspark.profile import pearson_corr_exact_oracle_sql
+
+    sym = f"""(
+WITH raw AS ({edges_sql}),
+e AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e
+  ) GROUP BY n
+),
+pairs AS (
+  SELECT d1.d AS du, d2.d AS dv
+  FROM e JOIN deg d1 ON d1.n = e.u JOIN deg d2 ON d2.n = e.v
+)
+SELECT du, dv FROM pairs
+UNION ALL
+SELECT dv AS du, du AS dv FROM pairs
+) sym"""
+    return pearson_corr_exact_oracle_sql(sym, "du", "dv")

@@ -103,3 +103,34 @@ def test_triangle_count_partition_invariant(spark):
     a = triangle_count(df.repartition(1)).collect()[0]
     b = triangle_count(df.repartition(13)).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_degree_assortativity_known(spark):
+    import numpy as np
+
+    from ddspark.pipeline.graph import degree_assortativity
+
+    # star graph: hub degree n-1, leaves degree 1 -> perfectly disassortative
+    star = [(0, i) for i in range(1, 8)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    assert r["n"] == 2 * len(star)
+    assert r["corr"] == -1.0
+
+    # numpy cross-check on a random graph
+    import random
+
+    rng = random.Random(11)
+    edges = list({tuple(sorted((rng.randrange(25), rng.randrange(25))))
+                  for _ in range(120)})
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = degree_assortativity(df).collect()[0]
+    deg = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    du = [deg[u] for u, v in edges] + [deg[v] for u, v in edges]
+    dv = [deg[v] for u, v in edges] + [deg[u] for u, v in edges]
+    want = np.corrcoef(du, dv)[0, 1]
+    assert r["corr"] == pytest.approx(want, abs=1e-6)
