@@ -905,6 +905,23 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_integer(edges, iters=4)
 
 
+def _q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy short-string matching: pairs of 20-char document prefixes
+    within edit distance 2, candidates from the shared-char-3-gram index
+    (recall guaranteed at these lengths by the q-gram lemma), exact JVM
+    levenshtein filter.  The oracle does ALL-PAIRS levenshtein — so the
+    blocker's completeness itself is what the hash match certifies.
+    ASCII inputs by construction (Spark counts chars, DuckDB bytes)."""
+    from ddspark.pipeline.dedup import levenshtein_pairs
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 300)
+        .select("doc_id", F.substring("text", 1, 20).alias("text"))
+    )
+    return levenshtein_pairs(docs, max_dist=2)
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the same deterministic 1000-node link
     graph as graph_pagerank, via degree-ordered edge orientation (the
@@ -2241,6 +2258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_mannwhitney": wrap(_q_mannwhitney),  # new in r5
         "graph_triangles": wrap(_q_triangles),  # new in r5
         "graph_assortativity": wrap(_q_assortativity),  # new in r5
+        "dedup_levenshtein_pairs": wrap(_q_levenshtein_pairs),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3398,6 +3416,16 @@ FROM w GROUP BY 1
         "profile_mannwhitney": _mannwhitney_oracle(),
         "graph_triangles": _triangles_oracle(),
         "graph_assortativity": _assortativity_oracle(),
+        "dedup_levenshtein_pairs": """
+WITH s AS (
+  SELECT doc_id AS id, substr(text, 1, 20) AS s
+  FROM documents WHERE doc_id < 300 AND length(substr(text, 1, 20)) >= 3
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.s, b.s) AS INT) AS dist
+FROM s a JOIN s b ON a.id < b.id
+WHERE levenshtein(a.s, b.s) <= 2
+""".strip(),
         "profile_crosstab_chi2": _crosstab_oracle(),
         "ddsketch_cdf_probes": _cdf_probe_oracle(),
         "json_props_stats": """

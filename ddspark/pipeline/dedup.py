@@ -36,6 +36,7 @@ __all__ = [
     "word_shingles",
     "jaccard_pairs",
     "containment_pairs",
+    "levenshtein_pairs",
     "minhash_coeffs",
     "minhash_signatures",
     "lsh_candidate_pairs",
@@ -935,3 +936,73 @@ SELECT id AS {id_col},
        COUNT(*) AS n_windows
 FROM islands GROUP BY id, island
 """
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dist: int = 2,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Fuzzy entity matching: every pair of SHORT strings within edit
+    distance ``max_dist`` — ``(id_a < id_b, dist)``.
+
+    The title/name/URL near-match operator (entity resolution, catalog
+    dedup) — a different regime from the document near-dup family:
+    Jaccard/MinHash see token sets, edit distance sees transpositions
+    and typos in short strings.
+
+    Candidates come from a shared character-3-gram inverted index (the
+    q-gram lemma: ed(a,b) <= k strings share >= max_len - 3 + 1 - 3k
+    grams, which is positive — so recall is GUARANTEED — whenever the
+    longer string has >= 3(k+1) chars; shorter strings may be missed
+    and belong in an exact or length-banded pass).  ``df_cap`` drops
+    boilerplate grams before the self-join exactly like
+    :func:`jaccard_pairs`; the final filter is the JVM built-in
+    ``levenshtein(a, b) <= k`` on the candidate pairs only.
+
+    Cross-engine note: Spark's levenshtein counts CHARACTERS while
+    DuckDB's counts BYTES — identical on ASCII, divergent on multibyte
+    text; the oracle twin is therefore pinned to ASCII inputs.
+    """
+    if max_dist < 1:
+        raise ValueError(f"max_dist must be >= 1, got {max_dist}")
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).where(F.col("s").isNotNull() & (F.length("s") >= 3))
+    grams = base.select(
+        "id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 2),
+                    lambda i: F.col("s").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    if df_cap is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > df_cap)
+            .select("g")
+        )
+        grams = grams.join(hot, "g", "left_anti")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("id").alias("id_a"), F.col("s").alias("_sa"))
+    sb = base.select(F.col("id").alias("id_b"), F.col("s").alias("_sb"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -2356,3 +2356,45 @@ def test_asof_join_tolerance_on_timestamp_columns(spark):
     }
     assert rows["2024-01-01 00:00:10"] == 7.0  # 10s away: inside 60s
     assert rows["2024-01-01 02:00:00"] is None  # 2h away: nulled
+
+
+def test_levenshtein_pairs_vs_bruteforce(spark):
+    import itertools
+
+    rows = [
+        (0, "spark engine"), (1, "spark enigne"), (2, "spark engines"),
+        (3, "entirely different"), (4, "spark engine"), (5, "sprk engine"),
+        (6, "ab"),  # below gram length: documented exclusion
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[:], i
+            for j, cb in enumerate(b, 1):
+                d[j] = min(prev[j] + 1, d[j - 1] + 1, prev[j - 1] + (ca != cb))
+        return d[-1]
+
+    got = sorted(tuple(r) for r in dedup.levenshtein_pairs(df, max_dist=2).collect())
+    want = sorted(
+        (a, b, lev(ra, rb))
+        for (a, ra), (b, rb) in itertools.combinations(rows, 2)
+        if lev(ra, rb) <= 2 and len(ra) >= 3 and len(rb) >= 3
+    )
+    assert got == want
+    assert (0, 4, 0) in got  # exact dup at distance 0
+    with pytest.raises(ValueError, match="max_dist"):
+        dedup.levenshtein_pairs(df, max_dist=0)
+
+
+def test_levenshtein_pairs_df_cap_bounds_candidates(spark):
+    # 40 strings sharing one hot prefix: df_cap drops the boilerplate gram
+    # but the distinctive tail grams still recover true near-pairs
+    rows = [(i, f"prefix-shared-{i:02d}") for i in range(40)]
+    rows.append((99, "prefix-shared-0x"))  # ed 1 from "prefix-shared-00"? no: '0x' vs '00' = 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.levenshtein_pairs(df, max_dist=1, df_cap=50).collect()
+    full = dedup.levenshtein_pairs(df, max_dist=1).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, full))
+    assert any(r["id_a"] == 0 and r["id_b"] == 99 for r in full)
