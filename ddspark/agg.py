@@ -54,6 +54,8 @@ __all__ = [
     "quantile_sketch",
     "quantile_sketch_multi",
     "quantile_sketch_rollup",
+    "quantile_sketch_rolling",
+    "rolling_cells_quantiles",
     "quantile_sketch_collect",
     "sketch_to_driver",
     "quantile_label",
@@ -729,6 +731,31 @@ def quantile_sketch_rolling(
         "_day", F.datediff(F.col(time_col).cast("date"), epoch)
     )
     cells = build_cells(base, value_col, by + ["_day"], cfg, weight_col)
+    return rolling_cells_quantiles(cells, by, window_days, qs, cfg)
+
+
+def rolling_cells_quantiles(
+    cells: DataFrame,
+    by: list[str],
+    window_days: int = 7,
+    qs: list[float] = (0.5, 0.95, 0.99),
+    cfg: SketchConfig | None = None,
+    day_col: str = "_day",
+) -> DataFrame:
+    """The cell-side half of :func:`quantile_sketch_rolling`: trailing-
+    window quantiles from EXISTING per-``(by, day)`` bucket cells.
+
+    This is what makes rolling dashboards incremental: point
+    ``streaming.incremental_cells_sink`` at ``by + ["_day"]`` (the day
+    derived from event time) and the durable state IS the input here —
+    each refresh re-aggregates KB-sized cells instead of any raw
+    history.  ``day_col`` holds integer days since 1970-01-01.
+    """
+    by = list(by)
+    cfg = cfg or SketchConfig()
+    epoch = F.to_date(F.lit("1970-01-01"))
+    if day_col != "_day":
+        cells = cells.withColumnRenamed(day_col, "_day")
     tgt = cells.withColumn(
         "_tday",
         F.explode(

@@ -1084,3 +1084,50 @@ def test_upsert_state_time_travel(spark, tmp_path):
     ) == snap(2)
     with pytest.raises(FileNotFoundError, match="available: \\[0, 1, 2\\]"):
         read_upsert_state(spark, state, version=9)
+
+
+def test_incremental_state_powers_rolling_quantiles(spark, tmp_path):
+    """The durable cells state (keyed by group + event day) IS the input
+    to rolling_cells_quantiles: after 3 micro-batches the rolling
+    dashboard computed FROM STATE equals quantile_sketch_rolling over the
+    full concatenated data — no raw history was reread."""
+    from ddspark.agg import quantile_sketch_rolling, rolling_cells_quantiles
+    from ddspark.streaming import incremental_cells_sink, read_sketch_state
+
+    cfg = SketchConfig(0.02)
+    rng = np.random.default_rng(13)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2026-04-01")
+            + pd.to_timedelta(rng.integers(0, 9 * 86400, n), unit="s"),
+            "g": rng.choice(["a", "b"], n),
+            "v": np.round(rng.lognormal(2.5, 1.0, n), 3),
+        }
+    ).sort_values("ts", ignore_index=True)
+
+    state = str(tmp_path / "roll_state")
+    sink = incremental_cells_sink(state, "v", ["g", "_day"], cfg)
+    epoch = pd.Timestamp("1970-01-01")
+    for i, part in enumerate(np.array_split(np.arange(n), 3)):
+        batch = spark.createDataFrame(pdf.iloc[part]).withColumn(
+            "_day", F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01")))
+        )
+        sink(batch, i)
+
+    cells = read_sketch_state(spark, state)
+    from_state = rolling_cells_quantiles(cells, ["g"], 7, [0.5, 0.95], cfg)
+    direct = quantile_sketch_rolling(
+        spark.createDataFrame(pdf), "v", "ts", ["g"], 7, [0.5, 0.95], cfg
+    )
+    key = lambda r: (r["g"], str(r["window_end"]))
+    a = sorted(from_state.collect(), key=key)
+    b = sorted(direct.collect(), key=key)
+    assert len(a) == len(b) > 0
+    for ra, rb in zip(a, b):
+        da, db = ra.asDict(), rb.asDict()
+        for c in da:
+            if c in ("sum", "avg"):
+                assert abs(da[c] - db[c]) <= 1e-9 * max(1.0, abs(da[c]))
+            else:
+                assert da[c] == db[c], c
