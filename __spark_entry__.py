@@ -1925,6 +1925,16 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fixed_width_histogram(li, "l_extendedprice", k=12)
 
 
+def _q_histogram_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language 8-bucket document-length histograms over each group's
+    own extremes: keyed extremes join (no broadcast assumption), spine
+    keeps empty buckets — the grouped distribution-shape profiler."""
+    from ddspark.profile import fixed_width_histogram_grouped
+
+    docs = _read(spark, sf_dir, "documents")
+    return fixed_width_histogram_grouped(docs, "n_chars", ["lang"], k=8)
+
+
 def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Spearman rank correlation per returnflag: tie-averaged
     integer ranks (2x-scaled to stay exact) through the same DECIMAL-sum
@@ -2259,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": wrap(_q_triangles),  # new in r5
         "graph_assortativity": wrap(_q_assortativity),  # new in r5
         "dedup_levenshtein_pairs": wrap(_q_levenshtein_pairs),  # new in r5
+        "profile_histogram_grouped": wrap(_q_histogram_grouped),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3410,6 +3421,7 @@ FROM w GROUP BY 1
         "profile_spearman": _spearman_oracle(),
         "text_kwic_snippets": _kwic_oracle(),
         "profile_histogram": _histogram_oracle(),
+        "profile_histogram_grouped": _histogram_grouped_oracle(),
         "profile_ks_drift": _ks_oracle(),
         "profile_corr_matrix": _corr_matrix_oracle(),
         "profile_benford": _benford_oracle(),
@@ -3972,6 +3984,14 @@ def _ks_oracle() -> str:
     from ddspark.profile import ks_drift_oracle_sql
 
     return ks_drift_oracle_sql("documents", "n_chars", "lang", "en", "de")
+
+
+def _histogram_grouped_oracle() -> str:
+    from ddspark.profile import fixed_width_histogram_grouped_oracle_sql
+
+    return fixed_width_histogram_grouped_oracle_sql(
+        "documents", "n_chars", ["lang"], k=8
+    )
 
 
 def _histogram_oracle() -> str:

@@ -27,6 +27,8 @@ __all__ = [
     "spearman_corr_exact_oracle_sql",
     "fixed_width_histogram",
     "fixed_width_histogram_oracle_sql",
+    "fixed_width_histogram_grouped",
+    "fixed_width_histogram_grouped_oracle_sql",
     "ks_drift",
     "ks_drift_oracle_sql",
     "pearson_corr_matrix",
@@ -913,4 +915,102 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
              / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)),
              {ndigits}) AS auc
 FROM sums
+""".strip()
+
+
+def fixed_width_histogram_grouped(
+    df: DataFrame,
+    col: str,
+    by: list[str],
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-group fixed-width histogram: ``(by..., bucket, lo, hi, n)``
+    with ``k`` equal-width buckets over EACH group's own [min, max].
+
+    The grouped companion to :func:`fixed_width_histogram` — compare
+    value distributions across languages/sources at a glance.  Per-group
+    extremes come from one aggregation joined back on the group key
+    (keyed join, no broadcast assumption: one row per group can be
+    billions of rows); the bucket expression and the spine semantics
+    match the global variant (last bucket closed, min==max degenerates
+    to bucket 0, empty buckets emitted with n=0).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not by:
+        raise ValueError("use fixed_width_histogram for the ungrouped case")
+    base = df.where(F.col(col).isNotNull()).select(*by, col)
+    ext = base.groupBy(*by).agg(
+        F.min(col).cast("double").alias("_mn"),
+        F.max(col).cast("double").alias("_mx"),
+    )
+    v = F.col(col).cast("double")
+    span = F.col("_mx") - F.col("_mn")
+    bucket = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("_mn")) * k / span).cast("int"), F.lit(k - 1)
+        )
+    )
+    counts = (
+        base.join(ext, by)
+        .select(*by, bucket.alias("bucket"), "_mn", "_mx")
+        .groupBy(*by, "bucket", "_mn", "_mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = ext.select(
+        *by, "_mn", "_mx",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("bucket"),
+    )
+    return spine.join(counts, by + ["bucket", "_mn", "_mx"], "left").select(
+        *by,
+        "bucket",
+        F.round(
+            F.col("_mn") + F.col("bucket") * (F.col("_mx") - F.col("_mn")) / k,
+            ndigits,
+        ).alias("lo"),
+        F.round(
+            F.col("_mn")
+            + (F.col("bucket") + 1) * (F.col("_mx") - F.col("_mn")) / k,
+            ndigits,
+        ).alias("hi"),
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+    )
+
+
+def fixed_width_histogram_grouped_oracle_sql(
+    table: str, col: str, by: list[str], k: int = 10, ndigits: int = 6
+) -> str:
+    """ANSI twin of :func:`fixed_width_histogram_grouped`."""
+    by_sel = ", ".join(by)
+    group_pos = ", ".join(str(i) for i in range(1, len(by) + 2))
+    return f"""
+WITH base AS (
+  SELECT {by_sel}, {col} FROM {table} WHERE {col} IS NOT NULL
+),
+ext AS (
+  SELECT {by_sel}, CAST(MIN({col}) AS DOUBLE) AS mn,
+         CAST(MAX({col}) AS DOUBLE) AS mx
+  FROM base GROUP BY {by_sel}
+),
+counts AS (
+  SELECT {', '.join('base.' + c for c in by)},
+         CASE WHEN ext.mx - ext.mn = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR((CAST({col} AS DOUBLE) - ext.mn) * {k} / (ext.mx - ext.mn)) AS INT), {k - 1})
+         END AS bucket,
+         COUNT(*) AS n
+  FROM base JOIN ext USING ({by_sel})
+  GROUP BY {group_pos}
+),
+spine AS (
+  SELECT {by_sel}, mn, mx, CAST(u.b AS INT) AS bucket
+  FROM ext, UNNEST(generate_series(0, {k - 1})) AS u(b)
+)
+SELECT {', '.join('spine.' + c for c in by)},
+       spine.bucket,
+       ROUND(spine.mn + spine.bucket * (spine.mx - spine.mn) / {k}, {ndigits}) AS lo,
+       ROUND(spine.mn + (spine.bucket + 1) * (spine.mx - spine.mn) / {k}, {ndigits}) AS hi,
+       COALESCE(counts.n, 0) AS n
+FROM spine
+LEFT JOIN counts USING ({by_sel}, bucket)
 """.strip()

@@ -361,3 +361,25 @@ def test_mannwhitney_extremes(spark):
     df = spark.createDataFrame(rows, "g string, v double")
     r = mannwhitney_u(df, "v", "g", "a", "b").collect()[0]
     assert r["auc"] == 0.5
+
+
+def test_fixed_width_histogram_grouped(spark):
+    from ddspark.profile import fixed_width_histogram_grouped
+
+    rows = (
+        [("a", float(v)) for v in range(0, 100)]     # a: [0, 99]
+        + [("b", 5.0), ("b", 5.0)]                   # b: degenerate min==max
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {(r["g"], r["bucket"]): r for r in
+           fixed_width_histogram_grouped(df, "v", ["g"], 10).collect()}
+    # each group gets its OWN extremes and a full k-bucket spine
+    assert sum(1 for (g, _) in out if g == "a") == 10
+    assert sum(1 for (g, _) in out if g == "b") == 10
+    assert out[("a", 0)]["n"] == 10 and out[("a", 9)]["n"] == 10
+    assert out[("b", 0)]["n"] == 2
+    assert all(out[("b", i)]["n"] == 0 for i in range(1, 10))
+    assert sum(r["n"] for r in out.values()) == 102
+
+    with pytest.raises(ValueError, match="ungrouped"):
+        fixed_width_histogram_grouped(df, "v", [], 10)
