@@ -2160,6 +2160,39 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.4, n=2, df_cap=8)
 
 
+def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive boolean search (ALL of 3 terms): term isin pushed below
+    the explode, conjunction via one count-distinct aggregate — no
+    self-joins; (doc_id, total_tf) value-matched."""
+    from ddspark.pipeline.retrieval import boolean_and_search
+
+    docs = _read(spark, sf_dir, "documents")
+    return boolean_and_search(docs, ["hash", "join", "merge"])
+
+
+def _q_postings_topdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index accounting: top-10 terms by document frequency from
+    build_postings (df, total tf, max tf) with a deterministic tie-break
+    — certifies the postings aggregation itself, beyond the
+    search-equality pytests."""
+    from pyspark.sql import Window
+
+    from ddspark.pipeline.retrieval import build_postings
+
+    docs = _read(spark, sf_dir, "documents")
+    post = build_postings(docs)
+    agg = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.max("tf").alias("max_tf"),
+    )
+    topk = agg.orderBy(F.col("df").desc(), F.col("term").asc()).limit(10)
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    return topk.select(
+        F.row_number().over(w).alias("rank"), "term", "df", "total_tf", "max_tf"
+    )
+
+
 def _q_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR/3 proximity search ('hash' within 3 tokens of 'merge'):
     per-doc position sets in one conditional aggregate, proximity via a
@@ -2270,6 +2303,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_assortativity": wrap(_q_assortativity),  # new in r5
         "dedup_levenshtein_pairs": wrap(_q_levenshtein_pairs),  # new in r5
         "profile_histogram_grouped": wrap(_q_histogram_grouped),  # new in r5
+        "text_boolean_and": wrap(_q_boolean_and),  # new in r5
+        "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
@@ -3422,6 +3457,40 @@ FROM w GROUP BY 1
         "text_kwic_snippets": _kwic_oracle(),
         "profile_histogram": _histogram_oracle(),
         "profile_histogram_grouped": _histogram_grouped_oracle(),
+        "text_boolean_and": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS t
+  FROM documents
+),
+tp AS (
+  SELECT id, u.term FROM toks, UNNEST(t) AS u(term)
+  WHERE u.term IN ('hash', 'join', 'merge')
+)
+SELECT id AS doc_id, COUNT(*) AS total_tf
+FROM tp GROUP BY id
+HAVING COUNT(DISTINCT term) = 3
+""".strip(),
+        "text_postings_topdf": r"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+                     x -> x != '') AS t
+  FROM documents
+),
+tp AS (SELECT id, u.term FROM toks, UNNEST(t) AS u(term)),
+tf AS (SELECT term, id, COUNT(*) AS tf FROM tp GROUP BY 1, 2),
+agg AS (
+  SELECT term, COUNT(*) AS df, SUM(tf) AS total_tf, MAX(tf) AS max_tf
+  FROM tf GROUP BY term
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank,
+       term, CAST(df AS BIGINT) AS df, CAST(total_tf AS BIGINT) AS total_tf,
+       CAST(max_tf AS BIGINT) AS max_tf
+FROM agg
+QUALIFY rank <= 10
+""".strip(),
         "profile_ks_drift": _ks_oracle(),
         "profile_corr_matrix": _corr_matrix_oracle(),
         "profile_benford": _benford_oracle(),
