@@ -2160,6 +2160,27 @@ def _q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(docs, threshold=0.4, n=2, df_cap=8)
 
 
+_BM25_BATCH_QUERIES = [
+    ("q1", ["hash", "join", "stream", "window"]),
+    ("q2", ["fast", "table"]),
+    ("q3", ["vector", "merge", "scan"]),
+]
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 for a query TABLE (3 queries at once): postings/doc-length/IDF
+    build once and serve every query via a term-keyed join; per-query
+    top-10 through a qid-partitioned window.  Scores identical to
+    bm25_topk for the shared query (pytest-pinned)."""
+    from ddspark.pipeline.retrieval import bm25_batch
+
+    docs = _read(spark, sf_dir, "documents")
+    qdf = spark.createDataFrame(
+        _BM25_BATCH_QUERIES, "query_id string, terms array<string>"
+    )
+    return bm25_batch(docs, qdf, k=10)
+
+
 def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive boolean search (ALL of 3 terms): term isin pushed below
     the explode, conjunction via one count-distinct aggregate — no
@@ -2304,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_levenshtein_pairs": wrap(_q_levenshtein_pairs),  # new in r5
         "profile_histogram_grouped": wrap(_q_histogram_grouped),  # new in r5
         "text_boolean_and": wrap(_q_boolean_and),  # new in r5
+        "text_bm25_batch": wrap(_q_bm25_batch),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3409,6 +3431,7 @@ def oracle_sql() -> dict[str, str]:
         "text_collocations_pmi": _collocations_oracle(),
         "text_proximity_search": _proximity_oracle(),
         "text_bm25_topk": _bm25_oracle(),
+        "text_bm25_batch": _bm25_batch_oracle(),
         "dedup_containment_pairs": _containment_oracle(),
         "join_event_attribution": """
 WITH v AS (
@@ -3640,6 +3663,12 @@ def _collocations_oracle() -> str:
     from ddspark.pipeline.textops import collocations_pmi_oracle_sql
 
     return collocations_pmi_oracle_sql("documents", "text", k=20, min_count=5)
+
+
+def _bm25_batch_oracle() -> str:
+    from ddspark.pipeline.retrieval import bm25_batch_oracle_sql
+
+    return bm25_batch_oracle_sql(_BM25_BATCH_QUERIES, k=10)
 
 
 def _bm25_oracle() -> str:

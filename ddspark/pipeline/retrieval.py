@@ -44,6 +44,8 @@ __all__ = [
     "proximity_search",
     "proximity_search_oracle_sql",
     "bm25_topk",
+    "bm25_batch",
+    "bm25_batch_oracle_sql",
     "kwic_snippets",
     "kwic_snippets_oracle_sql",
     "phrase_search_oracle_sql",
@@ -554,3 +556,151 @@ def phrase_search_postings(
         g.select(F.col("id").alias(id_col), F.size(starts).alias("n_occ"))
         .where(F.col("n_occ") > 0)
     )
+
+
+def bm25_batch(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 for a TABLE of queries at once: top-``k`` documents per query
+    as ``(query_id, rank, id, score_micro)`` — the production retrieval
+    shape (thousands of queries against one corpus), where
+    :func:`bm25_topk`'s map-side form (terms as literals) stops applying.
+
+    Same exact-rational scoring and micro-nat IDF as :func:`bm25_topk`
+    (identical scores for identical queries — pinned by pytest).  Plan:
+    postings and doc lengths build once from one corpus scan each and
+    serve EVERY query; the query->candidate step is a term-keyed join
+    (explode the query terms, join postings on term — bucket the
+    postings by term and it is exchange-free on the corpus side); df_t
+    and N/L reduce once and broadcast.  The per-query top-k is a window
+    PARTITIONED by query_id (bounded by that query's matched docs —
+    never a global single-partition sort).  Duplicate terms within one
+    query's array score once (set semantics, matching bm25_topk).
+
+    Skew note: a stopword in a query joins every posting of that term —
+    cap or drop ultra-high-df terms upstream for adversarial query sets
+    (same ``df_cap`` rationale as the dedup family).
+    """
+    tp = tokens_with_positions(df, id_col, text_col)
+    tf = tp.groupBy("term", "id").agg(F.count(F.lit(1)).alias("tf"))
+    # dl from the base projection, NOT from the exploded tokens: a groupBy
+    # over tp has no rows for EMPTY documents, which would silently shrink
+    # N/L and skew every score (bm25_topk counts the whole corpus; a
+    # pytest with an empty doc pins the parity)
+    dl = df.select(
+        F.col(id_col).alias("id"),
+        F.size(_clean_tokens(F.col(text_col))).alias("dl"),
+    )
+    corpus = dl.agg(F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_l"))
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = dft.crossJoin(F.broadcast(corpus)).select(
+        "term",
+        F.floor(
+            F.lit(1e6)
+            * F.log((2.0 * F.col("_n") + 2.0) / (2.0 * F.col("_df") + 1.0))
+        )
+        .cast("long")
+        .alias("idf_micro"),
+    )
+    qterms = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    term_scores = (
+        qterms.join(tf, "term")
+        .join(idf, "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "qid",
+            "id",
+            F.floor(
+                F.col("idf_micro").cast("double")
+                * (
+                    (44.0 * F.col("tf") * F.col("_l"))
+                    / (
+                        20.0 * F.col("tf") * F.col("_l")
+                        + 6.0 * F.col("_l")
+                        + 18.0 * F.col("dl") * F.col("_n")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    scored = term_scores.groupBy("qid", "id").agg(
+        F.sum("s").alias("score_micro")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_micro").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(qid_col),
+            "rank",
+            F.col("id").alias(id_col),
+            "score_micro",
+        )
+    )
+
+
+def bm25_batch_oracle_sql(
+    query_rows: list[tuple[str, list[str]]],
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+) -> str:
+    """ANSI twin of :func:`bm25_batch` for a literal query set."""
+    vals = ", ".join(
+        "('{}', {})".format(
+            q.replace("'", "''"),
+            "[" + ", ".join("'{}'".format(t.replace("'", "''")) for t in ts) + "]",
+        )
+        for q, ts in query_rows
+    )
+    toks = _TOKS_CTE.format(table=table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH {toks},
+tp AS (SELECT id, u.term FROM toks, UNNEST(t) AS u(term)),
+tf AS (SELECT term, id, COUNT(*) AS tf FROM tp GROUP BY 1, 2),
+dl AS (SELECT id, len(t) AS dl FROM toks),
+corpus AS (SELECT COUNT(*) AS n, SUM(dl) AS l FROM dl),
+idf AS (
+  SELECT term,
+         CAST(FLOOR(1e6 * ln((2.0 * corpus.n + 2.0) / (2.0 * COUNT(*) + 1.0))) AS BIGINT)
+           AS idf_micro
+  FROM tf CROSS JOIN corpus GROUP BY term, corpus.n
+),
+q(qid, terms) AS (VALUES {vals}),
+qterms AS (SELECT DISTINCT qid, u.term FROM q, UNNEST(terms) AS u(term)),
+term_scores AS (
+  SELECT qterms.qid, tf.id,
+         CAST(FLOOR(CAST(idf.idf_micro AS DOUBLE) *
+              ((44.0 * tf.tf * corpus.l) /
+               (20.0 * tf.tf * corpus.l + 6.0 * corpus.l + 18.0 * dl.dl * corpus.n)))
+              AS BIGINT) AS s
+  FROM qterms
+  JOIN tf USING (term)
+  JOIN idf USING (term)
+  JOIN dl ON dl.id = tf.id
+  CROSS JOIN corpus
+),
+scored AS (SELECT qid, id, SUM(s) AS score_micro FROM term_scores GROUP BY 1, 2)
+SELECT qid AS {qid_col},
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_micro DESC, id ASC) AS INT) AS rank,
+       id AS {id_col},
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM scored
+QUALIFY rank <= {k}
+""".strip()

@@ -304,3 +304,25 @@ def test_phrase_search_postings_equals_raw(spark):
         assert idx == raw, phrase
     with pytest.raises(ValueError):
         phrase_search_postings(post, [])
+
+
+def test_bm25_batch_matches_single_query(spark):
+    """Per-query rows of the batch path must equal bm25_topk exactly
+    (same micro-nat scoring), including duplicate terms within one
+    query's array (set semantics)."""
+    from ddspark.pipeline.retrieval import bm25_batch
+
+    qdf = spark.createDataFrame(
+        [("qa", ["cat", "mat"]), ("qb", ["the", "the", "dog"])],
+        "query_id string, terms array<string>",
+    )
+    got = bm25_batch(_df(spark), qdf, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.doc_id, r.score_micro))
+    for qid, terms in (("qa", ["cat", "mat"]), ("qb", ["the", "dog"])):
+        single = [
+            (r.rank, r.doc_id, r.score_micro)
+            for r in bm25_topk(_df(spark), terms, k=10).orderBy("rank").collect()
+        ]
+        assert sorted(by_q[qid]) == sorted(single), qid
