@@ -1154,6 +1154,26 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomalies (ddspark/timeseries.py seasonal_residuals):
+    hourly cents per event type vs the SAME HOUR YESTERDAY (season=24),
+    residual exact BIGINT, anomaly by integer cross-multiplication —
+    gap-robust via an equality self-join on the shifted bucket, never a
+    row-offset LAG."""
+    from ddspark.timeseries import seasonal_residuals
+
+    ev = _read(spark, sf_dir, "events").select(
+        "ts", "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    out = seasonal_residuals(
+        ev, "ts", "c", by=["event_type"], granularity="hour", season=24,
+        factor_num=1, factor_den=1,
+    )
+    return out.withColumn(
+        "bucket_start", F.date_format("bucket_start", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
 def _q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff (ddspark/io.py corpus_diff): documents vs a
     deterministically perturbed snapshot (every 7th doc removed, every
@@ -2326,6 +2346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_histogram_grouped": wrap(_q_histogram_grouped),  # new in r5
         "text_boolean_and": wrap(_q_boolean_and),  # new in r5
         "text_bm25_batch": wrap(_q_bm25_batch),  # new in r5
+        "ts_seasonal_residuals": wrap(_q_seasonal_residuals),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3432,6 +3453,29 @@ def oracle_sql() -> dict[str, str]:
         "text_proximity_search": _proximity_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "text_bm25_batch": _bm25_batch_oracle(),
+        "ts_seasonal_residuals": """
+WITH buckets AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+         CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT b.event_type, b.bucket_start, b.v, l.v AS v_lag
+  FROM buckets b
+  LEFT JOIN buckets l
+    ON l.event_type = b.event_type
+   AND l.bucket_start + INTERVAL 86400 SECOND = b.bucket_start
+)
+SELECT event_type,
+       strftime(bucket_start, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+       v, CAST(v_lag AS BIGINT) AS v_lag,
+       CAST(v - v_lag AS BIGINT) AS residual,
+       CASE WHEN v_lag IS NOT NULL
+            THEN ABS(v - v_lag) * 1 > 1 * v_lag
+            ELSE FALSE END AS anomaly
+FROM j
+""".strip(),
         "dedup_containment_pairs": _containment_oracle(),
         "join_event_attribution": """
 WITH v AS (

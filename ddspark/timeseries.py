@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["downsample_multi", "decayed_sum", "flag_spikes"]
+__all__ = ["downsample_multi", "decayed_sum", "flag_spikes", "seasonal_residuals"]
 
 # date_trunc units both Spark and ANSI engines agree on (week = ISO Monday)
 _UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
@@ -168,4 +168,72 @@ def flag_spikes(
             F.col("v") * F.col("n_trailing")
             > F.lit(int(factor)) * F.col("trailing_sum")
         ),
+    )
+
+
+def seasonal_residuals(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    by: list[str] | None = None,
+    granularity: str = "hour",
+    season: int = 24 * 7,
+    factor_num: int = 2,
+    factor_den: int = 1,
+) -> DataFrame:
+    """Seasonal-naive anomaly detection: each bucket's total compared to
+    the SAME bucket one season earlier (hour-of-week for the default
+    hourly buckets, season=168) — the detector for periodic series where
+    a trailing average (:func:`flag_spikes`) would flag every daily peak.
+
+    Returns ``(*by, bucket_start, v, v_lag, residual, anomaly)`` where
+    ``residual = v - v_lag`` (exact BIGINT with integer inputs) and
+    ``anomaly`` is true when ``|residual| * factor_den > factor_num *
+    v_lag`` — an integer cross-multiplication (no division, no floats),
+    i.e. the bucket moved by more than factor_num/factor_den of its
+    seasonal baseline.  Buckets without a one-season-earlier bucket (the
+    first season, gaps) are never anomalies.
+
+    The seasonal join is a LAG over bucket ROWS only if the series is
+    gap-free; to be gap-robust this uses an equality SELF-JOIN on the
+    shifted bucket timestamp (bucket_start - season buckets), which is a
+    keyed hash join over bucket-level rows — thousands per group, never
+    raw events.
+    """
+    by = list(by or [])
+    if season < 1 or factor_num < 1 or factor_den < 1:
+        raise ValueError("season and factors must be >= 1")
+    buckets = (
+        df.where(F.col(ts).isNotNull())
+        .groupBy(
+            *by,
+            F.date_trunc(granularity, F.col(ts))
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+        )
+        .agg(F.sum(F.col(value)).alias("v"))
+    )
+    unit = {"hour": 3600, "day": 86400, "week": 7 * 86400, "minute": 60}[
+        granularity
+    ]
+    shifted = buckets.select(
+        *by,
+        (
+            F.col("bucket_start") + F.expr(f"INTERVAL {season * unit} SECONDS")
+        ).alias("bucket_start"),
+        F.col("v").alias("v_lag"),
+    )
+    j = buckets.join(shifted, by + ["bucket_start"], "left")
+    residual = F.col("v") - F.col("v_lag")
+    anomaly = F.when(
+        F.col("v_lag").isNotNull(),
+        F.abs(residual) * factor_den > factor_num * F.col("v_lag"),
+    ).otherwise(F.lit(False))
+    return j.select(
+        *by,
+        "bucket_start",
+        "v",
+        "v_lag",
+        F.coalesce(residual, F.lit(None)).alias("residual"),
+        anomaly.alias("anomaly"),
     )

@@ -78,3 +78,40 @@ def test_decayed_sum_matches_python_model(spark):
         # newest row carries the highest weight 2^(depth-1)
         want = sum(x * (1 << (7 - i)) for i, x in enumerate(reversed(h[-8:])))
         assert got[(k, seq)] == want, (k, seq)
+
+
+def test_seasonal_residuals_known(spark):
+    import pandas as pd
+
+    from ddspark.timeseries import seasonal_residuals
+
+    t0 = pd.Timestamp("2026-05-04 00:00:00")  # a Monday
+    rows = []
+    # two weeks of hourly "10 per hour", then one anomalous hour in week 2
+    for h in range(2 * 7 * 24):
+        rows.append(("g", t0 + pd.Timedelta(hours=h), 10))
+    rows.append(("g", t0 + pd.Timedelta(days=8, hours=3), 90))  # spike adds to hour
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["g", "ts", "v"])
+    )
+    out = {
+        (r["g"], str(r["bucket_start"])): r
+        for r in seasonal_residuals(
+            df, "ts", "v", by=["g"], granularity="hour", season=24 * 7,
+            factor_num=1, factor_den=1,
+        ).collect()
+    }
+    # first week has no seasonal baseline -> never anomalous
+    r = out[("g", "2026-05-04 05:00:00")]
+    assert r["v_lag"] is None and r["anomaly"] is False
+    # normal second-week hour: residual 0
+    r = out[("g", "2026-05-11 05:00:00")]
+    assert (r["v"], r["v_lag"], r["residual"], r["anomaly"]) == (10, 10, 0, False)
+    # the spiked hour: 100 vs 10 -> |90| > 1*10 -> anomaly
+    r = out[("g", "2026-05-12 03:00:00")]
+    assert (r["v"], r["v_lag"], r["residual"], r["anomaly"]) == (100, 10, 90, True)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        seasonal_residuals(df, "ts", "v", season=0)
