@@ -938,6 +938,24 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+_PPR_SEEDS = [7, 42, 123]
+
+
+def _q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from 3 seed nodes over the same link graph —
+    proximity-to-seeds ranking in exact integer arithmetic (the oracle
+    unrolls the identical iterations and must match bit-for-bit)."""
+    from ddspark.pipeline.graph import pagerank_personalized
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return pagerank_personalized(edges, _PPR_SEEDS, iters=4)
+
+
 def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the link graph: exact Pearson over
     symmetrized endpoint degrees via the DECIMAL-sum path — a one-number
@@ -2347,6 +2365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boolean_and": wrap(_q_boolean_and),  # new in r5
         "text_bm25_batch": wrap(_q_bm25_batch),  # new in r5
         "ts_seasonal_residuals": wrap(_q_seasonal_residuals),  # new in r5
+        "graph_ppr": wrap(_q_ppr),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3564,6 +3583,7 @@ QUALIFY rank <= 10
         "profile_mannwhitney": _mannwhitney_oracle(),
         "graph_triangles": _triangles_oracle(),
         "graph_assortativity": _assortativity_oracle(),
+        "graph_ppr": _ppr_oracle(),
         "dedup_levenshtein_pairs": """
 WITH s AS (
   SELECT doc_id AS id, substr(text, 1, 20) AS s
@@ -4077,6 +4097,20 @@ def _kwic_oracle() -> str:
     return kwic_snippets_oracle_sql(
         "merge", context=3,
         table="(SELECT * FROM documents WHERE doc_id < 100) d",
+    )
+
+
+def _ppr_oracle() -> str:
+    from ddspark.pipeline.graph import pagerank_personalized_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    return pagerank_personalized_oracle_sql(
+        "SELECT user_id % 1000 AS src, "
+        f"({h}) % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL",
+        _PPR_SEEDS,
+        iters=4,
     )
 
 

@@ -38,6 +38,8 @@ __all__ = [
     "triangle_count_oracle_sql",
     "degree_assortativity",
     "degree_assortativity_oracle_sql",
+    "pagerank_personalized",
+    "pagerank_personalized_oracle_sql",
 ]
 
 
@@ -304,3 +306,115 @@ UNION ALL
 SELECT dv AS du, du AS dv FROM pairs
 ) sym"""
     return pearson_corr_exact_oracle_sql(sym, "du", "dv")
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    total: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+) -> DataFrame:
+    """Personalized (topic-sensitive) PageRank: the teleport mass lands on
+    ``seeds`` only, so ranks measure proximity TO THE SEED SET — the
+    "find pages like these trusted ones" / TrustRank-style crawl-curation
+    prior, where uniform PageRank measures global importance.
+
+    Same exact-integer recurrence as :func:`pagerank_integer` (floor-div
+    damping, no float summation order): start mass ``total // n_seeds``
+    on each seed, per-iteration
+    ``rank = seed_base(node) + (dn·Σ contrib) div dd`` with
+    ``seed_base = ((dd−dn)·(total // n_seeds)) div dd`` on seeds and 0
+    elsewhere.  ``seeds`` is a literal list (an ``isin`` expression, not
+    a join) — personalization sets are small by nature.
+    """
+    dn, dd = damping
+    if not (0 < dn < dd):
+        raise ValueError(f"damping must be 0 < dn < dd, got {damping}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not seeds:
+        raise ValueError("pagerank_personalized needs at least one seed")
+    seeds = sorted(set(seeds))
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    r0 = int(total) // len(seeds)
+    base = ((dd - dn) * r0) // dd
+    is_seed = F.col("node").isin(seeds)
+
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+
+    ranks = nodes.withColumn(
+        "rank", F.when(is_seed, F.lit(r0)).otherwise(F.lit(0)).cast("long")
+    )
+    for _ in range(iters):
+        sums = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", F.expr("rank div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.when(is_seed, F.lit(base)).otherwise(F.lit(0))
+                    + F.expr(f"({dn} * coalesce(s, 0L)) div {dd}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def pagerank_personalized_oracle_sql(
+    edges_sql: str,
+    seeds: list,
+    iters: int = 5,
+    total: int = 10**12,
+    damping: tuple[int, int] = (85, 100),
+) -> str:
+    """ANSI twin of :func:`pagerank_personalized` (unrolled CTEs)."""
+    dn, dd = damping
+    seeds = sorted(set(seeds))
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    r0 = int(total) // len(seeds)
+    base = ((dd - dn) * r0) // dd
+    parts = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_sql})",
+        " WHERE src IS NOT NULL AND dst IS NOT NULL),",
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        " deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),",
+        f" r0 AS (SELECT node, CAST(CASE WHEN node IN ({seed_list})"
+        f" THEN {r0} ELSE 0 END AS BIGINT) AS r FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", r{i} AS (SELECT n.node,"
+            f" CAST(CASE WHEN n.node IN ({seed_list}) THEN {base} ELSE 0 END"
+            f"      + ({dn} * COALESCE(s.s, 0)) // {dd} AS BIGINT) AS r"
+            f" FROM nodes n LEFT JOIN ("
+            f"   SELECT e.dst AS node, SUM({prev}.r // deg.d) AS s"
+            f"   FROM e JOIN {prev} ON e.src = {prev}.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY 1"
+            f" ) s ON n.node = s.node)"
+        )
+        prev = f"r{i}"
+    parts.append(f" SELECT node, r AS rank FROM {prev}")
+    return "\n".join(parts)
