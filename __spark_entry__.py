@@ -1172,6 +1172,27 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accent folding (NFD + drop Mn, NO recomposition — DuckDB
+    strip_accents semantics exactly) over synth accent tails; md5 of the
+    folded text matched against DuckDB's utf8proc implementation — two
+    independent Unicode stacks agreeing byte-for-byte."""
+    from ddspark.pipeline.unicode import strip_accents
+
+    docs = _read(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 5
+    tail = (
+        F.when(m == 0, F.lit(" café naïve"))       # composed accents
+        .when(m == 1, F.lit(" café"))                   # decomposed
+        .when(m == 2, F.lit(" ḱṷṓn"))          # double diacritics
+        .when(m == 3, F.lit(" øre œuf Straße"))  # NOT accents: pass through
+        .otherwise(F.lit(" ELEVÁTOR niño"))
+    )
+    u = docs.select("doc_id", F.concat(F.col("text"), tail).alias("t"))
+    out = strip_accents(u, "t")
+    return out.select("doc_id", F.md5(F.col("t_plain")).alias("folded_md5"))
+
+
 def _q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive anomalies (ddspark/timeseries.py seasonal_residuals):
     hourly cents per event type vs the SAME HOUR YESTERDAY (season=24),
@@ -2366,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bm25_batch": wrap(_q_bm25_batch),  # new in r5
         "ts_seasonal_residuals": wrap(_q_seasonal_residuals),  # new in r5
         "graph_ppr": wrap(_q_ppr),  # new in r5
+        "text_strip_accents": wrap(_q_strip_accents),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3584,6 +3606,18 @@ QUALIFY rank <= 10
         "graph_triangles": _triangles_oracle(),
         "graph_assortativity": _assortativity_oracle(),
         "graph_ppr": _ppr_oracle(),
+        "text_strip_accents": r"""
+SELECT doc_id,
+       md5(strip_accents(text ||
+         CASE doc_id % 5
+           WHEN 0 THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+           WHEN 1 THEN ' cafe' || chr(769)
+           WHEN 2 THEN ' ' || chr(7729) || chr(7799) || chr(7763) || 'n'
+           WHEN 3 THEN ' ' || chr(248) || 're ' || chr(339) || 'uf Stra' || chr(223) || 'e'
+           ELSE ' ELEV' || chr(193) || 'TOR ni' || chr(241) || 'o'
+         END)) AS folded_md5
+FROM documents
+""".strip(),
         "dedup_levenshtein_pairs": """
 WITH s AS (
   SELECT doc_id AS id, substr(text, 1, 20) AS s

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = [
     "normalize_text",
+    "strip_accents",
     "unicode_stats",
     "unicode_stats_oracle_sql",
 ]
@@ -68,6 +69,42 @@ def normalize_text(
         return col.map(one)
 
     return df.withColumn(out, norm(F.col(text_col)))
+
+
+def strip_accents(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Add ``out_col`` (default ``<text_col>_plain``) = ``text_col`` with
+    combining marks removed: NFD-decompose, drop category-Mn codepoints.
+
+    The accent-folding step of multilingual search/dedup normalization
+    (café == cafe; matches how CCNet-style pipelines canonicalize before
+    hashing).  Deliberately NO NFC recomposition afterwards — that is
+    exactly DuckDB's utf8proc ``strip_accents`` semantics, so the gate
+    can md5-match the two independent Unicode implementations (verified
+    on accents, precomposed singletons, and double-diacritic letters;
+    base letters with no combining decomposition — ø, ß, œ — pass
+    through unchanged in BOTH, by design).  Arrow-batched with the same
+    ASCII fast path as :func:`normalize_text`.
+    """
+    out = out_col or f"{text_col}_plain"
+
+    @F.pandas_udf("string")
+    def fold(col: pd.Series) -> pd.Series:
+        def one(s):
+            if s is None or s.isascii():
+                return s
+            return "".join(
+                c
+                for c in unicodedata.normalize("NFD", s)
+                if unicodedata.category(c) != "Mn"
+            )
+
+        return col.map(one)
+
+    return df.withColumn(out, fold(F.col(text_col)))
 
 
 def unicode_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

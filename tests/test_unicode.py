@@ -102,3 +102,21 @@ def test_duckdb_twin_stats_and_nfc(spark):
     for col in ["n_bytes", "n_codepoints", "n_replacement", "n_control",
                 "ascii_only", "nfc_md5"]:
         assert list(got[col]) == list(want[col]), col
+
+
+def test_strip_accents_semantics(spark):
+    from ddspark.pipeline.unicode import strip_accents
+
+    rows = [
+        (0, "café"), (1, "café"), (2, "naïve"), (3, "ḱṷṓn"),
+        (4, "øre œuf Straße"),  # not accents: unchanged
+        (5, "plain ascii"), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "i long, t string")
+    out = {r["i"]: r["t_plain"] for r in strip_accents(df, "t").collect()}
+    assert out[0] == out[1] == "cafe"  # composed and decomposed converge
+    assert out[2] == "naive"
+    assert out[3] == "kuon"
+    assert out[4] == "øre œuf Straße"
+    assert out[5] == "plain ascii"
+    assert out[6] is None
