@@ -40,6 +40,7 @@ __all__ = [
     "degree_assortativity_oracle_sql",
     "pagerank_personalized",
     "pagerank_personalized_oracle_sql",
+    "k_core",
 ]
 
 
@@ -418,3 +419,71 @@ def pagerank_personalized_oracle_sql(
         prev = f"r{i}"
     parts.append(f" SELECT node, r AS rank FROM {prev}")
     return "\n".join(parts)
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """The k-core of the undirected simple graph: ``(node, degree)`` for
+    every node of the maximal subgraph where ALL degrees are >= ``k``
+    (degree = within-core degree).
+
+    Spam/link-farm curation signal: dense cores survive peeling, organic
+    link periphery does not.  Textbook iterative peel — drop nodes with
+    degree < k, recompute degrees on the induced subgraph, repeat to
+    fixpoint — expressed as a loop of two keyed aggregations + two
+    semi-joins per round with ``localCheckpoint`` lineage cuts (the
+    Pregel shape, like :func:`pagerank_integer`).  The result is unique
+    (the k-core is well-defined) hence independent of peel order and
+    partitioning.  Rounds needed = peel depth, typically tens; the
+    convergence check is one cheap count per round.  Not expressible as
+    a one-shot SQL oracle (the fixpoint is non-monotone), so the gate
+    coverage is python-model + invariance pytests, like PCA.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if max_iters < 1:
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = e.count()
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = (
+            e.select(F.col("u").alias("n"))
+            .unionAll(e.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("n").localCheckpoint(
+            eager=False
+        )
+        e2 = (
+            e.join(keep.withColumnRenamed("n", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+    )
+    return deg

@@ -195,3 +195,56 @@ def test_personalized_pagerank_python_model(spark):
             for n in nodes
         }
     assert got == rank
+
+
+def _kcore_py(edges, k):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for u, v in es:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        drop = {n for n, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {e for e in es if e[0] not in drop and e[1] not in drop}
+        if not es:
+            return {}
+
+
+def test_k_core_known_and_random(spark):
+    import random
+
+    from ddspark.pipeline.graph import k_core
+
+    # triangle + pendant chain: 2-core = the triangle only
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    got = {r["node"]: r["degree"] for r in k_core(spark.createDataFrame(edges, "src long, dst long"), 2).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+    # whole graph IS its own 1-core
+    got1 = {r["node"]: r["degree"] for r in k_core(spark.createDataFrame(edges, "src long, dst long"), 1).collect()}
+    assert set(got1) == {1, 2, 3, 4, 5}
+
+    # nothing survives k=3 here
+    got3 = k_core(spark.createDataFrame(edges, "src long, dst long"), 3).collect()
+    assert got3 == []
+
+    rng = random.Random(13)
+    redges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(200)})
+    df = spark.createDataFrame(redges, "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r["node"]: r["degree"] for r in k_core(df, k).collect()}
+        assert got == _kcore_py(redges, k), k
+
+
+def test_k_core_partition_invariant(spark):
+    import random
+
+    from ddspark.pipeline.graph import k_core
+
+    rng = random.Random(2)
+    redges = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    a = sorted(map(tuple, k_core(spark.createDataFrame(redges, "src long, dst long").repartition(1), 3).collect()))
+    b = sorted(map(tuple, k_core(spark.createDataFrame(redges, "src long, dst long").repartition(11), 3).collect()))
+    assert a == b
