@@ -1193,6 +1193,38 @@ def _q_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.md5(F.col("t_plain")).alias("folded_md5"))
 
 
+def _q_attribution_gap_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: time-to-click quantiles — attribution_join finds every
+    view->click pair within 2h per user, DDSketch summarizes the gap
+    distribution (p50/p95/p99 seconds).  The oracle replays the SAME join
+    feeding the ANSI sketch, so the composed pipeline is value-matched
+    end-to-end, not piecewise."""
+    from ddspark.pipeline.joins import attribution_join
+
+    ev = _read(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("ts").alias("view_ts"), "user_id"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("ts").alias("click_ts"), "user_id"
+    )
+    pairs = attribution_join(
+        views, clicks, "user_id", "view_ts", "click_ts", "2 hours"
+    ).select(
+        (
+            (
+                F.unix_micros(F.col("click_ts").cast("timestamp"))
+                - F.unix_micros(F.col("view_ts").cast("timestamp"))
+            ).cast("double")
+            / 1e6
+        ).alias("gap_s")
+    ).where(F.col("gap_s") > 0)
+    res = quantile_sketch(pairs, "gap_s", None, QS, SketchConfig(ALPHA))
+    return _round_quantiles(
+        res.select("count", *[quantile_label(q) for q in QS])
+    )
+
+
 def _q_seasonal_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-naive anomalies (ddspark/timeseries.py seasonal_residuals):
     hourly cents per event type vs the SAME HOUR YESTERDAY (season=24),
@@ -2388,6 +2420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal_residuals": wrap(_q_seasonal_residuals),  # new in r5
         "graph_ppr": wrap(_q_ppr),  # new in r5
         "text_strip_accents": wrap(_q_strip_accents),  # new in r5
+        "ddsketch_attribution_gaps": wrap(_q_attribution_gap_quantiles),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3606,6 +3639,14 @@ QUALIFY rank <= 10
         "graph_triangles": _triangles_oracle(),
         "graph_assortativity": _assortativity_oracle(),
         "graph_ppr": _ppr_oracle(),
+        "ddsketch_attribution_gaps": ansi_sql_quantile_sketch(
+            "(SELECT (epoch_us(c.ts) - epoch_us(v.ts)) / 1e6 AS gap_s "
+            "FROM (SELECT ts, user_id FROM events WHERE event_type = 'view') v "
+            "JOIN (SELECT ts, user_id FROM events WHERE event_type = 'click') c "
+            "  ON c.user_id = v.user_id "
+            " AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 2 HOUR) gaps",
+            "gap_s", [], QS, ALPHA, round_digits=ROUND,
+        ),
         "text_strip_accents": r"""
 SELECT doc_id,
        md5(strip_accents(text ||
