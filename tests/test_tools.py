@@ -31,3 +31,33 @@ def test_driver_coverage_sorts_rounds_numerically(tmp_path, monkeypatch):
     (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps({"q": red}))
     monkeypatch.setattr(mod, "REPO", str(tmp_path))
     assert mod.driver_coverage() == {"q": "r10"}
+
+
+def test_run_curation_job_end_to_end(tmp_path):
+    """The spark-submit curation entry point: funnel + near-dup removal +
+    partitioned write + one JSON metrics line; deterministic across
+    re-runs (same keep decisions)."""
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "curated")
+    cmd = [
+        sys.executable, "tools/run_curation.py",
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out, "--skip-gopher", "--cores", "4",
+    ]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r1 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd=repo)
+    assert r1.returncode == 0, r1.stderr[-2000:]
+    m1 = json.loads(r1.stdout.strip().splitlines()[-1])
+    assert m1["input_docs"] == 500
+    assert 0 < m1["after_neardup_removal"] <= m1["after_quality_funnel"] <= 500
+    assert set(m1["stage_drops"]) == {"exact_dup", "lang_id", "gopher", "repetition"}
+    assert m1["stage_drops"]["gopher"] == 0  # skip-gopher passes all
+
+    # deterministic: a re-run reproduces the exact same counts
+    r2 = subprocess.run(cmd, capture_output=True, text=True, timeout=600, cwd=repo)
+    m2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    for key in ("after_quality_funnel", "after_neardup_removal", "stage_drops"):
+        assert m1[key] == m2[key]
