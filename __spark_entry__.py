@@ -2272,6 +2272,26 @@ def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch(docs, qdf, k=10)
 
 
+def _q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion: the BM25 top-20 fused with an
+    independent length-prior top-20 via Reciprocal Rank Fusion — each
+    list contributes floor(1e6/(60+rank)), exact BIGINT sums, rank-only
+    semantics (never the incomparable scores)."""
+    from pyspark.sql import Window
+
+    from ddspark.pipeline.retrieval import bm25_topk, rrf_fuse
+
+    docs = _read(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, _BM25_QUERY, k=20).select("doc_id", "rank")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    prior = (
+        docs.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.row_number().over(w).alias("rank"))
+    )
+    return rrf_fuse([lex, prior], k=60)
+
+
 def _q_boolean_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive boolean search (ALL of 3 terms): term isin pushed below
     the explode, conjunction via one count-distinct aggregate — no
@@ -2421,6 +2441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": wrap(_q_ppr),  # new in r5
         "text_strip_accents": wrap(_q_strip_accents),  # new in r5
         "ddsketch_attribution_gaps": wrap(_q_attribution_gap_quantiles),  # new in r5
+        "text_rrf_fusion": wrap(_q_rrf_fuse),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3527,6 +3548,7 @@ def oracle_sql() -> dict[str, str]:
         "text_proximity_search": _proximity_oracle(),
         "text_bm25_topk": _bm25_oracle(),
         "text_bm25_batch": _bm25_batch_oracle(),
+        "text_rrf_fusion": _rrf_oracle(),
         "ts_seasonal_residuals": """
 WITH buckets AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_start,
@@ -3802,6 +3824,34 @@ def _collocations_oracle() -> str:
     from ddspark.pipeline.textops import collocations_pmi_oracle_sql
 
     return collocations_pmi_oracle_sql("documents", "text", k=20, min_count=5)
+
+
+def _rrf_oracle() -> str:
+    from ddspark.pipeline.retrieval import bm25_topk_oracle_sql
+
+    bm25 = bm25_topk_oracle_sql(_BM25_QUERY, k=20)
+    return f"""
+WITH lex AS (SELECT doc_id, rank FROM ({bm25}) b),
+prior AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+  FROM documents
+  QUALIFY rank <= 20
+),
+contrib AS (
+  SELECT doc_id, CAST(FLOOR(1e6 / (60 + CAST(rank AS DOUBLE))) AS BIGINT) AS c FROM lex
+  UNION ALL
+  SELECT doc_id, CAST(FLOOR(1e6 / (60 + CAST(rank AS DOUBLE))) AS BIGINT) AS c FROM prior
+),
+fused AS (
+  SELECT doc_id, SUM(c) AS rrf_micro, COUNT(*) AS n_lists
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+       CAST(n_lists AS BIGINT) AS n_lists,
+       CAST(ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id ASC) AS INT) AS rank
+FROM fused
+""".strip()
 
 
 def _bm25_batch_oracle() -> str:

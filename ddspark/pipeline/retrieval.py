@@ -48,6 +48,7 @@ __all__ = [
     "bm25_batch_oracle_sql",
     "kwic_snippets",
     "kwic_snippets_oracle_sql",
+    "rrf_fuse",
     "phrase_search_oracle_sql",
     "bm25_topk_oracle_sql",
 ]
@@ -704,3 +705,57 @@ SELECT qid AS {qid_col},
 FROM scored
 QUALIFY rank <= {k}
 """.strip()
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    topk: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009): combine any number
+    of rankings of the same id space into one —
+    ``(id, rrf_micro, n_lists, rank)``.
+
+    The standard hybrid-retrieval combiner (BM25 list + embedding-ANN
+    list -> one list) — robust because it reads only RANKS, never the
+    incomparable scores.  Each list contributes
+    ``floor(1e6 / (k + rank))`` — an exact integer (one correctly-
+    rounded division behind a floor), so the fused score is an exact
+    BIGINT sum under any partitioning and the (rrf DESC, id ASC) order
+    is deterministic cross-engine.  Ids absent from a list simply
+    contribute nothing (the rank-only semantics).  Plan: one unionAll of
+    the (already tiny, top-k-sized) ranking frames + one id-keyed
+    aggregation; ``topk`` applies a distributed TakeOrdered.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    parts = [
+        r.select(
+            F.col(id_col).alias("id"),
+            F.floor(F.lit(1e6) / (F.lit(k) + F.col(rank_col).cast("double")))
+            .cast("long")
+            .alias("_c"),
+        )
+        for r in rankings
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionAll(p)
+    fused = u.groupBy("id").agg(
+        F.sum("_c").alias("rrf_micro"), F.count(F.lit(1)).alias("n_lists")
+    )
+    if topk is not None:
+        fused = fused.orderBy(
+            F.col("rrf_micro").desc(), F.col("id").asc()
+        ).limit(topk)
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("id").asc())
+    return fused.select(
+        F.col("id").alias(id_col),
+        "rrf_micro",
+        "n_lists",
+        F.row_number().over(w).alias("rank"),
+    )

@@ -326,3 +326,30 @@ def test_bm25_batch_matches_single_query(spark):
             for r in bm25_topk(_df(spark), terms, k=10).orderBy("rank").collect()
         ]
         assert sorted(by_q[qid]) == sorted(single), qid
+
+
+def test_rrf_fuse_known_values(spark):
+    import math
+
+    from ddspark.pipeline.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (2, 2), (9, 3)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in rrf_fuse([a, b], k=60).collect()}
+
+    def c(rank):
+        return math.floor(1e6 / (60 + rank))
+
+    assert got[2]["rrf_micro"] == 2 * c(2) and got[2]["n_lists"] == 2
+    assert got[3]["rrf_micro"] == c(3) + c(1)
+    assert got[1]["rrf_micro"] == c(1) and got[1]["n_lists"] == 1
+    assert got[9]["n_lists"] == 1
+    # doc 3 (ranks 3+1) outranks doc 2 (ranks 2+2): c(1)+c(3) > 2*c(2)
+    assert got[3]["rank"] < got[2]["rank"]
+    # both-list docs outrank single-list docs here
+    assert got[2]["rank"] < got[1]["rank"]
+
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    top1 = rrf_fuse([a, b], k=60, topk=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == got[3]["doc_id"] == 3
