@@ -2272,6 +2272,18 @@ def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_batch(docs, qdf, k=10)
 
 
+def _q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of returnflag by extendedprice (empirical-
+    Bayes shrinkage toward the global mean, m=100): exact DECIMAL sums,
+    fixed-order double combination — hash-matched like the corr family."""
+    from ddspark.pipeline.curation import target_encode
+
+    li = _read(spark, sf_dir, "lineitem")
+    return target_encode(
+        li, "l_returnflag", "l_extendedprice", smoothing=100, y_scale=100
+    )
+
+
 def _q_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid-retrieval rank fusion: the BM25 top-20 fused with an
     independent length-prior top-20 via Reciprocal Rank Fusion — each
@@ -2442,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_strip_accents": wrap(_q_strip_accents),  # new in r5
         "ddsketch_attribution_gaps": wrap(_q_attribution_gap_quantiles),  # new in r5
         "text_rrf_fusion": wrap(_q_rrf_fuse),  # new in r5
+        "curation_target_encode": wrap(_q_target_encode),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),
         "json_props_stats": wrap(_q_json_props_stats),
@@ -3549,6 +3562,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bm25_topk": _bm25_oracle(),
         "text_bm25_batch": _bm25_batch_oracle(),
         "text_rrf_fusion": _rrf_oracle(),
+        "curation_target_encode": _target_encode_oracle(),
         "ts_seasonal_residuals": """
 WITH buckets AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket_start,
@@ -3824,6 +3838,14 @@ def _collocations_oracle() -> str:
     from ddspark.pipeline.textops import collocations_pmi_oracle_sql
 
     return collocations_pmi_oracle_sql("documents", "text", k=20, min_count=5)
+
+
+def _target_encode_oracle() -> str:
+    from ddspark.pipeline.curation import target_encode_oracle_sql
+
+    return target_encode_oracle_sql(
+        "lineitem", "l_returnflag", "l_extendedprice", smoothing=100, y_scale=100
+    )
 
 
 def _rrf_oracle() -> str:

@@ -80,6 +80,8 @@ __all__ = [
     "PII_PATTERNS",
     "GOPHER_STOPWORDS",
     "C4_POLICY_PHRASES",
+    "target_encode",
+    "target_encode_oracle_sql",
 ]
 
 # bucket resolution: 1e6 buckets keeps split boundaries exact for any
@@ -1350,4 +1352,86 @@ SELECT {id_col},
        array_to_string(toks[i*{s} + 1 : i*{s} + {c}], ' ') AS chunk_text,
        CAST(LEAST({c}, n - i*{s}) AS BIGINT) AS chunk_n_tokens
 FROM counted, UNNEST(generate_series(0, nc - 1)) AS u(i)
+""".strip()
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    y_scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column:
+    ``(category, n, encoding)`` with
+    ``encoding = (sum_y + m·prior) / (n + m)`` where ``prior`` is the
+    global mean and ``m = smoothing`` — the empirical-Bayes shrinkage
+    that keeps rare categories from memorizing their few labels (the
+    standard leakage-safe categorical feature for tabular models).
+
+    Deterministic cross-engine like the correlation family: targets
+    scale to exact integers (``y_scale`` = 10^decimals), per-category
+    and global sums accumulate as exact DECIMAL integers, and the final
+    encoding is one fixed-order double expression
+    ``(sy + m·(SY/N)) / (n + m)`` on exact inputs, rounded.  NULL
+    targets drop; NULL categories form their own group (they will be a
+    real category at inference time too).  One scan: category sums via
+    one aggregation, the global prior via a broadcast one-row crossJoin
+    of their re-aggregation — no second pass over rows.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0, got {smoothing}")
+    yi = F.round(F.col(target_col) * y_scale).cast("decimal(18,0)")
+    per_cat = (
+        df.where(F.col(target_col).isNotNull())
+        .select(F.col(cat_col).alias("category"), yi.alias("_y"))
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("_y").alias("_sy"))
+    )
+    tot = per_cat.agg(
+        F.sum("n").alias("_n_all"),
+        F.sum("_sy").cast("decimal(38,0)").alias("_sy_all"),
+    )
+    prior = F.col("_sy_all").cast("double") / F.col("_n_all").cast("double")
+    enc = (
+        F.col("_sy").cast("double") + F.lit(float(smoothing)) * prior
+    ) / (F.col("n").cast("double") + F.lit(float(smoothing)))
+    return (
+        per_cat.crossJoin(F.broadcast(tot))
+        .select(
+            "category",
+            "n",
+            F.round(enc / y_scale, ndigits).alias("encoding"),
+        )
+    )
+
+
+def target_encode_oracle_sql(
+    table: str,
+    cat_col: str,
+    target_col: str,
+    smoothing: int = 20,
+    y_scale: int = 1,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`target_encode`."""
+    return f"""
+WITH per_cat AS (
+  SELECT {cat_col} AS category,
+         COUNT(*) AS n,
+         SUM(CAST(ROUND({target_col} * {y_scale}) AS DECIMAL(18,0))) AS sy
+  FROM {table}
+  WHERE {target_col} IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT SUM(n) AS n_all, CAST(SUM(sy) AS DECIMAL(38,0)) AS sy_all FROM per_cat
+)
+SELECT category, CAST(n AS BIGINT) AS n,
+       ROUND(((CAST(sy AS DOUBLE) +
+               {float(smoothing)} * (CAST(sy_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+              / (CAST(n AS DOUBLE) + {float(smoothing)})) / {y_scale},
+             {ndigits}) AS encoding
+FROM per_cat CROSS JOIN tot
 """.strip()

@@ -673,3 +673,28 @@ def test_quality_funnel_matches_duckdb_twin(spark):
         + " ORDER BY stage_no"
     ).df()
     assert (got.values.astype(str) == want.values.astype(str)).all()
+
+
+def test_target_encode_shrinkage(spark):
+    from ddspark.pipeline.curation import target_encode
+
+    # category 'a': 100 rows of y=10; 'b': 2 rows of y=100; global mean
+    # = (1000+200)/102; smoothing m=10 pulls the rare 'b' hard toward it
+    rows = [("a", 10.0)] * 100 + [("b", 100.0)] * 2 + [("c", None)]
+    df = spark.createDataFrame(rows, "k string, y double")
+    out = {r["category"]: r for r in target_encode(df, "k", "y", smoothing=10).collect()}
+    prior = (100 * 10 + 2 * 100) / 102
+    assert out["a"]["n"] == 100
+    assert out["a"]["encoding"] == pytest.approx((1000 + 10 * prior) / 110, abs=1e-6)
+    assert out["b"]["encoding"] == pytest.approx((200 + 10 * prior) / 12, abs=1e-6)
+    # shrinkage direction: 'b' lands between its raw mean and the prior
+    assert prior < out["b"]["encoding"] < 100
+    # the all-NULL-target category vanishes (no usable label)
+    assert "c" not in out
+
+    # m=0 degenerates to the plain category mean
+    raw = {r["category"]: r["encoding"] for r in target_encode(df, "k", "y", smoothing=0).collect()}
+    assert raw["a"] == 10.0 and raw["b"] == 100.0
+
+    with pytest.raises(ValueError, match="smoothing"):
+        target_encode(df, "k", "y", smoothing=-1)
