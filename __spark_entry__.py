@@ -1964,6 +1964,39 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-returnflag OLS of extendedprice on quantity — the five
+    sufficient statistics as order-free DECIMAL sums, the normal-equation
+    combination as one fixed double op sequence (slope/intercept/r2
+    bit-identical cross-engine)."""
+    from ddspark.profile import ols_fit_exact
+
+    li = _read(spark, sf_dir, "lineitem")
+    return ols_fit_exact(
+        li, "l_quantity", "l_extendedprice", by=["l_returnflag"], y_scale=100
+    )
+
+
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per language — the rank-form
+    numerator/denominator stay exact integers (tie-order invariant), so
+    the inequality measure value-hashes across engines."""
+    from ddspark.profile import gini_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    return gini_exact(docs, "n_chars", by=["lang"])
+
+
+def _q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier screen of event values per event type —
+    rank-explicit 2x-scaled integer medians make the |x-med| > 3*MAD test
+    a pure-integer comparison in both engines."""
+    from ddspark.profile import mad_outliers
+
+    ev = _read(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", by=["event_type"], scale=1000)
+
+
 def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit screen over extendedprice — digits via the
     BIGINT decimal string (floor(abs(.)) on BOTH sides: Spark's
@@ -2425,6 +2458,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every query with NO driver-green row in any round leads, so the
         # next snapshot maximizes first-ever coverage; names/schemas are
         # byte-stable, only ordering rotates (see QUERIES.md).
+        "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
+        "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
+        "profile_mad_outliers": wrap(_q_mad_outliers),  # new in r5 (2nd stretch)
         "text_phrase_search": wrap(_q_phrase_search),  # new in r5
         "text_bm25_topk": wrap(_q_bm25_topk),  # new in r5
         "dedup_containment_pairs": wrap(_q_containment_pairs),  # new in r5
@@ -3672,6 +3708,9 @@ QUALIFY rank <= 10
         "profile_corr_matrix": _corr_matrix_oracle(),
         "profile_benford": _benford_oracle(),
         "profile_mannwhitney": _mannwhitney_oracle(),
+        "profile_ols": _ols_oracle(),
+        "profile_gini": _gini_oracle(),
+        "profile_mad_outliers": _mad_outliers_oracle(),
         "graph_triangles": _triangles_oracle(),
         "graph_assortativity": _assortativity_oracle(),
         "graph_ppr": _ppr_oracle(),
@@ -4289,6 +4328,26 @@ def _mannwhitney_oracle() -> str:
     from ddspark.profile import mannwhitney_u_oracle_sql
 
     return mannwhitney_u_oracle_sql("documents", "n_chars", "lang", "en", "de")
+
+
+def _ols_oracle() -> str:
+    from ddspark.profile import ols_fit_exact_oracle_sql
+
+    return ols_fit_exact_oracle_sql(
+        "lineitem", "l_quantity", "l_extendedprice", by=["l_returnflag"], y_scale=100
+    )
+
+
+def _gini_oracle() -> str:
+    from ddspark.profile import gini_exact_oracle_sql
+
+    return gini_exact_oracle_sql("documents", "n_chars", by=["lang"])
+
+
+def _mad_outliers_oracle() -> str:
+    from ddspark.profile import mad_outliers_oracle_sql
+
+    return mad_outliers_oracle_sql("events", "value", by=["event_type"], scale=1000)
 
 
 def _benford_oracle() -> str:

@@ -37,6 +37,12 @@ __all__ = [
     "benford_screen_oracle_sql",
     "mannwhitney_u",
     "mannwhitney_u_oracle_sql",
+    "ols_fit_exact",
+    "ols_fit_exact_oracle_sql",
+    "gini_exact",
+    "gini_exact_oracle_sql",
+    "mad_outliers",
+    "mad_outliers_oracle_sql",
 ]
 
 
@@ -1013,4 +1019,336 @@ SELECT {', '.join('spine.' + c for c in by)},
        COALESCE(counts.n, 0) AS n
 FROM spine
 LEFT JOIN counts USING ({by_sel}, bucket)
+""".strip()
+
+
+def ols_fit_exact(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Simple-linear-regression fit per group, cross-engine exact:
+    ``(by..., n, slope, intercept, r2)``.
+
+    Same recipe as :func:`pearson_corr_exact`: values scale to integers,
+    the five sufficient statistics accumulate as order-independent exact
+    DECIMALs, and only the closed-form normal-equation combination
+
+        slope = (nSxy - SxSy) / (nSxx - Sx^2)
+        intercept = (Sy - slope_scaled * Sx) / n
+        r2 = (nSxy - SxSy)^2 / ((nSxx - Sx^2)(nSyy - Sy^2))
+
+    runs in double as a FIXED op sequence, so Spark and the ANSI twin
+    produce bit-identical results.  One scan, one partial+final agg —
+    at 10^12 rows this is a map-side-combined reduce to |groups| rows.
+    Zero x-variance groups yield NULL slope/intercept/r2.
+    """
+    by = list(by or [])
+    xi = F.round(F.col(x_col) * x_scale).cast("decimal(18,0)")
+    yi = F.round(F.col(y_col) * y_scale).cast("decimal(18,0)")
+    pre = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    ).select(*by, xi.alias("_x"), yi.alias("_y"))
+    sums = pre.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").cast("double").alias("_sx"),
+        F.sum("_y").cast("double").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("double").alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("double").alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).cast("double").alias("_syy"),
+    )
+    nd = F.col("n").cast("double")
+    var_x = nd * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    var_y = nd * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    cov = nd * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    # slope in SCALED units; unscale with the same op order as the twin
+    slope_s = cov / var_x
+    slope = F.round(slope_s * x_scale / y_scale, ndigits)
+    intercept = F.round((F.col("_sy") - slope_s * F.col("_sx")) / nd / y_scale, ndigits)
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0),
+        F.round(cov * cov / (var_x * var_y), ndigits),
+    )
+    return sums.select(
+        *by,
+        "n",
+        F.when(var_x > 0, slope).alias("slope"),
+        F.when(var_x > 0, intercept).alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def ols_fit_exact_oracle_sql(
+    table: str,
+    x_col: str,
+    y_col: str,
+    by: list[str] | None = None,
+    x_scale: int = 1,
+    y_scale: int = 1,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`ols_fit_exact` — same decimal sums, same double
+    combination order."""
+    by = list(by or [])
+    by_sel = "".join(f"{c}, " for c in by)
+    group = f"GROUP BY {', '.join(by)}" if by else ""
+    return f"""
+WITH pre AS (
+  SELECT {by_sel}
+         CAST(ROUND({x_col} * {x_scale}) AS DECIMAL(18,0)) AS x,
+         CAST(ROUND({y_col} * {y_scale}) AS DECIMAL(18,0)) AS y
+  FROM {table}
+  WHERE {x_col} IS NOT NULL AND {y_col} IS NOT NULL
+),
+sums AS (
+  SELECT {by_sel}
+         COUNT(*) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(SUM(x * y) AS DOUBLE) AS sxy,
+         CAST(SUM(x * x) AS DOUBLE) AS sxx,
+         CAST(SUM(y * y) AS DOUBLE) AS syy
+  FROM pre {group}
+),
+comb AS (
+  SELECT {by_sel} n,
+         CAST(n AS DOUBLE) * sxx - sx * sx AS var_x,
+         CAST(n AS DOUBLE) * syy - sy * sy AS var_y,
+         CAST(n AS DOUBLE) * sxy - sx * sy AS cov,
+         sx, sy
+  FROM sums
+)
+SELECT {by_sel} n,
+       CASE WHEN var_x > 0
+            THEN ROUND(cov / var_x * {x_scale} / {y_scale}, {ndigits}) END AS slope,
+       CASE WHEN var_x > 0
+            THEN ROUND((sy - cov / var_x * sx) / CAST(n AS DOUBLE) / {y_scale}, {ndigits}) END AS intercept,
+       CASE WHEN var_x > 0 AND var_y > 0
+            THEN ROUND(cov * cov / (var_x * var_y), {ndigits}) END AS r2
+FROM comb
+""".strip()
+
+
+def gini_exact(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a non-negative measure per group, exact:
+    ``(by..., n, gini)``.
+
+    Uses the rank form ``G = (2 * sum(i * x_i) - (n + 1) * sum(x)) /
+    (n * sum(x))`` with x sorted ascending.  Every term is an exact
+    integer (x scales to integers; ties contribute the same sum under
+    any tie order, so row_number's arbitrary tie-break is safe), and the
+    final division is one double op on exact inputs — bit-identical
+    cross-engine.  One keyed sort + one agg; at scale this is a single
+    per-group sort, the same cost class as any exact rank statistic (use
+    sketch quantiles when an approximate inequality measure suffices).
+    """
+    from pyspark.sql import Window as _W
+
+    by = list(by or [])
+    part = by if by else [F.lit(1)]
+    xi = F.round(F.col(col) * scale).cast("decimal(18,0)")
+    pre = df.where(F.col(col).isNotNull()).select(*by, xi.alias("_x"))
+    w = _W.partitionBy(*part).orderBy(F.col("_x"))
+    ranked = pre.select(
+        *by, F.col("_x"), F.row_number().over(w).cast("decimal(18,0)").alias("_i")
+    )
+    sums = ranked.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_six"),
+    )
+    num = (
+        F.lit(2).cast("decimal(38,0)") * F.col("_six")
+        - (F.col("n") + 1).cast("decimal(38,0)") * F.col("_sx")
+    ).cast("double")
+    den = (F.col("n").cast("decimal(38,0)") * F.col("_sx")).cast("double")
+    return sums.select(
+        *by,
+        "n",
+        F.when(den > 0, F.round(num / den, ndigits)).alias("gini"),
+    )
+
+
+def gini_exact_oracle_sql(
+    table: str,
+    col: str,
+    by: list[str] | None = None,
+    scale: int = 1,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`gini_exact`."""
+    by = list(by or [])
+    by_sel = "".join(f"{c}, " for c in by)
+    part = ", ".join(by) if by else "1"
+    group = f"GROUP BY {', '.join(by)}" if by else ""
+    return f"""
+WITH pre AS (
+  SELECT {by_sel}
+         CAST(ROUND({col} * {scale}) AS DECIMAL(18,0)) AS x
+  FROM {table}
+  WHERE {col} IS NOT NULL
+),
+ranked AS (
+  SELECT {by_sel} x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY x) AS DECIMAL(18,0)) AS i
+  FROM pre
+),
+sums AS (
+  SELECT {by_sel}
+         COUNT(*) AS n,
+         SUM(x) AS sx,
+         SUM(i * x) AS six
+  FROM ranked {group}
+)
+SELECT {by_sel} n,
+       CASE WHEN CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE) > 0
+            THEN ROUND(CAST(CAST(2 AS DECIMAL(38,0)) * six
+                            - CAST(n + 1 AS DECIMAL(38,0)) * sx AS DOUBLE)
+                       / CAST(CAST(n AS DECIMAL(38,0)) * sx AS DOUBLE), {ndigits})
+       END AS gini
+FROM sums
+""".strip()
+
+
+def mad_outliers(
+    df: DataFrame,
+    col: str,
+    by: list[str] | None = None,
+    scale: int = 1,
+    k: int = 3,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Robust (median / MAD) outlier screen per group, exact:
+    ``(by..., n, median, mad, n_outliers)``.
+
+    Medians are rank-explicit — ``2*median = x[lo] + x[hi]`` with
+    ``lo = (n+1)/2`` and ``hi = (n+2)/2`` over integer-scaled values, so
+    both engines compute the identical integer; absolute deviations stay
+    in 2x-scaled integers and the MAD doubles again (``m2dev = 4*mad``),
+    making the outlier test ``|x - med| > k*mad`` the pure-integer
+    comparison ``2*dev > k*m2dev``.  Two window passes (one sort per
+    statistic), one final agg — no joins, no floats until the rounded
+    display columns.  At extreme group sizes, swap the exact medians for
+    the DDSketch quantile path; this operator is the exact gate twin.
+    """
+    from pyspark.sql import Window as _W
+
+    by = list(by or [])
+    part = by if by else [F.lit(1)]
+    xi = F.round(F.col(col) * scale).cast("long")
+    pre = df.where(F.col(col).isNotNull()).select(*by, xi.alias("_x"))
+    grp = _W.partitionBy(*part)
+    w1 = grp.orderBy(F.col("_x"))
+    r1 = pre.select(
+        *by,
+        "_x",
+        F.row_number().over(w1).alias("_rn"),
+        F.count(F.lit(1)).over(grp).alias("_n"),
+    )
+    lo = (F.col("_n") + 1) / 2
+    hi = (F.col("_n") + 2) / 2
+    m2 = F.sum(
+        F.when(F.col("_rn") == F.floor(lo), F.col("_x")).otherwise(F.lit(0))
+        + F.when(F.col("_rn") == F.floor(hi), F.col("_x")).otherwise(F.lit(0))
+    ).over(grp)
+    dev = r1.select(
+        *by,
+        "_n",
+        (F.abs(2 * F.col("_x") - m2)).alias("_dev"),
+        m2.alias("_m2"),
+    )
+    w2 = grp.orderBy(F.col("_dev"))
+    r2 = dev.select(
+        *by,
+        "_n",
+        "_m2",
+        "_dev",
+        F.row_number().over(w2).alias("_dn"),
+    )
+    lo2 = (F.col("_n") + 1) / 2
+    hi2 = (F.col("_n") + 2) / 2
+    m2dev = F.sum(
+        F.when(F.col("_dn") == F.floor(lo2), F.col("_dev")).otherwise(F.lit(0))
+        + F.when(F.col("_dn") == F.floor(hi2), F.col("_dev")).otherwise(F.lit(0))
+    ).over(grp)
+    flagged = r2.select(
+        *by,
+        "_m2",
+        m2dev.alias("_m2dev"),
+        (2 * F.col("_dev") > k * m2dev).cast("int").alias("_out"),
+    )
+    return flagged.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.first("_m2") / (2.0 * scale), ndigits).alias("median"),
+        F.round(F.first("_m2dev") / (4.0 * scale), ndigits).alias("mad"),
+        F.sum("_out").alias("n_outliers"),
+    )
+
+
+def mad_outliers_oracle_sql(
+    table: str,
+    col: str,
+    by: list[str] | None = None,
+    scale: int = 1,
+    k: int = 3,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`mad_outliers` — identical rank-median algebra."""
+    by = list(by or [])
+    by_sel = "".join(f"{c}, " for c in by)
+    part = ", ".join(by) if by else "1"
+    group = f"GROUP BY {', '.join(by)}" if by else ""
+    return f"""
+WITH pre AS (
+  SELECT {by_sel}
+         CAST(ROUND({col} * {scale}) AS BIGINT) AS x
+  FROM {table}
+  WHERE {col} IS NOT NULL
+),
+r1 AS (
+  SELECT {by_sel} x,
+         ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY x) AS rn,
+         COUNT(*) OVER (PARTITION BY {part}) AS n
+  FROM pre
+),
+dev AS (
+  SELECT {by_sel} n,
+         SUM(CASE WHEN rn = (n + 1) // 2 THEN x ELSE 0 END
+             + CASE WHEN rn = (n + 2) // 2 THEN x ELSE 0 END)
+           OVER (PARTITION BY {part}) AS m2,
+         x
+  FROM r1
+),
+dev2 AS (
+  SELECT {by_sel} n, m2, ABS(2 * x - m2) AS d FROM dev
+),
+r2 AS (
+  SELECT {by_sel} n, m2, d,
+         ROW_NUMBER() OVER (PARTITION BY {part} ORDER BY d) AS dn
+  FROM dev2
+),
+flagged AS (
+  SELECT {by_sel} m2,
+         SUM(CASE WHEN dn = (n + 1) // 2 THEN d ELSE 0 END
+             + CASE WHEN dn = (n + 2) // 2 THEN d ELSE 0 END)
+           OVER (PARTITION BY {part}) AS m2dev,
+         d
+  FROM r2
+)
+SELECT {by_sel}
+       COUNT(*) AS n,
+       ROUND(MIN(m2) / (2.0 * {scale}), {ndigits}) AS median,
+       ROUND(MIN(m2dev) / (4.0 * {scale}), {ndigits}) AS mad,
+       CAST(SUM(CASE WHEN 2 * d > {k} * m2dev THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM flagged {group}
 """.strip()

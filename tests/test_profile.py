@@ -383,3 +383,131 @@ def test_fixed_width_histogram_grouped(spark):
 
     with pytest.raises(ValueError, match="ungrouped"):
         fixed_width_histogram_grouped(df, "v", [], 10)
+
+
+# ------------------------------------------------------------- OLS / Gini / MAD
+
+
+def _duck(sql, frames):
+    import duckdb
+
+    con = duckdb.connect()
+    for name, pdf in frames.items():
+        con.register(name, pdf)
+    return con.execute(sql).fetchall()
+
+
+def test_ols_fit_exact_matches_numpy_and_duckdb(spark):
+    import numpy as np
+
+    from ddspark.profile import ols_fit_exact, ols_fit_exact_oracle_sql
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(1, 60, 500).astype(float)
+    y = np.round(2.5 * x + 7 + rng.normal(0, 9, 500), 2)
+    g = rng.choice(["a", "b"], 500)
+    df = spark.createDataFrame(
+        list(zip(g.tolist(), x.tolist(), y.tolist())), "g string, x double, y double"
+    )
+    got = {
+        r["g"]: r
+        for r in ols_fit_exact(df, "x", "y", by=["g"], y_scale=100).collect()
+    }
+    for grp in ("a", "b"):
+        m = g == grp
+        yy = np.round(y[m] * 100) / 100
+        slope, intercept = np.polyfit(x[m], yy, 1)
+        assert abs(got[grp]["slope"] - slope) < 1e-4
+        assert abs(got[grp]["intercept"] - intercept) < 1e-3
+        r = np.corrcoef(x[m], yy)[0, 1]
+        assert abs(got[grp]["r2"] - r * r) < 1e-4
+
+    duck = _duck(
+        ols_fit_exact_oracle_sql("t", "x", "y", by=["g"], y_scale=100),
+        {"t": df.toPandas()},
+    )
+    want = {row[0]: row for row in duck}
+    for grp in ("a", "b"):
+        gr = got[grp]
+        assert (gr["n"], gr["slope"], gr["intercept"], gr["r2"]) == want[grp][1:]
+
+
+def test_ols_constant_x_yields_nulls(spark):
+    from ddspark.profile import ols_fit_exact
+
+    df = spark.createDataFrame([(1.0, 2.0), (1.0, 5.0)], "x double, y double")
+    row = ols_fit_exact(df, "x", "y").collect()[0]
+    assert row["slope"] is None and row["intercept"] is None and row["r2"] is None
+
+
+def test_gini_exact_known_values_and_duckdb(spark):
+    from ddspark.profile import gini_exact, gini_exact_oracle_sql
+
+    # equal distribution -> 0
+    eq = spark.createDataFrame([("a", 5.0)] * 6, "g string, v double")
+    assert gini_exact(eq, "v", by=["g"]).collect()[0]["gini"] == 0.0
+    # textbook: [1,2,3,4,5] -> G = (2*(1+4+9+16+25) - 6*15) / (5*15) = 20/75
+    vals = spark.createDataFrame([(float(i),) for i in (3, 1, 5, 2, 4)], "v double")
+    assert gini_exact(vals, "v").collect()[0]["gini"] == round(20 / 75, 6)
+
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 500, 400).astype(float)
+    g = rng.choice(["x", "y", "z"], 400)
+    df = spark.createDataFrame(list(zip(g.tolist(), v.tolist())), "g string, v double")
+    got = {r["g"]: (r["n"], r["gini"]) for r in gini_exact(df, "v", by=["g"]).collect()}
+    duck = dict(
+        (row[0], (row[1], row[2]))
+        for row in _duck(gini_exact_oracle_sql("t", "v", by=["g"]), {"t": df.toPandas()})
+    )
+    assert got == duck
+    # numpy cross-check of the rank formula
+    for grp in ("x", "y", "z"):
+        s = np.sort(v[g == grp])
+        n = len(s)
+        gini = (2 * np.sum(np.arange(1, n + 1) * s) - (n + 1) * s.sum()) / (n * s.sum())
+        assert abs(got[grp][1] - gini) < 1e-6
+
+
+def test_mad_outliers_matches_numpy_and_duckdb(spark):
+    import numpy as np
+
+    from ddspark.profile import mad_outliers, mad_outliers_oracle_sql
+
+    rng = np.random.default_rng(7)
+    v = np.concatenate([rng.normal(100, 5, 380), rng.normal(500, 5, 20)])
+    v = np.round(v, 2)
+    g = np.array(["a"] * 200 + ["b"] * 200)
+    df = spark.createDataFrame(list(zip(g.tolist(), v.tolist())), "g string, v double")
+    got = {
+        r["g"]: (r["n"], r["median"], r["mad"], r["n_outliers"])
+        for r in mad_outliers(df, "v", by=["g"], scale=100).collect()
+    }
+    duck = {
+        row[0]: tuple(row[1:])
+        for row in _duck(
+            mad_outliers_oracle_sql("t", "v", by=["g"], scale=100),
+            {"t": df.toPandas()},
+        )
+    }
+    assert got == duck
+    for grp in ("a", "b"):
+        s = np.round(v[g == grp] * 100)
+        med = np.median(s)
+        mad = np.median(np.abs(s - med))
+        n_out = int(np.sum(np.abs(s - med) > 3 * mad))
+        assert got[grp][1] == round(med / 100, 6)
+        assert got[grp][2] == round(mad / 100, 6)
+        assert got[grp][3] == n_out
+
+
+def test_mad_outliers_odd_and_even_medians(spark):
+    from ddspark.profile import mad_outliers
+
+    odd = spark.createDataFrame([(float(x),) for x in (1, 9, 5)], "v double")
+    assert mad_outliers(odd, "v").collect()[0]["median"] == 5.0
+    even = spark.createDataFrame([(float(x),) for x in (1, 2, 8, 9)], "v double")
+    row = mad_outliers(even, "v").collect()[0]
+    assert row["median"] == 5.0  # (2+8)/2
+    assert row["mad"] == 3.5  # deviations {4,3,3,4} -> median 3.5
