@@ -1482,6 +1482,19 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, n_centroids=16, nprobe=4, portable=True)
 
 
+def _q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the gate's IVF configuration vs the exact brute-force
+    baseline, per query — the index-evaluation loop as a first-class
+    operator (both sides are the production search paths)."""
+    from ddspark.pipeline.ann import ann_recall
+
+    emb = _read(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ann_recall(
+        emb, queries_df, k=5, n_centroids=16, nprobe=4, portable=True
+    )
+
+
 _BLOOM_PROBES = [str(i) for i in range(1, 6)] + ["absent_a", "absent_b", "absent_c"]
 
 
@@ -2458,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every query with NO driver-green row in any round leads, so the
         # next snapshot maximizes first-ever coverage; names/schemas are
         # byte-stable, only ordering rotates (see QUERIES.md).
+        "ann_recall": wrap(_q_ann_recall),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
         "profile_mad_outliers": wrap(_q_mad_outliers),  # new in r5 (2nd stretch)
@@ -2783,29 +2797,8 @@ def oracle_sql() -> dict[str, str]:
         "curation_target_mix": _target_mix_oracle_q(),
         "curation_exact_k_sample": _exact_k_oracle(),
         "curation_stratified_exact_k": _stratified_exact_k_oracle(),
-        "ann_cosine_topk": r"""
-            WITH v AS (
-              SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-              FROM embeddings
-            ),
-            u AS (
-              SELECT vec_id,
-                     list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS uv
-              FROM v
-            ),
-            p AS (
-              SELECT q.vec_id AS qid, c.vec_id AS nid,
-                     ROUND(list_dot_product(c.uv, q.uv), 6) AS cosine
-              FROM u c, u q
-              WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
-            ),
-            r AS (
-              SELECT qid, nid, cosine,
-                     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT) AS rank
-              FROM p
-            )
-            SELECT qid, nid, rank, cosine FROM r WHERE rank <= 5
-        """,
+        "ann_cosine_topk": _ANN_COSINE_ORACLE,
+        "ann_recall": _ann_recall_oracle(),
         "dedup_paragraph_first": dedup_paragraphs_oracle_sql(
             "documents", sep=" ", project="md5"
         ),
@@ -4328,6 +4321,53 @@ def _mannwhitney_oracle() -> str:
     from ddspark.profile import mannwhitney_u_oracle_sql
 
     return mannwhitney_u_oracle_sql("documents", "n_chars", "lang", "en", "de")
+
+
+_ANN_COSINE_ORACLE = r"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS uv
+      FROM v
+    ),
+    p AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+             ROUND(list_dot_product(c.uv, q.uv), 6) AS cosine
+      FROM u c, u q
+      WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    ),
+    r AS (
+      SELECT qid, nid, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS INT) AS rank
+      FROM p
+    )
+    SELECT qid, nid, rank, cosine FROM r WHERE rank <= 5
+"""
+
+
+def _ann_recall_oracle() -> str:
+    """Recall@5: the exact-baseline block LEFT JOINed to the IVF block on
+    (qid, nid) — both are the already-gate-green oracle texts, nested as
+    derived tables (DuckDB allows WITH inside a parenthesized subquery)."""
+    from ddspark.pipeline.oracles import ivf_topk_oracle_sql
+
+    ivf = ivf_topk_oracle_sql(
+        query_pred="vec_id < 5", k=5, n_centroids=16, nprobe=4, seed=42
+    )
+    return f"""
+SELECT qid, n_exact, n_hits,
+       ROUND(CAST(n_hits AS DOUBLE) / 5, 6) AS recall
+FROM (
+  SELECT e.qid, COUNT(*) AS n_exact,
+         CAST(SUM(CASE WHEN a.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM ({_ANN_COSINE_ORACLE}) e
+  LEFT JOIN ({ivf}) a ON e.qid = a.qid AND e.nid = a.nid
+  GROUP BY e.qid
+)
+""".strip()
 
 
 def _ols_oracle() -> str:

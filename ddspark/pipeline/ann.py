@@ -49,6 +49,7 @@ __all__ = [
     "save_ivf_index",
     "load_ivf_index",
     "ivf_upsert",
+    "ann_recall",
     "semantic_dedup_pairs",
     "quantize_embeddings",
     "dequantize_embeddings",
@@ -607,3 +608,51 @@ def ivf_upsert(
     final = f"{path}/assignments"
     shutil.rmtree(final, ignore_errors=True)
     os.replace(tmp, final)
+
+
+def ann_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    portable: bool = False,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Recall@k of the IVF index against the exact brute-force baseline:
+    ``(qid, n_exact, n_hits, recall)`` — the evaluation loop an ANN
+    deployment runs before trusting an index configuration.
+
+    Both sides reuse the production operators (:func:`cosine_topk`,
+    :func:`ivf_topk`) on the same query batch, so the measured recall is
+    the served recall.  The exact side is one corpus scan per batch (run
+    it on a hash-sampled query subset at 10^9 vectors); the join is on
+    (qid, nid) pairs — k rows per query, broadcast-sized.  recall =
+    n_hits / k is a one-op double on small integers, identical
+    cross-engine.
+    """
+    exact = cosine_topk(corpus, queries, k, id_col, vec_col, id_col, vec_col)
+    approx = ivf_topk(
+        corpus, queries, k, id_col, vec_col, n_centroids, nprobe, seed, portable
+    )
+    hit = F.when(F.col("a_nid").isNotNull(), 1).otherwise(0)
+    joined = exact.select("qid", "nid").join(
+        approx.select(
+            F.col("qid").alias("a_qid"), F.col("nid").alias("a_nid")
+        ),
+        (F.col("qid") == F.col("a_qid")) & (F.col("nid") == F.col("a_nid")),
+        "left",
+    )
+    per_q = joined.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum(hit).alias("n_hits"),
+    )
+    return per_q.select(
+        "qid",
+        "n_exact",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / k, ndigits).alias("recall"),
+    )

@@ -2398,3 +2398,27 @@ def test_levenshtein_pairs_df_cap_bounds_candidates(spark):
     full = dedup.levenshtein_pairs(df, max_dist=1).collect()
     assert sorted(map(tuple, capped)) == sorted(map(tuple, full))
     assert any(r["id_a"] == 0 and r["id_b"] == 99 for r in full)
+
+
+def test_ann_recall_counts_true_overlap(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    exact = ann.cosine_topk(emb, queries, k=5).toPandas()
+    approx = ann.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=4, portable=True
+    ).toPandas()
+    res = ann.ann_recall(
+        emb, queries, k=5, n_centroids=8, nprobe=4, portable=True
+    ).toPandas().set_index("qid")
+    assert len(res) == 3
+    for qid in [0, 1, 2]:
+        ex = set(exact[exact.qid == qid].nid)
+        ap = set(approx[approx.qid == qid].nid)
+        hits = len(ex & ap)
+        assert res.loc[qid, "n_exact"] == 5
+        assert res.loc[qid, "n_hits"] == hits
+        assert res.loc[qid, "recall"] == round(hits / 5, 6)
+    # nprobe == n_centroids probes every list -> exact -> recall 1.0
+    full = ann.ann_recall(
+        emb, queries, k=5, n_centroids=8, nprobe=8, portable=True
+    ).toPandas()
+    assert (full["recall"] == 1.0).all()
