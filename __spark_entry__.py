@@ -1977,6 +1977,16 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-cosine near-dup pairs over the shared-term inverted index
+    with a max_df=32 stopword cut — integer dot products and norms, one
+    double per pair; same sub-quadratic join shape as jaccard_pairs."""
+    from ddspark.pipeline.dedup import cosine_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return cosine_pairs(docs, threshold=0.3, max_df=32)
+
+
 def _q_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-returnflag OLS of extendedprice on quantity — the five
     sufficient statistics as order-free DECIMAL sums, the normal-equation
@@ -2472,6 +2482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next snapshot maximizes first-ever coverage; names/schemas are
         # byte-stable, only ordering rotates (see QUERIES.md).
         "ann_recall": wrap(_q_ann_recall),  # new in r5 (second stretch)
+        "dedup_cosine_pairs": wrap(_q_cosine_pairs),  # new in r5 (2nd stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
         "profile_mad_outliers": wrap(_q_mad_outliers),  # new in r5 (2nd stretch)
@@ -3702,6 +3713,7 @@ QUALIFY rank <= 10
         "profile_benford": _benford_oracle(),
         "profile_mannwhitney": _mannwhitney_oracle(),
         "profile_ols": _ols_oracle(),
+        "dedup_cosine_pairs": _cosine_pairs_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
         "graph_triangles": _triangles_oracle(),
@@ -4368,6 +4380,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _cosine_pairs_oracle() -> str:
+    from ddspark.pipeline.dedup import cosine_pairs_oracle_sql
+
+    return cosine_pairs_oracle_sql("documents", threshold=0.3, max_df=32)
 
 
 def _ols_oracle() -> str:

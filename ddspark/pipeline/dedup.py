@@ -35,6 +35,8 @@ __all__ = [
     "grams_from_tokens",
     "word_shingles",
     "jaccard_pairs",
+    "cosine_pairs",
+    "cosine_pairs_oracle_sql",
     "containment_pairs",
     "levenshtein_pairs",
     "minhash_coeffs",
@@ -1006,3 +1008,125 @@ def levenshtein_pairs(
         .where(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Exact term-frequency cosine similarity for every document pair
+    sharing a term: ``(id_a < id_b, n_common_terms, cosine)`` above the
+    threshold — the bag-of-words companion to :func:`jaccard_pairs`
+    (which sees only shingle *sets*; cosine weighs repeated terms).
+
+    All sufficient statistics are exact integers — dot product
+    ``sum(tf_a * tf_b)`` and squared norms ``sum(tf^2)`` — so the single
+    double combination ``dot / (sqrt(na) * sqrt(nb))`` is bit-identical
+    cross-engine.  Tokenization is the shared :func:`word_tokens` rule.
+
+    **Scale**: identical shape to :func:`jaccard_pairs` — the candidate
+    join is keyed by term, and ``max_df`` drops terms whose document
+    frequency exceeds the cap *before* the join (stopwords carry ~no
+    cosine signal but quadratic join cost); norms are computed after the
+    cut so the score stays a true cosine of the filtered vectors.  Set
+    it (e.g. 256) for corpus-scale runs.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if max_df is not None:
+        hot = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") > max_df)
+            .select("term")
+        )
+        tf = tf.join(hot, "term", "left_anti")
+    norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a = tf.alias("a")
+    b = tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common_terms"),
+            F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"),
+        )
+    )
+    out = (
+        # like jaccard_pairs: no broadcast hint on norms (one row per doc)
+        dots.join(norms.withColumnRenamed("id", "id_a").withColumnRenamed("n2", "n2_a"), "id_a")
+        .join(norms.withColumnRenamed("id", "id_b").withColumnRenamed("n2", "n2_b"), "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("dot").cast("double")
+                / (F.sqrt(F.col("n2_a").cast("double")) * F.sqrt(F.col("n2_b").cast("double"))),
+                ndigits,
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "n_common_terms", "cosine")
+    )
+    return out
+
+
+def cosine_pairs_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`cosine_pairs` — same tokenization, same integer
+    sufficient statistics, same double combination."""
+    cap = (
+        f"""
+, hot AS (
+  SELECT term FROM tf GROUP BY term HAVING COUNT(*) > {max_df}
+), kept AS (
+  SELECT tf.* FROM tf LEFT JOIN hot USING (term) WHERE hot.term IS NULL
+)"""
+        if max_df is not None
+        else ", kept AS (SELECT * FROM tf)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS id, u.term
+  FROM {table},
+       UNNEST(string_split(regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g'), ' ')) AS u(term)
+  WHERE u.term != ''
+),
+tf AS (
+  SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY id, term
+){cap},
+norms AS (
+  SELECT id, SUM(tf * tf) AS n2 FROM kept GROUP BY id
+),
+dots AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         COUNT(*) AS n_common_terms,
+         SUM(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT id_a, id_b,
+       CAST(n_common_terms AS BIGINT) AS n_common_terms,
+       ROUND(CAST(dot AS DOUBLE) /
+             (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), {ndigits}) AS cosine
+FROM dots
+JOIN norms na ON na.id = dots.id_a
+JOIN norms nb ON nb.id = dots.id_b
+WHERE ROUND(CAST(dot AS DOUBLE) /
+            (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), {ndigits}) >= {threshold}
+""".strip()

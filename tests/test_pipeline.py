@@ -2422,3 +2422,60 @@ def test_ann_recall_counts_true_overlap(emb):
         emb, queries, k=5, n_centroids=8, nprobe=8, portable=True
     ).toPandas()
     assert (full["recall"] == 1.0).all()
+
+
+def test_cosine_pairs_matches_numpy(spark, dup_docs):
+    import collections
+
+    res = dedup.cosine_pairs(dup_docs, threshold=0.0).toPandas()
+    got = {(r.id_a, r.id_b): r.cosine for r in res.itertuples()}
+    # independent bag-of-words model
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    bows = {
+        d: collections.Counter(w for w in t.strip().lower().split() if w)
+        for d, t in texts.items()
+    }
+    for (a, bq), cos in got.items():
+        ca, cb = bows[a], bows[bq]
+        dot = sum(ca[t] * cb[t] for t in ca.keys() & cb.keys())
+        import math
+
+        want = dot / (
+            math.sqrt(sum(v * v for v in ca.values()))
+            * math.sqrt(sum(v * v for v in cb.values()))
+        )
+        assert cos == round(want, 6)
+    assert got[(0, 1)] == 1.0  # exact dup
+    assert got[(0, 2)] > 0.9  # near dup
+    assert (3, 5) not in got and (0, 5) not in got  # empty doc joins nothing
+    assert all(p in got for p in [(0, 1), (0, 2), (0, 4)])
+
+
+def test_cosine_pairs_max_df_drops_hot_terms(spark, dup_docs):
+    # every term in doc 0/1/2/4 has df >= 4 except the planted variants;
+    # a cap of 3 kills the shared vocabulary, leaving far fewer pairs
+    uncapped = dedup.cosine_pairs(dup_docs, threshold=0.0).count()
+    capped = dedup.cosine_pairs(dup_docs, threshold=0.0, max_df=3).count()
+    assert capped < uncapped
+    # and the plan leaves the join strategy to Catalyst/AQE
+    out = dedup.cosine_pairs(dup_docs, threshold=0.3, max_df=3)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
+
+
+def test_cosine_pairs_duckdb_twin(spark, dup_docs):
+    import duckdb
+
+    res = dedup.cosine_pairs(dup_docs, threshold=0.2, max_df=4).toPandas()
+    got = {
+        (r.id_a, r.id_b): (r.n_common_terms, r.cosine) for r in res.itertuples()
+    }
+    con = duckdb.connect()
+    con.register("documents", dup_docs.toPandas())
+    duck = {
+        (a, bq): (n, c)
+        for a, bq, n, c in con.execute(
+            dedup.cosine_pairs_oracle_sql("documents", threshold=0.2, max_df=4)
+        ).fetchall()
+    }
+    assert got == duck
