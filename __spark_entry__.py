@@ -1977,6 +1977,17 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed k-means (k=8, 2 Lloyd updates from k-smallest-id
+    seeds): integer-grid vectors, centroids kept as exact rational (sum,
+    count) state, assignment by a single correctly-rounded double per
+    (vector, centroid) — bit-identical in both engines."""
+    from ddspark.pipeline.cluster import kmeans_assign
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, k=8, iters=2)
+
+
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact TF-cosine near-dup pairs over the shared-term inverted index
     with a max_df=32 stopword cut — integer dot products and norms, one
@@ -2483,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-stable, only ordering rotates (see QUERIES.md).
         "ann_recall": wrap(_q_ann_recall),  # new in r5 (second stretch)
         "dedup_cosine_pairs": wrap(_q_cosine_pairs),  # new in r5 (2nd stretch)
+        "cluster_kmeans": wrap(_q_kmeans),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
         "profile_mad_outliers": wrap(_q_mad_outliers),  # new in r5 (2nd stretch)
@@ -3714,6 +3726,7 @@ QUALIFY rank <= 10
         "profile_mannwhitney": _mannwhitney_oracle(),
         "profile_ols": _ols_oracle(),
         "dedup_cosine_pairs": _cosine_pairs_oracle(),
+        "cluster_kmeans": _kmeans_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
         "graph_triangles": _triangles_oracle(),
@@ -4380,6 +4393,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _kmeans_oracle() -> str:
+    from ddspark.pipeline.cluster import kmeans_assign_oracle_sql
+
+    return kmeans_assign_oracle_sql("embeddings", k=8, iters=2)
 
 
 def _cosine_pairs_oracle() -> str:

@@ -1,0 +1,180 @@
+"""Distributed k-means clustering over an embedding column, cross-engine
+exact.
+
+Lloyd's algorithm is float-fragile in a value-hashing gate: centroid means
+accumulate doubles in partition order, and a last-ulp difference flips an
+argmin on near-ties.  This implementation removes floats from the state
+entirely:
+
+* vectors quantize to integer grids (``round(x * scale)`` per dimension);
+* a centroid is the exact rational ``s / n`` — the state is the integer
+  pair ``(s: sum vector, n: member count)``, never a divided value;
+* the squared distance to centroid ``c`` compares through the scaled form
+  ``A = sum_d (n*x_d - s_d)^2`` (an exact DECIMAL), ordered by the double
+  ``A / n^2`` — one correctly-rounded cast+divide on exact integers, so
+  Spark and the ANSI twin compute bit-identical doubles, with ``cid`` as
+  the deterministic tiebreak.
+
+Spark-first shape: the centroid table is k rows and is **broadcast** to the
+assignment cross-join (no shuffle of the corpus); the update is one
+``posexplode`` + ``(cid, dim)`` partial-aggregated sum — the same
+map-side-combine cost class as any grouped aggregation, `k*dim` result
+rows.  At 10^9 vectors each iteration is two scans of the quantized
+corpus; persist/localCheckpoint the quantized input to keep iterations
+from replaying upstream lineage (mirrors
+:func:`ddspark.pipeline.dedup.connected_components`).
+
+Seeding is the k smallest ids (deterministic, replayable in SQL); empty
+clusters drop out of the state (documented Lloyd behavior under
+deterministic seeding).  For approximate at-scale clustering with
+refinement see ``ann.ivf_build(lloyd_steps=...)`` — this module is the
+exact gate-grade path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["kmeans_assign", "kmeans_assign_oracle_sql"]
+
+
+def _quantize(df: DataFrame, id_col: str, vec_col: str, scale: int) -> DataFrame:
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    return df.select(F.col(id_col).alias("vid"), xq.alias("x"))
+
+
+def _assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: ``(vid, x, cid, q)`` with
+    ``q = A / n^2`` the scaled squared distance (double on exact ints)."""
+    j = v.crossJoin(F.broadcast(cents))
+    term = F.zip_with("x", "s", lambda x, s: F.col("n") * x - s)
+    big = lambda t: t.cast("decimal(19,0)")  # noqa: E731
+    a = F.aggregate(
+        term,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + big(t) * big(t),
+    )
+    q = a.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    w = Window.partitionBy("vid").orderBy(F.asc("q"), F.asc("cid"))
+    return (
+        j.select("vid", "x", "cid", q.alias("q"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    dims = assigned.select("cid", F.posexplode("x").alias("d", "xd"))
+    per_dim = dims.groupBy("cid", "d").agg(
+        F.sum("xd").alias("sd"), F.count(F.lit(1)).alias("n")
+    )
+    vec = F.transform(
+        F.array_sort(F.collect_list(F.struct("d", "sd"))), lambda s: s["sd"]
+    )
+    return per_dim.groupBy("cid").agg(vec.alias("s"), F.first("n").alias("n"))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Run ``iters`` exact Lloyd updates from the k-smallest-id seeds and
+    return the final assignment: ``(vec_id, cluster, dist2)`` with
+    ``dist2`` the squared Euclidean distance to the final centroid
+    (rounded).  Cluster labels are the seed indices (0..k-1); labels whose
+    cluster emptied during an update do not reappear.
+    """
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
+    v = _quantize(df, id_col, vec_col, scale)
+    seeds = v.orderBy("vid").limit(k)
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
+        F.col("x").alias("s"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    for _ in range(iters):
+        cents = _update(_assign(v, cents))
+    final = _assign(v, cents)
+    dist2 = F.round(F.col("q") / float(scale) ** 2, ndigits)
+    return final.select(
+        F.col("vid").alias(id_col),
+        F.col("cid").alias("cluster"),
+        dist2.alias("dist2"),
+    )
+
+
+def kmeans_assign_oracle_sql(
+    table: str = "embeddings",
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    scale: int = 10**6,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`kmeans_assign` — the iteration chain unrolls to
+    one CTE block per assign/update, with HUGEINT squares standing in for
+    Spark's DECIMAL(38,0) accumulators (both exact)."""
+    blocks = [
+        f"""q AS (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS xq
+  FROM {table}
+),
+vd AS (
+  SELECT vid, u.d, xq[u.d + 1] AS x
+  FROM q, UNNEST(generate_series(0, {dim - 1})) AS u(d)
+),
+cents0 AS (
+  SELECT CAST(DENSE_RANK() OVER (ORDER BY vid) AS BIGINT) - 1 AS cid, d, x AS s,
+         CAST(1 AS BIGINT) AS n
+  FROM (SELECT vid FROM q ORDER BY vid LIMIT {k}) seeds
+  JOIN vd USING (vid)
+)"""
+    ]
+    for t in range(iters + 1):
+        blocks.append(
+            f"""a{t} AS (
+  SELECT vd.vid, c.cid,
+         SUM(CAST(c.n * vd.x - c.s AS HUGEINT) * CAST(c.n * vd.x - c.s AS HUGEINT)) AS A,
+         ANY_VALUE(c.n) AS n
+  FROM vd JOIN cents{t} c USING (d)
+  GROUP BY vd.vid, c.cid
+),
+pick{t} AS (
+  SELECT vid, cid, CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE) AS q2
+  FROM (
+    SELECT vid, cid, A, n,
+           ROW_NUMBER() OVER (
+             PARTITION BY vid
+             ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), cid
+           ) AS rn
+    FROM a{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            blocks.append(
+                f"""cents{t + 1} AS (
+  SELECT p.cid, vd.d, SUM(vd.x) AS s, COUNT(*) AS n
+  FROM pick{t} p JOIN vd USING (vid)
+  GROUP BY p.cid, vd.d
+)"""
+            )
+    body = ",\n".join(blocks)
+    return f"""
+WITH {body}
+SELECT vid AS {id_col}, cid AS cluster,
+       ROUND(q2 / {float(scale) ** 2!r}, {ndigits}) AS dist2
+FROM pick{iters}
+""".strip()
