@@ -1977,6 +1977,24 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of per-user event sequences —
+    exact pair counts, one double division per row."""
+    from ddspark.events import markov_transitions
+
+    ev = _read(spark, sf_dir, "events")
+    return markov_transitions(ev)
+
+
+def _q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1/lag-7 autocorrelation of the daily event-value series via the
+    exact-DECIMAL pearson path — the seasonality detector."""
+    from ddspark.timeseries import autocorr_exact
+
+    ev = _read(spark, sf_dir, "events")
+    return autocorr_exact(ev, "ts", "value", lags=[1, 7])
+
+
 def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed k-means (k=8, 2 Lloyd updates from k-smallest-id
     seeds): integer-grid vectors, centroids kept as exact rational (sum,
@@ -2495,6 +2513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": wrap(_q_ann_recall),  # new in r5 (second stretch)
         "dedup_cosine_pairs": wrap(_q_cosine_pairs),  # new in r5 (2nd stretch)
         "cluster_kmeans": wrap(_q_kmeans),  # new in r5 (second stretch)
+        "events_markov_transitions": wrap(_q_markov),  # new in r5 (2nd stretch)
+        "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
         "profile_mad_outliers": wrap(_q_mad_outliers),  # new in r5 (2nd stretch)
@@ -3727,6 +3747,8 @@ QUALIFY rank <= 10
         "profile_ols": _ols_oracle(),
         "dedup_cosine_pairs": _cosine_pairs_oracle(),
         "cluster_kmeans": _kmeans_oracle(),
+        "events_markov_transitions": _markov_oracle(),
+        "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
         "graph_triangles": _triangles_oracle(),
@@ -4393,6 +4415,18 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _markov_oracle() -> str:
+    from ddspark.events import markov_transitions_oracle_sql
+
+    return markov_transitions_oracle_sql("events")
+
+
+def _autocorr_oracle() -> str:
+    from ddspark.timeseries import autocorr_exact_oracle_sql
+
+    return autocorr_exact_oracle_sql("events", "ts", "value", lags=[1, 7])
 
 
 def _kmeans_oracle() -> str:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel", "cohort_retention", "top_paths"]
+__all__ = ["funnel", "cohort_retention", "top_paths", "markov_transitions", "markov_transitions_oracle_sql"]
 
 
 def funnel(
@@ -157,3 +157,77 @@ def top_paths(
     return head.select(
         F.row_number().over(w2).alias("rank"), "path", "n_users"
     )
+
+
+def markov_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    type_col: str = "event_type",
+    ndigits: int = 6,
+) -> DataFrame:
+    """First-order Markov transition table over per-user event sequences:
+    ``(src, dst, n, prob)`` where ``prob = n / sum(n) over src`` — the
+    behavioral model behind next-event prediction and anomaly screens.
+
+    Each user's events order by ``order_cols`` (a total order, default
+    ``[ts, event_id]``); consecutive pairs count into exact BIGINTs and
+    the row probability is one double division of those ints (rounded) —
+    value-hashes cross-engine.
+
+    **Scale**: one keyed window (lead per user) + one ``(src, dst)``
+    aggregation; output is |types|^2 rows.  No global sort, no driver
+    state.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["ts", "event_id"]
+    ev = events.where(F.col(user_col).isNotNull() & F.col(type_col).isNotNull())
+    for c in order_cols:
+        ev = ev.where(F.col(c).isNotNull())
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    pairs = ev.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = Window.partitionBy("src")
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(tot).cast("double"),
+            ndigits,
+        ).alias("prob"),
+    )
+
+
+def markov_transitions_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    type_col: str = "event_type",
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`markov_transitions`."""
+    order_cols = order_cols or ["ts", "event_id"]
+    order = ", ".join(order_cols)
+    not_null = " AND ".join(
+        f"{c} IS NOT NULL" for c in [user_col, type_col, *order_cols]
+    )
+    return f"""
+WITH seq AS (
+  SELECT {type_col} AS src,
+         LEAD({type_col}) OVER (PARTITION BY {user_col} ORDER BY {order}) AS dst
+  FROM {table}
+  WHERE {not_null}
+),
+counts AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n,
+       ROUND(CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), {ndigits}) AS prob
+FROM counts
+""".strip()

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["downsample_multi", "decayed_sum", "flag_spikes", "seasonal_residuals"]
+__all__ = ["downsample_multi", "decayed_sum", "flag_spikes", "seasonal_residuals", "autocorr_exact", "autocorr_exact_oracle_sql"]
 
 # date_trunc units both Spark and ANSI engines agree on (week = ISO Monday)
 _UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
@@ -237,3 +237,81 @@ def seasonal_residuals(
         F.coalesce(residual, F.lit(None)).alias("residual"),
         anomaly.alias("anomaly"),
     )
+
+
+def autocorr_exact(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    lags: list[int] | None = None,
+    scale: int = 100,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily-total series: ``(lag, n, corr)``
+    — the periodicity detector behind seasonality-aware anomaly screens
+    (a strong lag-7 says weekly structure; compare
+    :func:`seasonal_residuals`, which assumes the period).
+
+    The series is the per-day SUM of integer-quantized values (exact
+    DECIMAL, order-free), and each lag correlates the series with its
+    day-shifted self through the :func:`ddspark.profile.pearson_corr_exact`
+    path — every sum exact, one fixed double combination per lag, so the
+    result value-hashes cross-engine.
+
+    **Scale**: the daily rollup is one aggregation (days << rows); the
+    lag pairing is a self-join of the tiny daily table, one row per
+    (lag, day) — cost lives entirely in the first rollup scan.
+    """
+    from ddspark.profile import pearson_corr_exact
+
+    lags = list(lags or [1, 7])
+    if not lags or any(l < 1 for l in lags):
+        raise ValueError(f"lags must be positive, got {lags}")
+    daily = (
+        df.where(F.col(ts).isNotNull() & F.col(value).isNotNull())
+        .groupBy(F.to_date(ts).alias("day"))
+        .agg(
+            F.sum(F.round(F.col(value) * scale).cast("decimal(18,0)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    pairs = None
+    for lag in lags:
+        a = daily.select(F.col("day"), F.col("v").alias("x"))
+        b = daily.select(
+            F.date_add(F.col("day"), lag).alias("day"), F.col("v").alias("y")
+        )
+        p = a.join(b, "day").select(F.lit(lag).alias("lag"), "x", "y")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pearson_corr_exact(pairs, "x", "y", by=["lag"], ndigits=ndigits)
+
+
+def autocorr_exact_oracle_sql(
+    table: str = "events",
+    ts: str = "ts",
+    value: str = "value",
+    lags: list[int] | None = None,
+    scale: int = 100,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`autocorr_exact`."""
+    from ddspark.profile import pearson_corr_exact_oracle_sql
+
+    lags = list(lags or [1, 7])
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT {lag} AS lag, a.v AS x, b.v AS y
+FROM daily a JOIN daily b ON a.day = b.day + {lag}"""
+        for lag in lags
+    )
+    pairs = f"""(
+  WITH daily AS (
+    SELECT CAST({ts} AS DATE) AS day,
+           CAST(SUM(CAST(ROUND({value} * {scale}) AS DECIMAL(18,0))) AS DOUBLE) AS v
+    FROM {table}
+    WHERE {ts} IS NOT NULL AND {value} IS NOT NULL
+    GROUP BY 1
+  )
+  {arms}
+) pairs"""
+    return pearson_corr_exact_oracle_sql(pairs, "x", "y", by=["lag"], ndigits=ndigits)

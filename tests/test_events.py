@@ -141,3 +141,53 @@ def test_flag_spikes_matches_model(spark):
 
     with _pytest.raises(ValueError, match="window"):
         flag_spikes(df, "t", "c", window=0)
+
+
+def test_markov_transitions_exact_counts(spark):
+    from ddspark.events import markov_transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: a -> b ; user 3: b (no transition)
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 01:00:00", "b"),
+        (3, 1, "2024-01-01 02:00:00", "a"),
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 01:00:00", "b"),
+        (6, 3, "2024-01-01 00:00:00", "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["prob"])
+        for r in markov_transitions(df).collect()
+    }
+    assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+
+def test_markov_transitions_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from ddspark.events import markov_transitions, markov_transitions_oracle_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["prob"])
+        for r in markov_transitions(ev).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    duck = {
+        (s, d): (n, p)
+        for s, d, n, p in con.execute(
+            markov_transitions_oracle_sql("events")
+        ).fetchall()
+    }
+    assert got == duck
+    # probabilities per src sum to 1 (exact ratios of a common total)
+    import collections
+
+    sums = collections.defaultdict(float)
+    for (s, _), (_, p) in got.items():
+        sums[s] += p
+    assert all(abs(v - 1.0) < 1e-4 for v in sums.values())

@@ -115,3 +115,41 @@ def test_seasonal_residuals_known(spark):
 
     with _pytest.raises(ValueError):
         seasonal_residuals(df, "ts", "v", season=0)
+
+
+def test_autocorr_exact_perfect_period(spark):
+    from ddspark.timeseries import autocorr_exact
+
+    # strict 2-day alternation: lag-2 corr == 1, lag-1 corr == -1
+    rows = [
+        (f"2024-01-{d:02d} 12:00:00", 10.0 if d % 2 == 0 else 2.0)
+        for d in range(1, 29)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    got = {r["lag"]: r["corr"] for r in autocorr_exact(df, "ts", "value", lags=[1, 2]).collect()}
+    assert got[1] == -1.0 and got[2] == 1.0
+
+
+def test_autocorr_exact_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from ddspark.timeseries import autocorr_exact, autocorr_exact_oracle_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["lag"]: (r["n"], r["corr"])
+        for r in autocorr_exact(ev, "ts", "value", lags=[1, 3, 7]).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    duck = {
+        lag: (n, c)
+        for lag, n, c in con.execute(
+            autocorr_exact_oracle_sql("events", "ts", "value", lags=[1, 3, 7])
+        ).fetchall()
+    }
+    assert got == duck
+    with pytest.raises(ValueError, match="positive"):
+        autocorr_exact(ev, "ts", "value", lags=[0]).collect()
