@@ -1977,6 +1977,21 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distances (<=3 hops from node 0) over the same
+    deterministic 1000-node event-derived graph as graph_pagerank —
+    level-synchronous frontier joins, oracle replays the levels as CTEs."""
+    from ddspark.pipeline.graph import bfs_distances
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return bfs_distances(edges, sources=[0], max_hops=3)
+
+
 def _q_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of per-user event sequences —
     exact pair counts, one double division per row."""
@@ -2514,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_pairs": wrap(_q_cosine_pairs),  # new in r5 (2nd stretch)
         "cluster_kmeans": wrap(_q_kmeans),  # new in r5 (second stretch)
         "events_markov_transitions": wrap(_q_markov),  # new in r5 (2nd stretch)
+        "graph_bfs_distances": wrap(_q_bfs),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
@@ -3748,6 +3764,7 @@ QUALIFY rank <= 10
         "dedup_cosine_pairs": _cosine_pairs_oracle(),
         "cluster_kmeans": _kmeans_oracle(),
         "events_markov_transitions": _markov_oracle(),
+        "graph_bfs_distances": _bfs_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
@@ -4415,6 +4432,19 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _bfs_oracle() -> str:
+    from ddspark.pipeline.graph import bfs_distances_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    edges_sql = (
+        "SELECT user_id % 1000 AS src, "
+        f"{h} % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL"
+    )
+    return bfs_distances_oracle_sql(edges_sql, sources=[0], max_hops=3)
 
 
 def _markov_oracle() -> str:

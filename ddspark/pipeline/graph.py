@@ -41,6 +41,8 @@ __all__ = [
     "pagerank_personalized",
     "pagerank_personalized_oracle_sql",
     "k_core",
+    "bfs_distances",
+    "bfs_distances_oracle_sql",
 ]
 
 
@@ -487,3 +489,95 @@ def k_core(
         .where(F.col("degree") >= k)
     )
     return deg
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS hop distances on the undirected simple graph:
+    ``(node, dist)`` for every node within ``max_hops`` of any source
+    (``dist`` = minimum hop count; sources are dist 0) — the
+    neighborhood-expansion primitive behind crawl-frontier scoping and
+    contamination blast-radius queries.
+
+    Level-synchronous Pregel shape, like :func:`pagerank_integer`: each
+    round is one frontier⋈edges join + an anti-join against the settled
+    set, with ``localCheckpoint`` lineage cuts; rounds = ``max_hops``
+    (bounded, not a data-dependent fixpoint), so the oracle replays the
+    SAME levels as unrolled CTEs and matches exactly.  Early-exits when
+    a frontier empties.
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    spark = edges.sparkSession
+    und = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+    )
+    und = (
+        und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.createDataFrame(
+        [(int(n), 0) for n in sorted(set(sources))], "node long, dist int"
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(
+            nxt.withColumn("dist", F.lit(h).cast("int"))
+        ).localCheckpoint(eager=False)
+        frontier = nxt
+    return dist
+
+
+def bfs_distances_oracle_sql(
+    edges_sql: str,
+    sources: list[int],
+    max_hops: int = 3,
+) -> str:
+    """ANSI twin of :func:`bfs_distances` — one CTE per BFS level.
+    ``edges_sql`` must select columns ``(src, dst)``."""
+    seeds = ", ".join(f"({int(n)})" for n in sorted(set(sources)))
+    blocks = [
+        f"""e0 AS ({edges_sql}),
+e AS (
+  SELECT u, v FROM (
+    SELECT src AS u, dst AS v FROM e0 WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+    UNION
+    SELECT dst AS u, src AS v FROM e0 WHERE src IS NOT NULL AND dst IS NOT NULL AND src != dst
+  )
+),
+d0 AS (SELECT CAST(t.node AS BIGINT) AS node, 0 AS dist FROM (VALUES {seeds}) t(node)),
+seen0 AS (SELECT node FROM d0)"""
+    ]
+    for h in range(1, max_hops + 1):
+        blocks.append(
+            f"""l{h} AS (
+  SELECT DISTINCT e.v AS node
+  FROM seen{h - 1} f JOIN e ON e.u = f.node
+  WHERE e.v NOT IN (SELECT node FROM (SELECT node FROM d0{"".join(f" UNION ALL SELECT node FROM l{i}" for i in range(1, h))}))
+),
+seen{h} AS (SELECT node FROM l{h})"""
+        )
+    union = "SELECT node, dist FROM d0" + "".join(
+        f"\nUNION ALL SELECT node, {h} AS dist FROM l{h}" for h in range(1, max_hops + 1)
+    )
+    body = ",\n".join(blocks)
+    return f"WITH {body}\n{union}".strip()

@@ -248,3 +248,50 @@ def test_k_core_partition_invariant(spark):
     a = sorted(map(tuple, k_core(spark.createDataFrame(redges, "src long, dst long").repartition(1), 3).collect()))
     b = sorted(map(tuple, k_core(spark.createDataFrame(redges, "src long, dst long").repartition(11), 3).collect()))
     assert a == b
+
+
+def test_bfs_distances_hand_graph(spark):
+    from ddspark.pipeline.graph import bfs_distances
+
+    # path 0-1-2-3-4 plus island 9; undirected regardless of edge direction
+    edges = spark.createDataFrame(
+        [(0, 1), (2, 1), (2, 3), (3, 4), (9, 9)], "src long, dst long"
+    )
+    got = {r["node"]: r["dist"] for r in bfs_distances(edges, [0], max_hops=3).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    # multi-source takes the minimum distance; self-loop island excluded
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, [0, 4], max_hops=2).collect()
+    }
+    assert got2 == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+    # early exit past graph diameter
+    got3 = {r["node"]: r["dist"] for r in bfs_distances(edges, [0], max_hops=50).collect()}
+    assert got3 == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_bfs_distances_duckdb_twin(spark):
+    import duckdb
+
+    from ddspark.pipeline.graph import bfs_distances, bfs_distances_oracle_sql
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    pairs = rng.integers(0, 60, (200, 2))
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["dist"])
+        for r in bfs_distances(edges, [0, 1], max_hops=3).collect()
+    }
+    con = duckdb.connect()
+    con.register("edges", edges.toPandas())
+    duck = {
+        (n, d)
+        for n, d in con.execute(
+            bfs_distances_oracle_sql("SELECT src, dst FROM edges", [0, 1], max_hops=3)
+        ).fetchall()
+    }
+    assert got == duck
