@@ -1977,6 +1977,15 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between click and error event values: shared fixed-width
+    buckets, Laplace-smoothed shares, nano-quantized exact term sum."""
+    from ddspark.profile import psi_drift
+
+    ev = _read(spark, sf_dir, "events")
+    return psi_drift(ev, "value", "event_type", "click", "error", k=10)
+
+
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS hop distances (<=3 hops from node 0) over the same
     deterministic 1000-node event-derived graph as graph_pagerank —
@@ -2530,6 +2539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_kmeans": wrap(_q_kmeans),  # new in r5 (second stretch)
         "events_markov_transitions": wrap(_q_markov),  # new in r5 (2nd stretch)
         "graph_bfs_distances": wrap(_q_bfs),  # new in r5 (second stretch)
+        "profile_psi_drift": wrap(_q_psi),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
@@ -3765,6 +3775,7 @@ QUALIFY rank <= 10
         "cluster_kmeans": _kmeans_oracle(),
         "events_markov_transitions": _markov_oracle(),
         "graph_bfs_distances": _bfs_oracle(),
+        "profile_psi_drift": _psi_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
@@ -4432,6 +4443,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _psi_oracle() -> str:
+    from ddspark.profile import psi_drift_oracle_sql
+
+    return psi_drift_oracle_sql("events", "value", "event_type", "click", "error", k=10)
 
 
 def _bfs_oracle() -> str:

@@ -43,6 +43,8 @@ __all__ = [
     "gini_exact_oracle_sql",
     "mad_outliers",
     "mad_outliers_oracle_sql",
+    "psi_drift",
+    "psi_drift_oracle_sql",
 ]
 
 
@@ -1351,4 +1353,137 @@ SELECT {by_sel}
        ROUND(MIN(m2dev) / (4.0 * {scale}), {ndigits}) AS mad,
        CAST(SUM(CASE WHEN 2 * d > {k} * m2dev THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM flagged {group}
+""".strip()
+
+
+def psi_drift(
+    df: DataFrame,
+    col: str,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    k: int = 10,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two segments of ``col``:
+    one row ``(n_a, n_b, psi)`` — the binned drift monitor that
+    complements the exact-CDF :func:`ks_drift` (KS finds the largest
+    pointwise gap; PSI integrates shift across the distribution, the
+    convention in model-monitoring runbooks with 0.1/0.25 alert bands).
+
+    Buckets are ``k`` equal widths over the COMBINED [min, max] (the
+    same fixed double expression as :func:`fixed_width_histogram`);
+    shares are Laplace-smoothed ``(c+1)/(n+k)`` so empty buckets stay
+    finite.  Each bucket's term ``(p_a−p_b)·ln(p_a/p_b)`` floor-quantizes
+    to nano units (exact BIGINT, same trick as :func:`column_entropy`)
+    and the terms sum EXACTLY — no float-summation order anywhere.
+    Plan: one extremes aggregate broadcast into a map-side bucket
+    expression, one (bucket, seg) count aggregation, one k-row rollup.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pre = df.where(
+        F.col(col).isNotNull() & F.col(seg_col).isin([seg_a, seg_b])
+    ).select(F.col(col).cast("double").alias("_v"), F.col(seg_col).alias("_s"))
+    ext = pre.agg(
+        F.min("_v").alias("_mn"), F.max("_v").alias("_mx")
+    )
+    span = F.col("_mx") - F.col("_mn")
+    bucket = F.when(span == 0, F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("_v") - F.col("_mn")) * k / span).cast("int"),
+            F.lit(k - 1),
+        )
+    )
+    counts = (
+        pre.crossJoin(F.broadcast(ext))
+        .select(bucket.alias("bucket"), "_s")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_s") == seg_a, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_s") == seg_b, 1).otherwise(0)).alias("cb"),
+        )
+    )
+    # bucket spine so empty buckets contribute their smoothed term too
+    spine = df.sparkSession.range(k).select(F.col("id").cast("int").alias("bucket"))
+    cells = spine.join(counts, "bucket", "left").select(
+        "bucket",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    tot = cells.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + k).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + k).cast("double")
+    term = (pa - pb) * F.log(pa / pb)
+    micro = F.floor(F.lit(1e9) * term).cast("long")
+    agg = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("na").alias("n_a"),
+            F.first("nb").alias("n_b"),
+            F.sum(micro).alias("_psi_nano"),
+        )
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("_psi_nano").cast("double") / 1e9, ndigits).alias("psi"),
+    )
+
+
+def psi_drift_oracle_sql(
+    table: str,
+    col: str,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    k: int = 10,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`psi_drift` — same bucket expression, same
+    nano-quantized terms."""
+    return f"""
+WITH pre AS (
+  SELECT CAST({col} AS DOUBLE) AS v, {seg_col} AS s
+  FROM {table}
+  WHERE {col} IS NOT NULL AND {seg_col} IN ('{seg_a}', '{seg_b}')
+),
+ext AS (
+  SELECT MIN(v) AS mn, MAX(v) AS mx FROM pre
+),
+counts AS (
+  SELECT CASE WHEN ext.mx - ext.mn = 0 THEN 0
+              ELSE LEAST(CAST(FLOOR((v - ext.mn) * {k} / (ext.mx - ext.mn)) AS INT), {k - 1})
+         END AS bucket,
+         SUM(CASE WHEN s = '{seg_a}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN s = '{seg_b}' THEN 1 ELSE 0 END) AS cb
+  FROM pre, ext
+  GROUP BY 1
+),
+cells AS (
+  SELECT CAST(u.b AS INT) AS bucket,
+         COALESCE(counts.ca, 0) AS ca,
+         COALESCE(counts.cb, 0) AS cb
+  FROM UNNEST(generate_series(0, {k - 1})) AS u(b)
+  LEFT JOIN counts ON counts.bucket = CAST(u.b AS INT)
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM cells
+),
+terms AS (
+  SELECT CAST(FLOOR(1e9 * (
+           (CAST(ca + 1 AS DOUBLE) / CAST(na + {k} AS DOUBLE)
+            - CAST(cb + 1 AS DOUBLE) / CAST(nb + {k} AS DOUBLE))
+           * LN((CAST(ca + 1 AS DOUBLE) / CAST(na + {k} AS DOUBLE))
+                / (CAST(cb + 1 AS DOUBLE) / CAST(nb + {k} AS DOUBLE)))
+         )) AS BIGINT) AS micro,
+         na, nb
+  FROM cells, tot
+)
+SELECT CAST(MIN(na) AS BIGINT) AS n_a,
+       CAST(MIN(nb) AS BIGINT) AS n_b,
+       ROUND(CAST(SUM(micro) AS DOUBLE) / 1e9, {ndigits}) AS psi
+FROM terms
 """.strip()

@@ -511,3 +511,52 @@ def test_mad_outliers_odd_and_even_medians(spark):
     row = mad_outliers(even, "v").collect()[0]
     assert row["median"] == 5.0  # (2+8)/2
     assert row["mad"] == 3.5  # deviations {4,3,3,4} -> median 3.5
+
+
+def test_psi_drift_matches_python_model(spark):
+    import math
+
+    import numpy as np
+
+    from ddspark.profile import psi_drift, psi_drift_oracle_sql
+
+    rng = np.random.default_rng(19)
+    a = rng.normal(0, 1, 600)
+    b = rng.normal(0.8, 1.3, 400)  # shifted+widened -> real drift
+    v = np.round(np.concatenate([a, b]), 3)
+    s = np.array(["a"] * 600 + ["b"] * 400)
+    df = spark.createDataFrame(list(zip(s.tolist(), v.tolist())), "s string, v double")
+    row = psi_drift(df, "v", "s", "a", "b", k=10).collect()[0]
+    # python replay
+    mn, mx = v.min(), v.max()
+    k = 10
+    buckets = np.minimum(np.floor((v - mn) * k / (mx - mn)).astype(int), k - 1)
+    nano = 0
+    for i in range(k):
+        ca = int(((buckets == i) & (s == "a")).sum())
+        cb = int(((buckets == i) & (s == "b")).sum())
+        pa = (ca + 1) / (600 + k)
+        pb = (cb + 1) / (400 + k)
+        nano += math.floor(1e9 * ((pa - pb) * math.log(pa / pb)))
+    assert (row["n_a"], row["n_b"]) == (600, 400)
+    assert row["psi"] == round(nano / 1e9, 6)
+    assert row["psi"] > 0.25  # a real shift lands above the alert band
+
+    got = (row["n_a"], row["n_b"], row["psi"])
+    duck = _duck(
+        psi_drift_oracle_sql("t", "v", "s", "a", "b", k=10), {"t": df.toPandas()}
+    )[0]
+    assert got == duck
+
+
+def test_psi_drift_identical_segments_near_zero(spark):
+    import numpy as np
+
+    from ddspark.profile import psi_drift
+
+    rng = np.random.default_rng(2)
+    v = np.round(rng.normal(0, 1, 1000), 3)
+    s = np.array(["a", "b"] * 500)  # interleaved halves of one distribution
+    df = spark.createDataFrame(list(zip(s.tolist(), v.tolist())), "s string, v double")
+    row = psi_drift(df, "v", "s", "a", "b").collect()[0]
+    assert abs(row["psi"]) < 0.05
