@@ -1977,6 +1977,15 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation stats (split on [.!?]+, whitespace
+    word counts) — exact integers plus one double division."""
+    from ddspark.pipeline.textops import sentence_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return sentence_stats(docs)
+
+
 def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PSI drift between click and error event values: shared fixed-width
     buckets, Laplace-smoothed shares, nano-quantized exact term sum."""
@@ -2540,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": wrap(_q_markov),  # new in r5 (2nd stretch)
         "graph_bfs_distances": wrap(_q_bfs),  # new in r5 (second stretch)
         "profile_psi_drift": wrap(_q_psi),  # new in r5 (second stretch)
+        "text_sentence_stats": wrap(_q_sentence_stats),  # new in r5 (2nd str.)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
@@ -3776,6 +3786,7 @@ QUALIFY rank <= 10
         "events_markov_transitions": _markov_oracle(),
         "graph_bfs_distances": _bfs_oracle(),
         "profile_psi_drift": _psi_oracle(),
+        "text_sentence_stats": _sentence_stats_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
@@ -4443,6 +4454,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _sentence_stats_oracle() -> str:
+    from ddspark.pipeline.textops import sentence_stats_oracle_sql
+
+    return sentence_stats_oracle_sql("documents")
 
 
 def _psi_oracle() -> str:

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "sentence_stats",
+    "sentence_stats_oracle_sql",
     "token_count",
     "subword_count",
     "punct_ratio",
@@ -767,4 +769,76 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_micro DESC, w1 ASC, w2 ASC) AS INT) 
        w1, w2, CAST(pair_count AS BIGINT) AS pair_count, pmi_micro
 FROM scored
 QUALIFY rank <= {k}
+""".strip()
+
+
+def sentence_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Sentence segmentation stats per document: ``(id, n_sentences,
+    n_words, avg_words, max_words)`` — the readability/structure signal a
+    quality filter adds on top of the flat token counts (run-on pages and
+    list-like boilerplate both show up as extreme avg sentence lengths).
+
+    Segmentation is the deterministic rule ``split on [.!?]+`` with
+    whitespace-token word counts per segment; segments with zero words do
+    not count as sentences.  All counts are exact integers; ``avg_words``
+    is one double division.  Pure column expressions over one scan —
+    no UDFs, no shuffle beyond the scan itself.
+    """
+    sents = F.split(F.col(text_col), r"[.!?]+")
+    wc = F.transform(
+        sents,
+        lambda s_: F.size(F.filter(F.split(F.trim(s_), r"\s+"), lambda t: t != "")),
+    )
+    nonzero = F.filter(wc, lambda c: c > 0)
+    n_sent = F.size(nonzero).cast("long")
+    n_words = F.coalesce(
+        F.aggregate(nonzero, F.lit(0).cast("long"), lambda a, c: a + c),
+        F.lit(0).cast("long"),
+    )
+    max_words = F.coalesce(F.array_max(nonzero), F.lit(0)).cast("long")
+    avg = F.when(
+        n_sent > 0,
+        F.round(n_words.cast("double") / n_sent.cast("double"), ndigits),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        avg.alias("avg_words"),
+        max_words.alias("max_words"),
+    )
+
+
+def sentence_stats_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`sentence_stats`."""
+    return f"""
+WITH wc AS (
+  SELECT {id_col} AS id,
+         list_filter(
+           list_transform(
+             regexp_split_to_array({text_col}, '[.!?]+'),
+             s -> len(list_filter(regexp_split_to_array(trim(s), '\\s+'), t -> t != ''))
+           ),
+           c -> c > 0
+         ) AS counts
+  FROM {table}
+)
+SELECT id,
+       CAST(len(counts) AS BIGINT) AS n_sentences,
+       CAST(COALESCE(list_sum(counts), 0) AS BIGINT) AS n_words,
+       CASE WHEN len(counts) > 0
+            THEN ROUND(CAST(COALESCE(list_sum(counts), 0) AS DOUBLE)
+                       / CAST(len(counts) AS DOUBLE), {ndigits}) END AS avg_words,
+       CAST(COALESCE(list_max(counts), 0) AS BIGINT) AS max_words
+FROM wc
 """.strip()

@@ -2479,3 +2479,46 @@ def test_cosine_pairs_duckdb_twin(spark, dup_docs):
         ).fetchall()
     }
     assert got == duck
+
+
+def test_sentence_stats_hand_cases(spark):
+    from ddspark.pipeline.textops import sentence_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "One two three. Four five! Six?",
+                    "",
+                    "no terminator here",
+                    "...!!!???",  # only punctuation -> zero sentences
+                ],
+            }
+        )
+    )
+    got = {r["id"]: r for r in sentence_stats(df).collect()}
+    assert (got[0]["n_sentences"], got[0]["n_words"], got[0]["max_words"]) == (3, 6, 3)
+    assert got[0]["avg_words"] == 2.0
+    assert got[1]["n_sentences"] == 0 and got[1]["avg_words"] is None
+    assert got[2]["n_sentences"] == 1 and got[2]["n_words"] == 3
+    assert got[3]["n_sentences"] == 0 and got[3]["n_words"] == 0
+
+
+def test_sentence_stats_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from ddspark.pipeline.textops import sentence_stats, sentence_stats_oracle_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["id"]: (r["n_sentences"], r["n_words"], r["avg_words"], r["max_words"])
+           for r in sentence_stats(docs).collect()}
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = {
+        i: (ns, nw, av, mx)
+        for i, ns, nw, av, mx in con.execute(
+            sentence_stats_oracle_sql("documents")
+        ).fetchall()
+    }
+    assert got == duck
