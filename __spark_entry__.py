@@ -1977,6 +1977,16 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value (b=100 replicas,
+    hash-deterministic draws) — the distributed bootstrap: no indexed
+    resample, no global sort, exact DECIMAL replica sums."""
+    from ddspark.profile import bootstrap_ci_mean
+
+    ev = _read(spark, sf_dir, "events")
+    return bootstrap_ci_mean(ev, "event_id", "value", b=100, scale=1000)
+
+
 def _q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc sentence segmentation stats (split on [.!?]+, whitespace
     word counts) — exact integers plus one double division."""
@@ -2550,6 +2560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs_distances": wrap(_q_bfs),  # new in r5 (second stretch)
         "profile_psi_drift": wrap(_q_psi),  # new in r5 (second stretch)
         "text_sentence_stats": wrap(_q_sentence_stats),  # new in r5 (2nd str.)
+        "profile_bootstrap_ci": wrap(_q_bootstrap_ci),  # new in r5 (2nd stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
@@ -3787,6 +3798,7 @@ QUALIFY rank <= 10
         "graph_bfs_distances": _bfs_oracle(),
         "profile_psi_drift": _psi_oracle(),
         "text_sentence_stats": _sentence_stats_oracle(),
+        "profile_bootstrap_ci": _bootstrap_ci_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
@@ -4454,6 +4466,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _bootstrap_ci_oracle() -> str:
+    from ddspark.profile import bootstrap_ci_mean_oracle_sql
+
+    return bootstrap_ci_mean_oracle_sql("events", "event_id", "value", b=100, scale=1000)
 
 
 def _sentence_stats_oracle() -> str:

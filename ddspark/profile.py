@@ -45,6 +45,8 @@ __all__ = [
     "mad_outliers_oracle_sql",
     "psi_drift",
     "psi_drift_oracle_sql",
+    "bootstrap_ci_mean",
+    "bootstrap_ci_mean_oracle_sql",
 ]
 
 
@@ -1486,4 +1488,177 @@ SELECT CAST(MIN(na) AS BIGINT) AS n_a,
        CAST(MIN(nb) AS BIGINT) AS n_b,
        ROUND(CAST(SUM(micro) AS DOUBLE) / 1e9, {ndigits}) AS psi
 FROM terms
+""".strip()
+
+
+# Poisson(1) CDF thresholds c_k = e^-1 * sum_{j<=k} 1/j!: a draw's repeat
+# count is #{k : u >= c_k} (capped at 9; P(K>9) ~ 1e-10, mirrored in the
+# twin).  Literal doubles so both engines compare identical constants.
+_POISSON1_CDF = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+_U_DENOM = 1 << 53
+
+
+def bootstrap_ci_mean(
+    df: DataFrame,
+    id_col: str,
+    col: str,
+    b: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    scale: int = 100,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of ``col``:
+    one row ``(n, b, mean, ci_lo, ci_hi)``.
+
+    The classic index-resample bootstrap needs a random-access indexed
+    table (a global sort at 10^12 rows); the **Poisson bootstrap**
+    replaces it with a per-row draw — in replica ``r`` each row appears
+    ``K ~ Poisson(1)`` times, and ``K`` here is the deterministic
+    inverse-CDF lookup of ``u = portable_hash(id, r, seed) / 2^53``
+    against literal Poisson(1) CDF constants, so every engine replays the
+    identical resample.  Replica sums accumulate ``K * x`` as exact
+    DECIMALs; each replica mean is one double division; the CI bounds are
+    rank-explicit order statistics of the ``b`` replica means (ranks
+    ``ceil(b*q)``, clamped to [1, b]).
+
+    **Scale**: one scan amplified by ``b`` replica tags (map-side — the
+    explode feeds straight into a partial aggregation keyed by replica),
+    one ``b``-row rollup.  No global sort, no driver loop; at 10^12 rows
+    choose ``b`` to budget the ``b x`` scan amplification.
+    """
+    if b < 2:
+        raise ValueError(f"need b >= 2 replicas, got {b}")
+    if not (0 <= lo_q < hi_q <= 1):
+        raise ValueError(f"need 0 <= lo_q < hi_q <= 1, got {lo_q}, {hi_q}")
+    from pyspark.sql import Window as _W
+
+    from .pipeline.hashing import portable_hash63
+
+    xi = F.round(F.col(col) * scale).cast("decimal(18,0)")
+    pre = df.where(F.col(col).isNotNull()).select(
+        F.col(id_col).cast("string").alias("_id"), xi.alias("_x")
+    )
+    tagged = pre.select(
+        "_id", "_x", F.explode(F.sequence(F.lit(0), F.lit(b - 1))).alias("_r")
+    )
+    u = (
+        portable_hash63(
+            F.concat_ws(":", F.col("_id"), F.col("_r"), F.lit(str(seed)))
+        )
+        % _U_DENOM
+    ).cast("double") / F.lit(float(_U_DENOM))
+    k = sum(
+        (u >= F.lit(c)).cast("int") for c in _POISSON1_CDF
+    ).cast("decimal(18,0)")
+    reps = tagged.select("_r", (k * F.col("_x")).alias("_kx"), k.alias("_k")).groupBy(
+        "_r"
+    ).agg(F.sum("_kx").alias("_sx"), F.sum("_k").alias("_cnt"))
+    mean_r = F.when(
+        F.col("_cnt") > 0,
+        F.col("_sx").cast("double") / F.col("_cnt").cast("double") / scale,
+    )
+    import math as _math
+
+    lo_rank = min(max(1, _math.ceil(b * lo_q)), b)
+    hi_rank = min(max(1, _math.ceil(b * hi_q)), b)
+    w = _W.orderBy(F.col("_m").asc_nulls_first())
+    ranked = reps.select(mean_r.alias("_m")).select(
+        "_m", F.row_number().over(w).alias("_rn")
+    )
+    ci = ranked.agg(
+        F.round(F.min(F.when(F.col("_rn") == lo_rank, F.col("_m"))), ndigits).alias(
+            "ci_lo"
+        ),
+        F.round(F.min(F.when(F.col("_rn") == hi_rank, F.col("_m"))), ndigits).alias(
+            "ci_hi"
+        ),
+    )
+    base = pre.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double") / scale,
+            ndigits,
+        ).alias("mean"),
+    )
+    return base.crossJoin(ci).select(
+        "n", F.lit(b).cast("int").alias("b"), "mean", "ci_lo", "ci_hi"
+    )
+
+
+def bootstrap_ci_mean_oracle_sql(
+    table: str,
+    id_col: str,
+    col: str,
+    b: int = 100,
+    lo_q: float = 0.025,
+    hi_q: float = 0.975,
+    scale: int = 100,
+    seed: int = 42,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`bootstrap_ci_mean` — identical hash draws,
+    Poisson constants, and rank conventions."""
+    import math as _math
+
+    from .pipeline.hashing import portable_hash63_sql
+
+    lo_rank = min(max(1, _math.ceil(b * lo_q)), b)
+    hi_rank = min(max(1, _math.ceil(b * hi_q)), b)
+    h = portable_hash63_sql(
+        f"CAST({id_col} AS VARCHAR) || ':' || CAST(r AS VARCHAR) || ':{seed}'"
+    )
+    ks = " + ".join(f"(CASE WHEN u >= {c!r} THEN 1 ELSE 0 END)" for c in _POISSON1_CDF)
+    return f"""
+WITH pre AS (
+  SELECT CAST({id_col} AS VARCHAR) AS {id_col},
+         CAST(ROUND({col} * {scale}) AS DECIMAL(18,0)) AS x
+  FROM {table}
+  WHERE {col} IS NOT NULL
+),
+tagged AS (
+  SELECT {id_col}, x, CAST(t.r AS BIGINT) AS r
+  FROM pre, UNNEST(generate_series(0, {b - 1})) AS t(r)
+),
+draws AS (
+  SELECT r, x,
+         CAST(({h} % {_U_DENOM}) AS DOUBLE) / {float(_U_DENOM)!r} AS u
+  FROM tagged
+),
+reps AS (
+  SELECT r,
+         SUM(CAST({ks} AS DECIMAL(18,0)) * x) AS sx,
+         SUM(CAST({ks} AS DECIMAL(18,0))) AS cnt
+  FROM draws GROUP BY r
+),
+means AS (
+  SELECT CASE WHEN cnt > 0
+              THEN CAST(sx AS DOUBLE) / CAST(cnt AS DOUBLE) / {scale} END AS m
+  FROM reps
+),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC NULLS FIRST) AS rn FROM means
+),
+ci AS (
+  SELECT ROUND(MIN(CASE WHEN rn = {lo_rank} THEN m END), {ndigits}) AS ci_lo,
+         ROUND(MIN(CASE WHEN rn = {hi_rank} THEN m END), {ndigits}) AS ci_hi
+  FROM ranked
+),
+base AS (
+  SELECT COUNT(*) AS n,
+         ROUND(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / {scale}, {ndigits}) AS mean
+  FROM pre
+)
+SELECT n, CAST({b} AS INT) AS b, mean, ci_lo, ci_hi FROM base, ci
 """.strip()

@@ -560,3 +560,46 @@ def test_psi_drift_identical_segments_near_zero(spark):
     df = spark.createDataFrame(list(zip(s.tolist(), v.tolist())), "s string, v double")
     row = psi_drift(df, "v", "s", "a", "b").collect()[0]
     assert abs(row["psi"]) < 0.05
+
+
+def test_bootstrap_ci_brackets_truth_and_matches_duckdb(spark):
+    import numpy as np
+
+    from ddspark.profile import bootstrap_ci_mean, bootstrap_ci_mean_oracle_sql
+
+    rng = np.random.default_rng(23)
+    v = np.round(rng.normal(50, 10, 2000), 2)
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(v)], "id long, v double"
+    )
+    row = bootstrap_ci_mean(df, "id", "v", b=80).collect()[0]
+    assert row["n"] == 2000 and row["b"] == 80
+    # CI must bracket the sample mean and be plausibly tight (se ~ 0.22)
+    assert row["ci_lo"] < row["mean"] < row["ci_hi"]
+    assert 0.2 < row["ci_hi"] - row["ci_lo"] < 2.5
+    assert abs(row["mean"] - round(v.mean(), 2)) < 0.1
+
+    duck = _duck(
+        bootstrap_ci_mean_oracle_sql("t", "id", "v", b=80), {"t": df.toPandas()}
+    )[0]
+    assert (row["n"], row["b"], row["mean"], row["ci_lo"], row["ci_hi"]) == duck
+
+
+def test_bootstrap_ci_partition_invariance(spark):
+    import numpy as np
+
+    from ddspark.profile import bootstrap_ci_mean
+
+    rng = np.random.default_rng(29)
+    v = np.round(rng.uniform(0, 100, 500), 2)
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(v)], "id long, v double"
+    )
+    a = bootstrap_ci_mean(df, "id", "v", b=50).collect()[0]
+    b = bootstrap_ci_mean(df.repartition(13), "id", "v", b=50).collect()[0]
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="b >= 2"):
+        bootstrap_ci_mean(df, "id", "v", b=1)
