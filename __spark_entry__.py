@@ -1977,6 +1977,25 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t between click and purchase event values
+    (value scaled x1000): exact DECIMAL sums, one fixed double
+    combination for t and the Welch-Satterthwaite dof."""
+    from ddspark.profile import welch_t
+
+    ev = _read(spark, sf_dir, "events")
+    return welch_t(ev, "value", "event_type", "click", "purchase", scale=1000)
+
+
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from deterministic sentence /
+    word / vowel-group counts — the prose-vs-boilerplate screen."""
+    from ddspark.pipeline.textops import readability_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return readability_scores(docs)
+
+
 def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value (b=100 replicas,
     hash-deterministic draws) — the distributed bootstrap: no indexed
@@ -2561,6 +2580,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_psi_drift": wrap(_q_psi),  # new in r5 (second stretch)
         "text_sentence_stats": wrap(_q_sentence_stats),  # new in r5 (2nd str.)
         "profile_bootstrap_ci": wrap(_q_bootstrap_ci),  # new in r5 (2nd stretch)
+        "profile_welch_t": wrap(_q_welch),  # new in r5 (second stretch)
+        "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
         "profile_gini": wrap(_q_gini),  # new in r5 (second stretch)
@@ -3799,6 +3820,8 @@ QUALIFY rank <= 10
         "profile_psi_drift": _psi_oracle(),
         "text_sentence_stats": _sentence_stats_oracle(),
         "profile_bootstrap_ci": _bootstrap_ci_oracle(),
+        "profile_welch_t": _welch_oracle(),
+        "text_readability": _readability_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
         "profile_mad_outliers": _mad_outliers_oracle(),
@@ -4466,6 +4489,18 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _welch_oracle() -> str:
+    from ddspark.profile import welch_t_oracle_sql
+
+    return welch_t_oracle_sql("events", "value", "event_type", "click", "purchase", scale=1000)
+
+
+def _readability_oracle() -> str:
+    from ddspark.pipeline.textops import readability_scores_oracle_sql
+
+    return readability_scores_oracle_sql("documents")
 
 
 def _bootstrap_ci_oracle() -> str:

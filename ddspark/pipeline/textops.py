@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 __all__ = [
     "sentence_stats",
     "sentence_stats_oracle_sql",
+    "readability_scores",
+    "readability_scores_oracle_sql",
     "token_count",
     "subword_count",
     "punct_ratio",
@@ -841,4 +843,93 @@ SELECT id,
                        / CAST(len(counts) AS DOUBLE), {ndigits}) END AS avg_words,
        CAST(COALESCE(list_max(counts), 0) AS BIGINT) AS max_words
 FROM wc
+""".strip()
+
+
+def readability_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Flesch-style readability per document: ``(id, n_sentences,
+    n_words, n_syllables, flesch)`` — the classic reading-ease screen a
+    quality pipeline uses to separate prose from tables/code dumps
+    (extreme scores either way are a boilerplate signal).
+
+    Deterministic proxies: sentences = ``[.!?]+`` segments with >= 1
+    whitespace word (exactly :func:`sentence_stats`'s rule), syllables =
+    vowel-group count ``[aeiouyAEIOUY]+`` over the whole text (the
+    standard heuristic, applied text-wide so it is one ``regexp_count``).
+    Flesch reading ease ``206.835 - 1.015*(words/sentences) -
+    84.6*(syllables/words)`` is a fixed double combination of exact
+    integers.  Pure column expressions, one scan; NULL flesch when a doc
+    has no sentences or words.
+    """
+    sents = F.split(F.col(text_col), r"[.!?]+")
+    wc = F.transform(
+        sents,
+        lambda s_: F.size(F.filter(F.split(F.trim(s_), r"\s+"), lambda t: t != "")),
+    )
+    nonzero = F.filter(wc, lambda c: c > 0)
+    n_sent = F.size(nonzero).cast("long")
+    n_words = F.coalesce(
+        F.aggregate(nonzero, F.lit(0).cast("long"), lambda a, c: a + c),
+        F.lit(0).cast("long"),
+    )
+    n_syll = F.coalesce(
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[aeiouyAEIOUY]+"), 0)),
+        F.lit(0),
+    ).cast("long")
+    flesch = F.when(
+        (n_sent > 0) & (n_words > 0),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+            ndigits,
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+def readability_scores_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`readability_scores`."""
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS id,
+         list_filter(
+           list_transform(
+             regexp_split_to_array({text_col}, '[.!?]+'),
+             s -> len(list_filter(regexp_split_to_array(trim(s), '\\s+'), t -> t != ''))
+           ),
+           c -> c > 0
+         ) AS counts,
+         CAST(len(regexp_extract_all({text_col}, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_syllables
+  FROM {table}
+),
+agg AS (
+  SELECT id,
+         CAST(len(counts) AS BIGINT) AS n_sentences,
+         CAST(COALESCE(list_sum(counts), 0) AS BIGINT) AS n_words,
+         n_syllables
+  FROM base
+)
+SELECT id, n_sentences, n_words, n_syllables,
+       CASE WHEN n_sentences > 0 AND n_words > 0
+            THEN ROUND(206.835
+                       - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+                       - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), {ndigits}) END AS flesch
+FROM agg
 """.strip()

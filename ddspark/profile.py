@@ -47,6 +47,8 @@ __all__ = [
     "psi_drift_oracle_sql",
     "bootstrap_ci_mean",
     "bootstrap_ci_mean_oracle_sql",
+    "welch_t",
+    "welch_t_oracle_sql",
 ]
 
 
@@ -1661,4 +1663,110 @@ base AS (
   FROM pre
 )
 SELECT n, CAST({b} AS INT) AS b, mean, ci_lo, ci_hi FROM base, ci
+""".strip()
+
+
+def welch_t(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t statistic between two groups: one row
+    ``(n_a, n_b, mean_a, mean_b, t, dof)`` — the parametric companion to
+    :func:`mannwhitney_u` (U ranks; Welch compares means under unequal
+    variances, the default two-sample test in every stats package).
+
+    Sums and squared sums accumulate as exact DECIMALs (values scaled to
+    integers); means, sample variances (the n-1 form), t, and the
+    Welch-Satterthwaite degrees of freedom are one fixed double
+    combination each — bit-identical cross-engine.  One scan, one
+    2-row-ish aggregation; p-values need the t CDF (no closed form), so
+    the statistic and dof are the outputs — compare t against the normal
+    bands at these corpus-scale dofs.
+    """
+    pre = df.where(
+        F.col(group_col).isin([group_a, group_b]) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col) * scale).cast("decimal(18,0)").alias("_x"),
+    )
+    is_a = F.col("_g") == group_a
+    sums = pre.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).alias("nb"),
+        F.sum(F.when(is_a, F.col("_x")).otherwise(0)).cast("double").alias("sa"),
+        F.sum(F.when(~is_a, F.col("_x")).otherwise(0)).cast("double").alias("sb"),
+        F.sum(F.when(is_a, F.col("_x") * F.col("_x")).otherwise(0))
+        .cast("double")
+        .alias("qa"),
+        F.sum(F.when(~is_a, F.col("_x") * F.col("_x")).otherwise(0))
+        .cast("double")
+        .alias("qb"),
+    )
+    na, nb = F.col("na").cast("double"), F.col("nb").cast("double")
+    # sample variance (n-1): (n*q - s^2) / (n * (n-1)), in scaled units
+    va = (na * F.col("qa") - F.col("sa") * F.col("sa")) / (na * (na - 1))
+    vb = (nb * F.col("qb") - F.col("sb") * F.col("sb")) / (nb * (nb - 1))
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (F.col("sa") / na - F.col("sb") / nb) / F.sqrt(se2)
+    dof = (se2 * se2) / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+    ok = (F.col("na") > 1) & (F.col("nb") > 1) & (se2 > 0)
+    return sums.select(
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.round(F.col("sa") / na / scale, ndigits).alias("mean_a"),
+        F.round(F.col("sb") / nb / scale, ndigits).alias("mean_b"),
+        F.when(ok, F.round(t, ndigits)).alias("t"),
+        F.when(ok, F.round(dof, ndigits)).alias("dof"),
+    )
+
+
+def welch_t_oracle_sql(
+    table: str,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    scale: int = 1,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`welch_t` — same decimal sums, same double
+    combination order."""
+    return f"""
+WITH pre AS (
+  SELECT {group_col} AS g,
+         CAST(ROUND({value_col} * {scale}) AS DECIMAL(18,0)) AS x
+  FROM {table}
+  WHERE {group_col} IN ('{group_a}', '{group_b}') AND {value_col} IS NOT NULL
+),
+sums AS (
+  SELECT CAST(SUM(CASE WHEN g = '{group_a}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         CAST(SUM(CASE WHEN g != '{group_a}' THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         CAST(SUM(CASE WHEN g = '{group_a}' THEN x ELSE 0 END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN g != '{group_a}' THEN x ELSE 0 END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN g = '{group_a}' THEN x * x ELSE 0 END) AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN g != '{group_a}' THEN x * x ELSE 0 END) AS DOUBLE) AS qb
+  FROM pre
+),
+comb AS (
+  SELECT na, nb, sa, sb,
+         (CAST(na AS DOUBLE) * qa - sa * sa) / (CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) - 1)) / CAST(na AS DOUBLE) AS sea,
+         (CAST(nb AS DOUBLE) * qb - sb * sb) / (CAST(nb AS DOUBLE) * (CAST(nb AS DOUBLE) - 1)) / CAST(nb AS DOUBLE) AS seb
+  FROM sums
+)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(sa / CAST(na AS DOUBLE) / {scale}, {ndigits}) AS mean_a,
+       ROUND(sb / CAST(nb AS DOUBLE) / {scale}, {ndigits}) AS mean_b,
+       CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+            THEN ROUND((sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE)) / SQRT(sea + seb), {ndigits}) END AS t,
+       CASE WHEN na > 1 AND nb > 1 AND sea + seb > 0
+            THEN ROUND(((sea + seb) * (sea + seb)) /
+                       (sea * sea / (CAST(na AS DOUBLE) - 1) + seb * seb / (CAST(nb AS DOUBLE) - 1)), {ndigits}) END AS dof
+FROM comb
 """.strip()

@@ -2522,3 +2522,36 @@ def test_sentence_stats_duckdb_twin(spark, sf_dir):
         ).fetchall()
     }
     assert got == duck
+
+
+def test_readability_hand_case_and_duckdb(spark, sf_dir):
+    import duckdb
+
+    from ddspark.pipeline.textops import (
+        readability_scores,
+        readability_scores_oracle_sql,
+    )
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": ["The cat sat. The dog ran.", ""]})
+    )
+    got = {r["id"]: r for r in readability_scores(df).collect()}
+    # 6 words, 2 sentences, 6 vowel groups (e/a/a/e/o/a)
+    assert (got[0]["n_sentences"], got[0]["n_words"], got[0]["n_syllables"]) == (2, 6, 6)
+    assert got[0]["flesch"] == round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+    assert got[1]["flesch"] is None
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got2 = {
+        r["id"]: (r["n_sentences"], r["n_words"], r["n_syllables"], r["flesch"])
+        for r in readability_scores(docs).collect()
+    }
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = {
+        i: tuple(rest)
+        for i, *rest in con.execute(
+            readability_scores_oracle_sql("documents")
+        ).fetchall()
+    }
+    assert got2 == duck

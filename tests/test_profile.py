@@ -603,3 +603,43 @@ def test_bootstrap_ci_partition_invariance(spark):
 
     with _pytest.raises(ValueError, match="b >= 2"):
         bootstrap_ci_mean(df, "id", "v", b=1)
+
+
+def test_welch_t_matches_scipy_formula(spark):
+    import numpy as np
+
+    from ddspark.profile import welch_t, welch_t_oracle_sql
+
+    rng = np.random.default_rng(31)
+    a = np.round(rng.normal(50, 5, 300), 2)
+    b = np.round(rng.normal(52, 15, 500), 2)
+    v = np.concatenate([a, b])
+    g = np.array(["a"] * 300 + ["b"] * 500)
+    df = spark.createDataFrame(list(zip(g.tolist(), v.tolist())), "g string, v double")
+    row = welch_t(df, "v", "g", "a", "b", scale=100).collect()[0]
+    # textbook Welch on the quantized values
+    aa, bb = np.round(a * 100), np.round(b * 100)
+    va, vb = aa.var(ddof=1), bb.var(ddof=1)
+    se2 = va / 300 + vb / 500
+    t = (aa.mean() - bb.mean()) / np.sqrt(se2)
+    dof = se2**2 / ((va / 300) ** 2 / 299 + (vb / 500) ** 2 / 499)
+    assert abs(row["t"] - t) < 1e-4
+    assert abs(row["dof"] - dof) < 1e-2
+    assert (row["n_a"], row["n_b"]) == (300, 500)
+
+    duck = _duck(
+        welch_t_oracle_sql("t", "v", "g", "a", "b", scale=100), {"t": df.toPandas()}
+    )[0]
+    assert (
+        row["n_a"], row["n_b"], row["mean_a"], row["mean_b"], row["t"], row["dof"]
+    ) == duck
+
+
+def test_welch_t_degenerate_groups(spark):
+    from ddspark.profile import welch_t
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("b", 3.0)], "g string, v double"
+    )
+    row = welch_t(df, "v", "g", "a", "b").collect()[0]
+    assert row["t"] is None and row["dof"] is None  # n_a == 1
