@@ -1977,6 +1977,20 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the same 1000-node
+    link graph: 3*triangles / wedges, both exact integers."""
+    from ddspark.pipeline.graph import clustering_coefficient
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return clustering_coefficient(edges)
+
+
 def _q_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t between click and purchase event values
     (value scaled x1000): exact DECIMAL sums, one fixed double
@@ -2581,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_sentence_stats": wrap(_q_sentence_stats),  # new in r5 (2nd str.)
         "profile_bootstrap_ci": wrap(_q_bootstrap_ci),  # new in r5 (2nd stretch)
         "profile_welch_t": wrap(_q_welch),  # new in r5 (second stretch)
+        "graph_clustering_coeff": wrap(_q_clustering_coeff),  # new r5 (2nd s.)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3821,6 +3836,7 @@ QUALIFY rank <= 10
         "text_sentence_stats": _sentence_stats_oracle(),
         "profile_bootstrap_ci": _bootstrap_ci_oracle(),
         "profile_welch_t": _welch_oracle(),
+        "graph_clustering_coeff": _clustering_coeff_oracle(),
         "text_readability": _readability_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),
@@ -4489,6 +4505,19 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _clustering_coeff_oracle() -> str:
+    from ddspark.pipeline.graph import clustering_coefficient_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    edges_sql = (
+        "SELECT user_id % 1000 AS src, "
+        f"{h} % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL"
+    )
+    return clustering_coefficient_oracle_sql(edges_sql)
 
 
 def _welch_oracle() -> str:

@@ -43,6 +43,8 @@ __all__ = [
     "k_core",
     "bfs_distances",
     "bfs_distances_oracle_sql",
+    "clustering_coefficient",
+    "clustering_coefficient_oracle_sql",
 ]
 
 
@@ -581,3 +583,78 @@ seen{h} AS (SELECT node FROM l{h})"""
     )
     body = ",\n".join(blocks)
     return f"WITH {body}\n{union}".strip()
+
+
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the undirected
+    simple graph: one row ``(n_nodes, n_edges, n_wedges, n_triangles,
+    global_cc)`` with ``global_cc = 3*triangles / wedges``.
+
+    The one-number density fingerprint next to :func:`triangle_count`'s
+    raw count: organic link graphs sit near their expected transitivity;
+    link farms and scraped mirrors spike it.  Wedges ``sum d*(d-1)/2``
+    and triangles are exact integers (degree-ordered orientation bounds
+    the triangle join, see :func:`triangle_count`); the coefficient is
+    one double division.  Cost = the triangle count plus one degree
+    aggregation.
+    """
+    tri = triangle_count(edges, src, dst)
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wed = deg.agg(
+        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("long").alias("n_wedges")
+    )
+    cc = F.when(
+        F.col("n_wedges") > 0,
+        F.round(
+            (3 * F.col("n_triangles")).cast("double")
+            / F.col("n_wedges").cast("double"),
+            ndigits,
+        ),
+    )
+    return tri.crossJoin(wed).select(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles", cc.alias("global_cc")
+    )
+
+
+def clustering_coefficient_oracle_sql(edges_sql: str, ndigits: int = 6) -> str:
+    """ANSI twin of :func:`clustering_coefficient`."""
+    tri = triangle_count_oracle_sql(edges_sql)
+    return f"""
+WITH t AS ({tri}),
+raw2 AS ({edges_sql}),
+e2 AS (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM raw2
+  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2
+  ) GROUP BY n
+),
+wed AS (
+  SELECT CAST(SUM(d * (d - 1)) / 2 AS BIGINT) AS n_wedges FROM deg
+)
+SELECT t.n_nodes, t.n_edges, wed.n_wedges, t.n_triangles,
+       CASE WHEN wed.n_wedges > 0
+            THEN ROUND(CAST(3 * t.n_triangles AS DOUBLE)
+                       / CAST(wed.n_wedges AS DOUBLE), {ndigits}) END AS global_cc
+FROM t CROSS JOIN wed
+""".strip()

@@ -295,3 +295,41 @@ def test_bfs_distances_duckdb_twin(spark):
         ).fetchall()
     }
     assert got == duck
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    from ddspark.pipeline.graph import (
+        clustering_coefficient,
+        clustering_coefficient_oracle_sql,
+    )
+
+    # triangle: 3 wedges, 1 triangle -> cc = 1
+    tri = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    row = clustering_coefficient(tri).collect()[0]
+    assert (row["n_wedges"], row["n_triangles"], row["global_cc"]) == (3, 1, 1.0)
+    # star K1,3: 3 wedges, 0 triangles -> cc = 0
+    star = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src long, dst long")
+    row = clustering_coefficient(star).collect()[0]
+    assert (row["n_wedges"], row["n_triangles"], row["global_cc"]) == (3, 0, 0.0)
+    # K4: wedges = 4*C(3,2)=12, triangles = 4 -> cc = 1
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src long, dst long"
+    )
+    row = clustering_coefficient(k4).collect()[0]
+    assert (row["n_wedges"], row["n_triangles"], row["global_cc"]) == (12, 4, 1.0)
+
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    pairs = rng.integers(0, 40, (150, 2))
+    edges = spark.createDataFrame(
+        [(int(a), int(b)) for a, b in pairs], "src long, dst long"
+    )
+    got = clustering_coefficient(edges).collect()[0]
+    con = duckdb.connect()
+    con.register("edges", edges.toPandas())
+    duck = con.execute(
+        clustering_coefficient_oracle_sql("SELECT src, dst FROM edges")
+    ).fetchall()[0]
+    assert tuple(got) == duck
