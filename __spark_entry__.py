@@ -1977,6 +1977,50 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real TIFF decode path (dependency-free): a deterministic 7x5
+    RGB TIFF per document decoded twice — once uncompressed
+    little-endian, once PackBits-compressed BIG-endian (so the strip
+    decompressor, the MM byte order, and the multi-strip walk all run) —
+    plus a nearest-neighbor resize (TIFF -> TIFF re-encode).  The oracle
+    replays the closed-form pixels, so a strip/PackBits/byte-order bug
+    is a value mismatch, not a crash."""
+    from ddspark.pipeline.multimodal import decode_stats, resize_images, synth_images
+
+    docs = _read(spark, sf_dir, "documents")
+    li = synth_images(docs, "doc_id", width=7, height=5, fmt="tiff")
+    pb = synth_images(docs, "doc_id", width=7, height=5, fmt="tiff_pb")
+    full = decode_stats(li, "doc_id", "img")
+    full_pb = decode_stats(pb, "doc_id", "img")
+    small = decode_stats(resize_images(pb, 4, 2, "doc_id", "img"), "doc_id", "img")
+    return (
+        full.select(
+            "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+            F.round("mean_r", 6).alias("mean_r"),
+        )
+        .join(
+            full_pb.select(
+                "doc_id",
+                F.col("sum_r").alias("pb_sum_r"),
+                F.col("sum_g").alias("pb_sum_g"),
+                F.col("sum_b").alias("pb_sum_b"),
+            ),
+            "doc_id",
+        )
+        .join(
+            small.select(
+                "doc_id",
+                F.col("width").alias("r_width"),
+                F.col("height").alias("r_height"),
+                F.col("sum_r").alias("r_sum_r"),
+                F.col("sum_g").alias("r_sum_g"),
+                F.col("sum_b").alias("r_sum_b"),
+            ),
+            "doc_id",
+        )
+    )
+
+
 def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering coefficient (transitivity) of the same 1000-node
     link graph: 3*triangles / wedges, both exact integers."""
@@ -2596,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_bootstrap_ci": wrap(_q_bootstrap_ci),  # new in r5 (2nd stretch)
         "profile_welch_t": wrap(_q_welch),  # new in r5 (second stretch)
         "graph_clustering_coeff": wrap(_q_clustering_coeff),  # new r5 (2nd s.)
+        "multimodal_tiff_stats": wrap(_q_multimodal_tiff),  # new in r5 (2nd s.)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3837,6 +3882,41 @@ QUALIFY rank <= 10
         "profile_bootstrap_ci": _bootstrap_ci_oracle(),
         "profile_welch_t": _welch_oracle(),
         "graph_clustering_coeff": _clustering_coeff_oracle(),
+        "multimodal_tiff_stats": """
+            WITH px AS (
+              SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
+              FROM documents d, UNNEST(generate_series(0, 104)) AS u(i)
+            ),
+            full_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+                     CAST(SUM(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+                     CAST(SUM(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+                     ROUND(AVG(CASE WHEN idx % 3 = 0 THEN CAST(v AS DOUBLE) END), 6) AS mean_r
+              FROM px GROUP BY doc_id
+            ),
+            rpx AS (
+              SELECT d.doc_id, c.c AS ch,
+                     (d.doc_id + ((y.y * 5) // 2) * 21
+                               + ((x.x * 7) // 4) * 3 + c.c) % 256 AS v
+              FROM documents d,
+                   UNNEST(generate_series(0, 1)) AS y(y),
+                   UNNEST(generate_series(0, 3)) AS x(x),
+                   UNNEST(generate_series(0, 2)) AS c(c)
+            ),
+            small_stats AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN ch = 0 THEN v END) AS BIGINT) AS r_sum_r,
+                     CAST(SUM(CASE WHEN ch = 1 THEN v END) AS BIGINT) AS r_sum_g,
+                     CAST(SUM(CASE WHEN ch = 2 THEN v END) AS BIGINT) AS r_sum_b
+              FROM rpx GROUP BY doc_id
+            )
+            SELECT f.doc_id, 7 AS width, 5 AS height,
+                   sum_r, sum_g, sum_b, mean_r,
+                   sum_r AS pb_sum_r, sum_g AS pb_sum_g, sum_b AS pb_sum_b,
+                   4 AS r_width, 2 AS r_height, r_sum_r, r_sum_g, r_sum_b
+            FROM full_stats f JOIN small_stats s ON f.doc_id = s.doc_id
+        """,
         "text_readability": _readability_oracle(),
         "ts_autocorr": _autocorr_oracle(),
         "profile_gini": _gini_oracle(),

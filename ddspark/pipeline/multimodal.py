@@ -48,6 +48,7 @@ __all__ = [
     "encode_png16",
     "encode_png_indexed",
     "encode_gif",
+    "encode_tiff",
     "gif_frame_count",
     "decode_image",
     "resize_image",
@@ -821,6 +822,8 @@ def decode_image(blob: bytes) -> np.ndarray:
             return _decode_bmp(b)
         if b[:2] == b"P6":
             return _decode_ppm(b)
+        if b[:4] in (b"II*\x00", b"MM\x00*"):
+            return _decode_tiff(b)
     except ValueError:
         raise
     except (struct.error, IndexError, KeyError, EOFError, OverflowError,
@@ -831,7 +834,7 @@ def decode_image(blob: bytes) -> np.ndarray:
             f"corrupt image blob: {type(exc).__name__}: {exc}"
         ) from exc
     raise ValueError(
-        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/GIF/JPEG supported)"
+        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/GIF/JPEG/TIFF supported)"
     )
 
 
@@ -858,6 +861,8 @@ def resize_image(blob: bytes, width: int, height: int) -> bytes:
         # NN output pixels are a subset of the input's colors, so the
         # <=256-color invariant survives the resize
         return encode_gif(out)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        return encode_tiff(out)
     return encode_ppm(out) if b[:2] == b"P6" else encode_bmp(out)
 
 
@@ -880,6 +885,10 @@ def synth_images(
         "ppm": encode_ppm,
         "png": encode_png,
         "gif": encode_gif,
+        "tiff": encode_tiff,
+        # PackBits + big-endian: the strip decompressor and MM byte order
+        # both run on decode, same closed-form pixels
+        "tiff_pb": lambda a: encode_tiff(a, packbits=True, big_endian=True),
     }[fmt]
     n = width * height * 3
     schema = StructType(
@@ -1124,6 +1133,10 @@ def resize_images_jvm(
         "ppm": encode_ppm,
         "png": encode_png,
         "gif": encode_gif,
+        "tiff": encode_tiff,
+        # PackBits + big-endian: the strip decompressor and MM byte order
+        # both run on decode, same closed-form pixels
+        "tiff_pb": lambda a: encode_tiff(a, packbits=True, big_endian=True),
     }[fmt]
     schema = StructType(
         [StructField(id_col, LongType()), StructField("img", BinaryType())]
@@ -1773,3 +1786,229 @@ def audio_fingerprint(
             )
 
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
+
+
+# --------------------------------------------------------------------- TIFF
+# Baseline TIFF 6.0, the archival/scan format a web crawl still meets:
+# II/MM byte orders, chunky (PlanarConfiguration=1) 8-bit samples, gray
+# (PhotometricInterpretation 0/1, 0 inverted) and RGB, multi-strip, and
+# Compression 1 (none) / 32773 (PackBits).  Same posture as the other
+# codecs in this module: a real dependency-free decoder as the
+# correctness oracle, Arrow-batched orchestration around it.
+
+_TIFF_TAGS = {
+    256: "width", 257: "height", 258: "bits", 259: "compression",
+    262: "photometric", 273: "strip_offsets", 277: "spp",
+    278: "rows_per_strip", 279: "strip_counts", 284: "planar",
+}
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected and i < len(data):
+        n = data[i]
+        i += 1
+        if n < 128:
+            if i + n + 1 > len(data):
+                raise ValueError("PackBits literal run past end of strip")
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= len(data):
+                raise ValueError("PackBits repeat run past end of strip")
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # 128 is a no-op per the spec
+    if len(out) != expected:
+        raise ValueError(
+            f"PackBits strip decoded {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a run of >= 3 equal bytes (2 is break-even, 3 wins)
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal stretch until the next >=3 run (or 128 cap)
+        j = i
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    packbits: bool = False,
+    big_endian: bool = False,
+    rows_per_strip: int = 2,
+) -> bytes:
+    """Encode an ``(H, W, 3) uint8`` RGB array as chunky 8-bit TIFF —
+    multi-strip (``rows_per_strip``) so decoders must walk the strip
+    table, optional PackBits compression, either byte order."""
+    h, w = arr.shape[:2]
+    _check_dims(w, h, "TIFF")
+    bo = ">" if big_endian else "<"
+    raw = arr.astype(np.uint8).tobytes()
+    row_bytes = w * 3
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = min(rows_per_strip, h - y0)
+        s = raw[y0 * row_bytes : (y0 + rows) * row_bytes]
+        strips.append(_packbits_encode(s) if packbits else s)
+    n_strips = len(strips)
+    data_start = 8
+    offsets, counts = [], []
+    pos = data_start
+    for s in strips:
+        offsets.append(pos)
+        counts.append(len(s))
+        pos += len(s)
+    extra = b""
+    extra_pos = pos
+
+    def arr_or_inline(values: list[int], typ: int) -> tuple[int, bytes]:
+        nonlocal extra, extra_pos
+        size = _TIFF_TYPE_SIZE[typ] * len(values)
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = b"".join(struct.pack(bo + fmt, v) for v in values)
+        if size <= 4:
+            return -1, packed + b"\x00" * (4 - size)
+        off = extra_pos
+        extra += packed
+        extra_pos += len(packed)
+        return off, b""
+
+    entries = []
+
+    def entry(tag: int, typ: int, values: list[int]) -> None:
+        off, inline = arr_or_inline(values, typ)
+        if off < 0:
+            entries.append(struct.pack(bo + "HHI", tag, typ, len(values)) + inline)
+        else:
+            entries.append(
+                struct.pack(bo + "HHI", tag, typ, len(values))
+                + struct.pack(bo + "I", off)
+            )
+
+    # extra arrays land after strip data; IFD after them — compute the
+    # IFD offset once both are known, so build entries in two passes
+    def build() -> list[bytes]:
+        entries.clear()
+        entry(256, 4, [w])
+        entry(257, 4, [h])
+        entry(258, 3, [8, 8, 8])
+        entry(259, 3, [32773 if packbits else 1])
+        entry(262, 3, [2])
+        entry(273, 4, offsets)
+        entry(277, 3, [3])
+        entry(278, 4, [rows_per_strip])
+        entry(279, 4, counts)
+        entry(284, 3, [1])
+        return list(entries)
+
+    extra = b""
+    extra_pos = pos
+    ifd_entries = build()
+    ifd_off = extra_pos
+    head = struct.pack(bo + "2sHI", b"II" if not big_endian else b"MM", 42, ifd_off)
+    ifd = (
+        struct.pack(bo + "H", len(ifd_entries))
+        + b"".join(ifd_entries)
+        + struct.pack(bo + "I", 0)
+    )
+    return head + b"".join(strips) + extra + ifd
+
+
+def _decode_tiff(blob: bytes) -> np.ndarray:
+    b = bytes(blob)
+    if b[:2] == b"II":
+        bo = "<"
+    elif b[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError(f"not a TIFF: byte-order mark {b[:2]!r}")
+    if struct.unpack(bo + "H", b[2:4])[0] != 42:
+        raise ValueError("not a TIFF: bad magic number")
+    (ifd_off,) = struct.unpack(bo + "I", b[4:8])
+    (n_entries,) = struct.unpack(bo + "H", b[ifd_off : ifd_off + 2])
+    tags: dict[str, list[int]] = {}
+    for i in range(n_entries):
+        at = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(bo + "HHI", b[at : at + 8])
+        name = _TIFF_TAGS.get(tag)
+        if name is None:
+            continue
+        if typ not in _TIFF_TYPE_SIZE:
+            raise ValueError(f"unsupported TIFF field type {typ} for tag {tag}")
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            payload = b[at + 8 : at + 8 + size]
+        else:
+            (off,) = struct.unpack(bo + "I", b[at + 8 : at + 12])
+            payload = b[off : off + size]
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[name] = list(struct.unpack(bo + str(cnt) + fmt, payload))
+    for req in ("width", "height", "strip_offsets", "strip_counts"):
+        if req not in tags:
+            raise ValueError(f"TIFF missing required tag {req}")
+    w, h = tags["width"][0], tags["height"][0]
+    _check_dims(w, h, "TIFF")
+    spp = tags.get("spp", [1])[0]
+    if spp not in (1, 3):
+        raise ValueError(f"unsupported TIFF samples-per-pixel {spp} (1/3 supported)")
+    bits = tags.get("bits", [8] * spp)
+    if any(x != 8 for x in bits):
+        raise ValueError(f"unsupported TIFF bit depth {bits} (8-bit supported)")
+    comp = tags.get("compression", [1])[0]
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {comp} (1=none, 32773=PackBits supported)"
+        )
+    photo = tags.get("photometric", [1])[0]
+    if photo not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photo}")
+    if tags.get("planar", [1])[0] != 1:
+        raise ValueError("unsupported TIFF planar configuration (chunky only)")
+    rps = tags.get("rows_per_strip", [h])[0]
+    offsets, counts = tags["strip_offsets"], tags["strip_counts"]
+    if len(offsets) != len(counts):
+        raise ValueError("TIFF strip offset/count tables disagree")
+    row_bytes = w * spp
+    out = bytearray()
+    for idx, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - idx * rps)
+        if rows <= 0:
+            raise ValueError("TIFF has more strips than rows")
+        raw = b[off : off + cnt]
+        if len(raw) != cnt:
+            raise ValueError("TIFF strip data past end of file")
+        out += _packbits_decode(raw, rows * row_bytes) if comp == 32773 else raw
+    if len(out) != h * row_bytes:
+        raise ValueError(
+            f"TIFF pixel data is {len(out)} bytes, expected {h * row_bytes}"
+        )
+    a = np.frombuffer(bytes(out), dtype=np.uint8)
+    if spp == 1:
+        a = a.reshape(h, w)
+        if photo == 0:  # WhiteIsZero
+            a = 255 - a
+        return np.repeat(a[:, :, None], 3, axis=2)
+    return a.reshape(h, w, 3)

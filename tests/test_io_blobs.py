@@ -475,3 +475,94 @@ def test_audio_fingerprint_short_blob(spark):
     )
     r = audio_fingerprint(df).collect()[0]
     assert (r.n_windows, r.fingerprint) == (0, 0)
+
+
+# --------------------------------------------------------------------- TIFF
+
+
+def test_tiff_roundtrip_all_variants():
+    import numpy as np
+
+    from ddspark.pipeline.multimodal import _decode_tiff, decode_image, encode_tiff
+
+    a = (np.arange(9 * 7 * 3) % 256).astype(np.uint8).reshape(7, 9, 3)
+    for pb in (False, True):
+        for be in (False, True):
+            for rps in (1, 2, 7, 100):
+                blob = encode_tiff(a, packbits=pb, big_endian=be, rows_per_strip=rps)
+                assert (_decode_tiff(blob) == a).all(), (pb, be, rps)
+    assert (decode_image(encode_tiff(a)) == a).all()
+
+
+def test_tiff_packbits_codec():
+    from ddspark.pipeline.multimodal import _packbits_decode, _packbits_encode
+
+    cases = [
+        b"",
+        b"\x00",
+        b"aaaa",
+        b"abcd",
+        b"aaabccccdd" * 13,
+        bytes(range(256)),
+        b"x" * 1000,
+    ]
+    for raw in cases:
+        enc = _packbits_encode(raw)
+        assert _packbits_decode(enc, len(raw)) == raw
+    # spec example semantics: repeat run 257-n
+    assert _packbits_decode(b"\xfe\x61", 3) == b"aaa"
+    assert _packbits_decode(b"\x02abc", 3) == b"abc"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="PackBits"):
+        _packbits_decode(b"\x05ab", 6)  # literal run past end
+
+
+def test_tiff_gray_and_inverted_gray():
+    import struct
+
+    import numpy as np
+
+    from ddspark.pipeline.multimodal import _decode_tiff, encode_tiff
+
+    # hand-build a 2x2 gray TIFF (spp=1), photometric 1 then 0 (inverted)
+    def gray_tiff(photometric: int) -> bytes:
+        px = bytes([10, 20, 30, 40])
+        entries = [
+            (256, 4, 1, 2), (257, 4, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, photometric), (273, 4, 1, 8), (277, 3, 1, 1),
+            (278, 4, 1, 2), (279, 4, 1, 4), (284, 3, 1, 1),
+        ]
+        ifd = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            ifd += struct.pack("<HHII", tag, typ, cnt, val)
+        ifd += struct.pack("<I", 0)
+        return struct.pack("<2sHI", b"II", 42, 12) + px + ifd
+
+    out = _decode_tiff(gray_tiff(1))
+    assert out.shape == (2, 2, 3)
+    assert (out[:, :, 0] == [[10, 20], [30, 40]]).all()
+    inv = _decode_tiff(gray_tiff(0))
+    assert (inv[:, :, 0] == [[245, 235], [225, 215]]).all()
+
+
+def test_tiff_rejects_unsupported():
+    import numpy as np
+    import pytest as _pytest
+
+    from ddspark.pipeline.multimodal import _decode_tiff, encode_tiff
+
+    a = np.zeros((2, 2, 3), np.uint8)
+    good = bytearray(encode_tiff(a))
+    with _pytest.raises(ValueError, match="byte-order"):
+        _decode_tiff(b"XX" + bytes(good[2:]))
+    bad_magic = bytearray(good)
+    bad_magic[2] = 43
+    with _pytest.raises(ValueError, match="magic"):
+        _decode_tiff(bytes(bad_magic))
+    from ddspark.pipeline.multimodal import decode_image
+
+    # truncation hits the struct layer; decode_image's uniform corrupt-blob
+    # contract turns it into a ValueError like every other codec
+    with _pytest.raises(ValueError, match="corrupt image blob"):
+        decode_image(bytes(good[:20]))
