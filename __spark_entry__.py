@@ -1977,6 +1977,15 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V association strength for documents lang x source —
+    micro-quantized exact chi-square sum, one double combination."""
+    from ddspark.profile import cramers_v
+
+    docs = _read(spark, sf_dir, "documents")
+    return cramers_v(docs, "lang", "source")
+
+
 def _q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real TIFF decode path (dependency-free): a deterministic 7x5
     RGB TIFF per document decoded twice — once uncompressed
@@ -2641,6 +2650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_welch_t": wrap(_q_welch),  # new in r5 (second stretch)
         "graph_clustering_coeff": wrap(_q_clustering_coeff),  # new r5 (2nd s.)
         "multimodal_tiff_stats": wrap(_q_multimodal_tiff),  # new in r5 (2nd s.)
+        "profile_cramers_v": wrap(_q_cramers_v),  # new in r5 (second stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3882,6 +3892,7 @@ QUALIFY rank <= 10
         "profile_bootstrap_ci": _bootstrap_ci_oracle(),
         "profile_welch_t": _welch_oracle(),
         "graph_clustering_coeff": _clustering_coeff_oracle(),
+        "profile_cramers_v": _cramers_v_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4585,6 +4596,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _cramers_v_oracle() -> str:
+    from ddspark.profile import cramers_v_oracle_sql
+
+    return cramers_v_oracle_sql("documents", "lang", "source")
 
 
 def _clustering_coeff_oracle() -> str:

@@ -398,6 +398,12 @@ def _blob_section() -> dict:
                                 pal[rng.randint(0, 200, size=(side, side))]
                             )
                         )
+                    elif fmt == "tiff":
+                        blobs.append(multimodal.encode_tiff(a))
+                    elif fmt == "tiff_pb":
+                        blobs.append(
+                            multimodal.encode_tiff(a, packbits=True)
+                        )
                     elif fmt == "jpeg":
                         blobs.append(
                             encode_jpeg(a, quality=75, subsampling="420")
@@ -424,8 +430,8 @@ def _blob_section() -> dict:
         return spark.range(0, n, 1, CPUS).mapInPandas(gen, schema)
 
     exts = {
-        "bmp": "bmp", "png": "png", "gif": "gif",
-        "jpeg": "jpg", "jpeg_progressive": "jpg",
+        "bmp": "bmp", "png": "png", "gif": "gif", "tiff": "tiff",
+        "tiff_pb": "tiff", "jpeg": "jpg", "jpeg_progressive": "jpg",
     }
     out: dict = {"n_images": n, "px": f"{side}x{side}", "cores": CPUS}
 
@@ -445,6 +451,10 @@ def _blob_section() -> dict:
                         pal[rng0.randint(0, 200, size=(kside, kside))]
                     )
                 )
+            elif fmt == "tiff":
+                blobs.append(multimodal.encode_tiff(a))
+            elif fmt == "tiff_pb":
+                blobs.append(multimodal.encode_tiff(a, packbits=True))
             elif fmt == "jpeg":
                 blobs.append(encode_jpeg(a, quality=75, subsampling="420"))
             elif fmt == "jpeg_progressive":
@@ -515,7 +525,7 @@ def _blob_section() -> dict:
             best = min(best, r_best)
         return best, per_round
 
-    for fmt in ("bmp", "png", "gif", "jpeg", "jpeg_progressive", "mjpeg"):
+    for fmt in ("bmp", "png", "gif", "tiff", "tiff_pb", "jpeg", "jpeg_progressive", "mjpeg"):
         pq = f"{work}/{fmt}.parquet"
         synth(fmt).write.mode("overwrite").parquet(pq)
         blobs = spark.read.parquet(pq)

@@ -49,6 +49,8 @@ __all__ = [
     "bootstrap_ci_mean_oracle_sql",
     "welch_t",
     "welch_t_oracle_sql",
+    "cramers_v",
+    "cramers_v_oracle_sql",
 ]
 
 
@@ -1769,4 +1771,115 @@ SELECT na AS n_a, nb AS n_b,
             THEN ROUND(((sea + seb) * (sea + seb)) /
                        (sea * sea / (CAST(na AS DOUBLE) - 1) + seb * seb / (CAST(nb AS DOUBLE) - 1)), {ndigits}) END AS dof
 FROM comb
+""".strip()
+
+
+def cramers_v(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Cramér's V association strength for a categorical pair: one row
+    ``(n, n_rows, n_cols, chi2, v)`` — the normalized [0, 1] effect size
+    on top of :func:`crosstab_chi2`'s per-cell screen (chi-square grows
+    with n; V answers "how strong", comparable across tables).
+
+    Each cell's ``(O−E)²/E`` term floor-quantizes to an exact BIGINT
+    micro before summation (the :func:`column_entropy` trick), so the
+    summed statistic has no float order anywhere;
+    ``V = sqrt(chi2 / (n · min(r−1, c−1)))`` is one fixed double
+    combination.  Same plan shape as the screen: count-level shuffles
+    only.  Degenerate 1×k tables yield NULL v.
+    """
+    pre = df.where(F.col(row_col).isNotNull() & F.col(col_col).isNotNull())
+    cell = pre.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("o"))
+    rtot = pre.groupBy(row_col).agg(F.count(F.lit(1)).alias("_rt"))
+    ctot = pre.groupBy(col_col).agg(F.count(F.lit(1)).alias("_ct"))
+    ntot = pre.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct(row_col).alias("_r"),
+        F.countDistinct(col_col).alias("_c"),
+    )
+    # the FULL r x c spine: unobserved cells contribute (0-E)^2/E = E —
+    # summing only observed cells understates chi2 (a perfect 2x2
+    # association would read half its true value)
+    spine = rtot.crossJoin(ctot).join(cell, [row_col, col_col], "left")
+    e = (
+        F.col("_rt").cast("double")
+        * F.col("_ct").cast("double")
+        / F.col("_n").cast("double")
+    )
+    o = F.coalesce(F.col("o"), F.lit(0)).cast("double")
+    micro = F.floor(F.lit(1e6) * (o - e) * (o - e) / e).cast("long")
+    cells = spine.crossJoin(F.broadcast(ntot)).select(
+        micro.alias("_m"), "_n", "_r", "_c"
+    )
+    agg = cells.agg(
+        F.first("_n").alias("n"),
+        F.first("_r").alias("n_rows"),
+        F.first("_c").alias("n_cols"),
+        F.sum("_m").alias("_chi2_micro"),
+    )
+    chi2 = F.col("_chi2_micro").cast("double") / 1e6
+    denom = F.col("n").cast("double") * F.least(
+        F.col("n_rows") - 1, F.col("n_cols") - 1
+    ).cast("double")
+    return agg.select(
+        "n",
+        "n_rows",
+        "n_cols",
+        F.round(chi2, ndigits).alias("chi2"),
+        F.when(denom > 0, F.round(F.sqrt(chi2 / denom), ndigits)).alias("v"),
+    )
+
+
+def cramers_v_oracle_sql(
+    table: str,
+    row_col: str,
+    col_col: str,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`cramers_v`."""
+    return f"""
+WITH pre AS (
+  SELECT {row_col} AS r, {col_col} AS c FROM {table}
+  WHERE {row_col} IS NOT NULL AND {col_col} IS NOT NULL
+),
+cell AS (SELECT r, c, COUNT(*) AS o FROM pre GROUP BY r, c),
+rtot AS (SELECT r, COUNT(*) AS rt FROM pre GROUP BY r),
+ctot AS (SELECT c, COUNT(*) AS ct FROM pre GROUP BY c),
+ntot AS (
+  SELECT COUNT(*) AS n,
+         COUNT(DISTINCT r) AS nr,
+         COUNT(DISTINCT c) AS nc
+  FROM pre
+),
+spine AS (
+  -- the FULL r x c spine: unobserved cells contribute (0-E)^2/E = E
+  SELECT rtot.r, ctot.c, rtot.rt, ctot.ct, COALESCE(cell.o, 0) AS o
+  FROM rtot CROSS JOIN ctot
+  LEFT JOIN cell ON cell.r = rtot.r AND cell.c = ctot.c
+),
+micro AS (
+  SELECT CAST(FLOOR(1e6 *
+           (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+         ) AS BIGINT) AS m,
+         n, nr, nc
+  FROM spine CROSS JOIN ntot
+),
+agg AS (
+  SELECT CAST(MIN(n) AS BIGINT) AS n,
+         CAST(MIN(nr) AS BIGINT) AS n_rows,
+         CAST(MIN(nc) AS BIGINT) AS n_cols,
+         CAST(SUM(m) AS DOUBLE) / 1e6 AS chi2
+  FROM micro
+)
+SELECT n, n_rows, n_cols,
+       ROUND(chi2, {ndigits}) AS chi2,
+       CASE WHEN CAST(n AS DOUBLE) * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE) > 0
+            THEN ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))), {ndigits}) END AS v
+FROM agg
 """.strip()

@@ -303,8 +303,11 @@ def test_multimodal_plumbing(docs):
 
 
 def test_decode_unsupported_format_raises():
-    # formats without a codec here (TIFF) fail loud, naming the magic
+    # formats without a codec here (WebP) fail loud, naming the magic
     with pytest.raises(ValueError, match="unsupported image magic"):
+        multimodal.decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ")
+    # a TIFF magic with corrupt structure fails the uniform corrupt contract
+    with pytest.raises(ValueError, match="corrupt image blob"):
         multimodal.decode_image(b"II*\x00tiff-stub-bytes")
     # a GIF magic with corrupt structure fails in the GIF parser, loud
     with pytest.raises(ValueError, match="invalid GIF dimensions"):

@@ -643,3 +643,52 @@ def test_welch_t_degenerate_groups(spark):
     )
     row = welch_t(df, "v", "g", "a", "b").collect()[0]
     assert row["t"] is None and row["dof"] is None  # n_a == 1
+
+
+def test_cramers_v_known_association(spark):
+    import numpy as np
+
+    from ddspark.profile import cramers_v, cramers_v_oracle_sql
+
+    # perfect association: r determines c -> V = 1
+    perfect = spark.createDataFrame(
+        [("a", "x")] * 50 + [("b", "y")] * 50, "r string, c string"
+    )
+    row = cramers_v(perfect, "r", "c").collect()[0]
+    assert row["v"] == 1.0 and row["n"] == 100
+
+    # independence: V ~ 0
+    rng = np.random.default_rng(37)
+    r = rng.choice(["a", "b", "c"], 3000)
+    c = rng.choice(["x", "y"], 3000)
+    df = spark.createDataFrame(list(zip(r.tolist(), c.tolist())), "r string, c string")
+    row = cramers_v(df, "r", "c").collect()[0]
+    assert row["v"] < 0.05
+
+    # scipy-free chi2 cross-check on the random table
+    import collections
+
+    n = 3000
+    cells = collections.Counter(zip(r, c))
+    rt = collections.Counter(r)
+    ct = collections.Counter(c)
+    import math
+
+    micro = 0
+    for (rr, cc), o in cells.items():
+        e = rt[rr] * ct[cc] / n
+        micro += math.floor(1e6 * (o - e) * (o - e) / e)
+    assert row["chi2"] == round(micro / 1e6, 6)
+
+    duck = _duck(cramers_v_oracle_sql("t", "r", "c"), {"t": df.toPandas()})[0]
+    assert tuple(row) == duck
+
+
+def test_cramers_v_degenerate_single_row_level(spark):
+    from ddspark.profile import cramers_v
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", "x")], "r string, c string"
+    )
+    row = cramers_v(df, "r", "c").collect()[0]
+    assert row["n_rows"] == 1 and row["v"] is None
