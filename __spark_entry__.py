@@ -1977,6 +1977,20 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary quintile
+    scores over deterministic (metric, user) total orders."""
+    from ddspark.events import rfm_segments
+
+    ev = _read(spark, sf_dir, "events")
+    out = rfm_segments(ev, "user_id", "ts", "value", q=5, scale=100)
+    # string recency: ns-vs-us datetime units would render equal instants
+    # unequal in the driver compare (same rule as ts_downsample_multi)
+    return out.withColumn(
+        "recency_ts", F.date_format("recency_ts", "yyyy-MM-dd HH:mm:ss")
+    )
+
+
 def _q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cramer's V association strength for documents lang x source —
     micro-quantized exact chi-square sum, one double combination."""
@@ -2651,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_clustering_coeff": wrap(_q_clustering_coeff),  # new r5 (2nd s.)
         "multimodal_tiff_stats": wrap(_q_multimodal_tiff),  # new in r5 (2nd s.)
         "profile_cramers_v": wrap(_q_cramers_v),  # new in r5 (second stretch)
+        "events_rfm_segments": wrap(_q_rfm),  # new in r5 (second stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3893,6 +3908,7 @@ QUALIFY rank <= 10
         "profile_welch_t": _welch_oracle(),
         "graph_clustering_coeff": _clustering_coeff_oracle(),
         "profile_cramers_v": _cramers_v_oracle(),
+        "events_rfm_segments": _rfm_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4596,6 +4612,16 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _rfm_oracle() -> str:
+    from ddspark.events import rfm_segments_oracle_sql
+
+    inner = rfm_segments_oracle_sql("events", "user_id", "ts", "value", q=5, scale=100)
+    return (
+        'SELECT "user", strftime(recency_ts, \'%Y-%m-%d %H:%M:%S\') AS recency_ts, '
+        "frequency, monetary, r, f, m FROM (" + inner + ")"
+    )
 
 
 def _cramers_v_oracle() -> str:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel", "cohort_retention", "top_paths", "markov_transitions", "markov_transitions_oracle_sql"]
+__all__ = ["funnel", "cohort_retention", "top_paths", "markov_transitions", "markov_transitions_oracle_sql", "rfm_segments", "rfm_segments_oracle_sql"]
 
 
 def funnel(
@@ -230,4 +230,79 @@ SELECT src, dst, n,
        ROUND(CAST(n AS DOUBLE) /
              CAST(SUM(n) OVER (PARTITION BY src) AS DOUBLE), {ndigits}) AS prob
 FROM counts
+""".strip()
+
+
+def rfm_segments(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q: int = 5,
+    scale: int = 100,
+) -> DataFrame:
+    """RFM segmentation: per user ``(user, recency_ts, frequency,
+    monetary, r, f, m)`` with r/f/m the 1..q quantile scores (q=5 →
+    quintiles; higher = more recent / frequent / valuable) — the
+    classic audience-slicing table behind retention dashboards.
+
+    Monetary sums integer-quantized values exactly; quantile scores are
+    ``ntile(q)`` over deterministic total orders (metric, then user id as
+    the tiebreak), so both engines assign identical scores.  One scan +
+    one per-user aggregation; the three ntile windows run over the
+    USER-level table (one row per user), not raw events.
+    """
+    from pyspark.sql import Window
+
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    per_user = (
+        events.where(F.col(user_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.max(ts_col).alias("recency_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col(value_col) * scale).cast("decimal(18,0)"))
+            .cast("long")
+            .alias("monetary"),
+        )
+    )
+    wr = Window.orderBy(F.col("recency_ts").asc(), F.col("user").asc())
+    wf = Window.orderBy(F.col("frequency").asc(), F.col("user").asc())
+    wm = Window.orderBy(F.col("monetary").asc(), F.col("user").asc())
+    return per_user.select(
+        "user",
+        "recency_ts",
+        "frequency",
+        "monetary",
+        F.ntile(q).over(wr).alias("r"),
+        F.ntile(q).over(wf).alias("f"),
+        F.ntile(q).over(wm).alias("m"),
+    )
+
+
+def rfm_segments_oracle_sql(
+    table: str = "events",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    q: int = 5,
+    scale: int = 100,
+) -> str:
+    """ANSI twin of :func:`rfm_segments`."""
+    return f"""
+WITH per_user AS (
+  SELECT {user_col} AS "user",
+         MAX({ts_col}) AS recency_ts,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(ROUND({value_col} * {scale}) AS DECIMAL(18,0))) AS BIGINT) AS monetary
+  FROM {table}
+  WHERE {user_col} IS NOT NULL
+  GROUP BY {user_col}
+)
+SELECT "user", recency_ts, frequency, monetary,
+       CAST(NTILE({q}) OVER (ORDER BY recency_ts ASC, "user" ASC) AS INT) AS r,
+       CAST(NTILE({q}) OVER (ORDER BY frequency ASC, "user" ASC) AS INT) AS f,
+       CAST(NTILE({q}) OVER (ORDER BY monetary ASC, "user" ASC) AS INT) AS m
+FROM per_user
 """.strip()

@@ -191,3 +191,39 @@ def test_markov_transitions_duckdb_twin(spark, sf_dir):
     for (s, _), (_, p) in got.items():
         sums[s] += p
     assert all(abs(v - 1.0) < 1e-4 for v in sums.values())
+
+
+def test_rfm_segments_scores_and_duckdb(spark, sf_dir):
+    import duckdb
+
+    from ddspark.events import rfm_segments, rfm_segments_oracle_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = rfm_segments(ev).toPandas()
+    n_users = ev.where(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    assert len(res) == n_users
+    # quintile scores are 1..5 and balanced within 1
+    for c in ("r", "f", "m"):
+        assert set(res[c]) <= set(range(1, 6))
+        sizes = res[c].value_counts()
+        assert sizes.max() - sizes.min() <= 1
+    # the most-recent user gets r=5, the least-recent r=1
+    assert res.loc[res.recency_ts.idxmax(), "r"] == 5
+    assert res.loc[res.recency_ts.idxmin(), "r"] == 1
+
+    con = duckdb.connect()
+    con.register("events", ev.toPandas())
+    duck = {
+        row[0]: row[2:]
+        for row in con.execute(rfm_segments_oracle_sql("events")).fetchall()
+    }
+    got = {
+        r.user: (r.frequency, r.monetary, r.r, r.f, r.m)
+        for r in res.itertuples(index=False)
+    }
+    assert got == {u: tuple(v) for u, v in duck.items()}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q must be"):
+        rfm_segments(ev, q=1)
