@@ -192,3 +192,55 @@ def test_split_thresholds_partition_bucket_space(raw):
     for name, hi in th:
         assert hi >= prev
         prev = hi
+
+
+@settings(max_examples=300, deadline=None)
+@given(raw=st.binary(min_size=0, max_size=2000))
+def test_packbits_roundtrip_property(raw):
+    """PackBits encode/decode is the identity for arbitrary byte strings,
+    and the encoding never inflates worse than the spec bound
+    (1 header byte per 128-byte literal chunk)."""
+    from ddspark.pipeline.multimodal import _packbits_decode, _packbits_encode
+
+    enc = _packbits_encode(raw)
+    assert _packbits_decode(enc, len(raw)) == raw
+    assert len(enc) <= len(raw) + (len(raw) + 127) // 128 + 1
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    seed=st.integers(0, 2**16),
+    pb=st.booleans(),
+    be=st.booleans(),
+    rps=st.integers(1, 12),
+)
+def test_tiff_roundtrip_property(w, h, seed, pb, be, rps):
+    """encode_tiff/_decode_tiff is the identity for any geometry, strip
+    size, byte order, and compression."""
+    from ddspark.pipeline.multimodal import _decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(seed)
+    a = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    blob = encode_tiff(a, packbits=pb, big_endian=be, rows_per_strip=rps)
+    assert (_decode_tiff(blob) == a).all()
+
+
+def test_poisson_cdf_constants_are_the_cdf():
+    """The literal Poisson(1) thresholds both engines compare against are
+    the true CDF to 1 ulp, strictly increasing, and the tail beyond the
+    k=8 cap is negligible (< 2e-6) relative to the 1e9 quantization."""
+    import math
+
+    from ddspark.profile import _POISSON1_CDF
+
+    c = 0.0
+    f = 1
+    for k, lit in enumerate(_POISSON1_CDF):
+        if k > 0:
+            f *= k
+        c += math.exp(-1.0) / f
+        assert abs(lit - c) < 5e-16
+    assert all(b > a for a, b in zip(_POISSON1_CDF, _POISSON1_CDF[1:]))
+    assert 1.0 - _POISSON1_CDF[-1] < 2e-6
