@@ -94,7 +94,13 @@ def kmeans_assign(
     """
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got k={k} iters={iters}")
-    v = _quantize(df, id_col, vec_col, scale)
+    # localCheckpoint the quantized corpus (scanned twice per iteration)
+    # and the k-row centroid state after every update: without the cut,
+    # iteration t+1's plan re-embeds — and re-EXECUTES — iteration t's
+    # whole assign/update chain, making the total work quadratic in
+    # iters (the connected_components lesson).  The eager k-row
+    # materialization is one tiny job per iteration.
+    v = _quantize(df, id_col, vec_col, scale).localCheckpoint(eager=False)
     seeds = v.orderBy("vid").limit(k)
     cents = seeds.select(
         (F.row_number().over(Window.orderBy("vid")) - 1).alias("cid"),
@@ -102,7 +108,7 @@ def kmeans_assign(
         F.lit(1).cast("long").alias("n"),
     )
     for _ in range(iters):
-        cents = _update(_assign(v, cents))
+        cents = _update(_assign(v, cents)).localCheckpoint(eager=True)
     final = _assign(v, cents)
     dist2 = F.round(F.col("q") / float(scale) ** 2, ndigits)
     return final.select(
