@@ -1095,7 +1095,7 @@ def test_sample_frames_uniform_and_short(spark):
 
 def test_resize_unsupported_format_raises():
     with pytest.raises(ValueError, match="unsupported image magic"):
-        multimodal.resize_image(b"II*\x00tiff-stub-bytes", 64, 64)
+        multimodal.resize_image(b"RIFF\x00\x00\x00\x00WEBPVP8 ", 64, 64)
     with pytest.raises(ValueError, match="positive"):
         multimodal.resize_image(multimodal.encode_ppm(np.zeros((1, 1, 3), np.uint8)), 0, 4)
 
