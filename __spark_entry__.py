@@ -1977,6 +1977,16 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_cosine_pairs_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine near-dup pairs: exact BIGINT idf weights
+    (floor(1000*ln((N+1)/(df+1)))+1) over the same inverted-index join —
+    the standard similarity mode, still value-hashable."""
+    from ddspark.pipeline.dedup import cosine_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return cosine_pairs(docs, threshold=0.2, max_df=64, idf_scale=1000)
+
+
 def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary quintile
     scores over deterministic (metric, user) total orders."""
@@ -2666,6 +2676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_stats": wrap(_q_multimodal_tiff),  # new in r5 (2nd s.)
         "profile_cramers_v": wrap(_q_cramers_v),  # new in r5 (second stretch)
         "events_rfm_segments": wrap(_q_rfm),  # new in r5 (second stretch)
+        "dedup_cosine_pairs_idf": wrap(_q_cosine_pairs_idf),  # new r5 (2nd s.)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3909,6 +3920,7 @@ QUALIFY rank <= 10
         "graph_clustering_coeff": _clustering_coeff_oracle(),
         "profile_cramers_v": _cramers_v_oracle(),
         "events_rfm_segments": _rfm_oracle(),
+        "dedup_cosine_pairs_idf": _cosine_pairs_idf_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4612,6 +4624,14 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _cosine_pairs_idf_oracle() -> str:
+    from ddspark.pipeline.dedup import cosine_pairs_oracle_sql
+
+    return cosine_pairs_oracle_sql(
+        "documents", threshold=0.2, max_df=64, idf_scale=1000
+    )
 
 
 def _rfm_oracle() -> str:

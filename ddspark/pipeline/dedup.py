@@ -1016,6 +1016,7 @@ def cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df: int | None = None,
+    idf_scale: int | None = None,
     ndigits: int = 6,
 ) -> DataFrame:
     """Exact term-frequency cosine similarity for every document pair
@@ -1027,6 +1028,13 @@ def cosine_pairs(
     ``sum(tf_a * tf_b)`` and squared norms ``sum(tf^2)`` — so the single
     double combination ``dot / (sqrt(na) * sqrt(nb))`` is bit-identical
     cross-engine.  Tokenization is the shared :func:`word_tokens` rule.
+
+    ``idf_scale`` switches to TF-IDF cosine: each term's weight is the
+    exact BIGINT ``floor(idf_scale * ln((N+1)/(df+1))) + 1`` (N =
+    distinct documents in the pre-cut term table, smoothed so weights
+    stay >= 1), the quantized-log trick of ``column_entropy`` — weighted
+    products and norms then accumulate as exact DECIMALs, so the
+    standard similarity mode stays value-hashable.
 
     **Scale**: identical shape to :func:`jaccard_pairs` — the candidate
     join is keyed by term, and ``max_df`` drops terms whose document
@@ -1048,7 +1056,32 @@ def cosine_pairs(
             .select("term")
         )
         tf = tf.join(hot, "term", "left_anti")
-    norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    big = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    if idf_scale is not None:
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+        nd = tf.agg(F.countDistinct("id").alias("_nd"))
+        w = (
+            F.floor(
+                idf_scale
+                * F.log(
+                    (F.col("_nd") + 1).cast("double")
+                    / (F.col("_df") + 1).cast("double")
+                )
+            )
+            + 1
+        ).cast("long")
+        tf = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(nd))
+            .select("id", "term", (F.col("tf") * w).alias("tf"))
+        )
+        norms = tf.groupBy("id").agg(
+            F.sum(big(F.col("tf")) * big(F.col("tf"))).alias("n2")
+        )
+        dot_sum = F.sum(big(F.col("a.tf")) * big(F.col("b.tf"))).alias("dot")
+    else:
+        norms = tf.groupBy("id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+        dot_sum = F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot")
     a = tf.alias("a")
     b = tf.alias("b")
     dots = (
@@ -1059,7 +1092,7 @@ def cosine_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(
             F.count(F.lit(1)).alias("n_common_terms"),
-            F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"),
+            dot_sum,
         )
     )
     out = (
@@ -1086,6 +1119,7 @@ def cosine_pairs_oracle_sql(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df: int | None = None,
+    idf_scale: int | None = None,
     ndigits: int = 6,
 ) -> str:
     """ANSI twin of :func:`cosine_pairs` — same tokenization, same integer
@@ -1094,11 +1128,26 @@ def cosine_pairs_oracle_sql(
         f"""
 , hot AS (
   SELECT term FROM tf GROUP BY term HAVING COUNT(*) > {max_df}
-), kept AS (
+), kept0 AS (
   SELECT tf.* FROM tf LEFT JOIN hot USING (term) WHERE hot.term IS NULL
 )"""
         if max_df is not None
-        else ", kept AS (SELECT * FROM tf)"
+        else ", kept0 AS (SELECT * FROM tf)"
+    )
+    weight = (
+        f"""
+, dfreq AS (
+  SELECT term, COUNT(*) AS df FROM kept0 GROUP BY term
+), nd AS (
+  SELECT COUNT(DISTINCT id) AS n FROM kept0
+), kept AS (
+  SELECT k.id, k.term,
+         k.tf * (CAST(FLOOR({idf_scale} * LN(CAST(nd.n + 1 AS DOUBLE)
+                                            / CAST(dfreq.df + 1 AS DOUBLE))) AS BIGINT) + 1) AS tf
+  FROM kept0 k JOIN dfreq USING (term) CROSS JOIN nd
+)"""
+        if idf_scale is not None
+        else ", kept AS (SELECT * FROM kept0)"
     )
     return f"""
 WITH toks AS (
@@ -1109,14 +1158,14 @@ WITH toks AS (
 ),
 tf AS (
   SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY id, term
-){cap},
+){cap}{weight},
 norms AS (
-  SELECT id, SUM(tf * tf) AS n2 FROM kept GROUP BY id
+  SELECT id, SUM(CAST(tf AS HUGEINT) * CAST(tf AS HUGEINT)) AS n2 FROM kept GROUP BY id
 ),
 dots AS (
   SELECT a.id AS id_a, b.id AS id_b,
          COUNT(*) AS n_common_terms,
-         SUM(a.tf * b.tf) AS dot
+         SUM(CAST(a.tf AS HUGEINT) * CAST(b.tf AS HUGEINT)) AS dot
   FROM kept a JOIN kept b ON a.term = b.term AND a.id < b.id
   GROUP BY a.id, b.id
 )

@@ -2558,3 +2558,53 @@ def test_readability_hand_case_and_duckdb(spark, sf_dir):
         ).fetchall()
     }
     assert got2 == duck
+
+
+def test_cosine_pairs_idf_matches_python_model(spark, dup_docs):
+    import collections
+    import math
+
+    res = dedup.cosine_pairs(dup_docs, threshold=0.0, idf_scale=1000).toPandas()
+    got = {(r.id_a, r.id_b): r.cosine for r in res.itertuples()}
+    texts = {r["doc_id"]: r["text"] for r in dup_docs.collect()}
+    bows = {
+        d: collections.Counter(w for w in t.strip().lower().split() if w)
+        for d, t in texts.items()
+    }
+    n_docs = sum(1 for b in bows.values() if b)  # docs with >= 1 term
+    df_ = collections.Counter(t for b in bows.values() for t in b)
+    w = {t: math.floor(1000 * math.log((n_docs + 1) / (d + 1))) + 1 for t, d in df_.items()}
+    tw = {d: {t: c * w[t] for t, c in b.items()} for d, b in bows.items()}
+    for (a, bq), cos in got.items():
+        ca, cb = tw[a], tw[bq]
+        dot = sum(ca[t] * cb[t] for t in ca.keys() & cb.keys())
+        want = dot / (
+            math.sqrt(sum(v * v for v in ca.values()))
+            * math.sqrt(sum(v * v for v in cb.values()))
+        )
+        assert cos == round(want, 6)
+    assert got[(0, 1)] == 1.0  # exact dup still 1.0 under any weighting
+    # doc 3 shares no vocabulary with doc 0 — no pair row in either mode
+    assert (0, 3) not in got
+
+
+def test_cosine_pairs_idf_duckdb_twin(spark, dup_docs):
+    import duckdb
+
+    res = dedup.cosine_pairs(
+        dup_docs, threshold=0.1, max_df=4, idf_scale=1000
+    ).toPandas()
+    got = {
+        (r.id_a, r.id_b): (r.n_common_terms, r.cosine) for r in res.itertuples()
+    }
+    con = duckdb.connect()
+    con.register("documents", dup_docs.toPandas())
+    duck = {
+        (a, bq): (n, c)
+        for a, bq, n, c in con.execute(
+            dedup.cosine_pairs_oracle_sql(
+                "documents", threshold=0.1, max_df=4, idf_scale=1000
+            )
+        ).fetchall()
+    }
+    assert got == duck
