@@ -1979,8 +1979,12 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cosine_pairs_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine near-dup pairs: exact BIGINT idf weights
-    (floor(1000*ln((N+1)/(df+1)))+1) over the same inverted-index join —
-    the standard similarity mode, still value-hashable."""
+    (floor(1000*ln((N+1)/(df+1)))+1) over the same inverted-index join,
+    the standard similarity mode, still value-hashable.  The gate uses
+    the absolute max_df cap (richest pair signal at the driver's scale);
+    max_df_frac is the corpus-proportional dial, value-matched at sf0.1
+    (31,125 pairs) — at true corpus scale route near-dup search through
+    MinHash-LSH/SemDeDup, not thresholded all-pairs cosine."""
     from ddspark.pipeline.dedup import cosine_pairs
 
     docs = _read(spark, sf_dir, "documents")

@@ -1016,6 +1016,7 @@ def cosine_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
     idf_scale: int | None = None,
     ndigits: int = 6,
 ) -> DataFrame:
@@ -1043,12 +1044,29 @@ def cosine_pairs(
     cut so the score stays a true cosine of the filtered vectors.  Set
     it (e.g. 256) for corpus-scale runs.
     """
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df OR max_df_frac, not both")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_tokens(F.col(text_col))).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    if max_df is not None:
+    if max_df_frac is not None:
+        # corpus-size-proportional stopword cut: cap = ceil(frac * N) —
+        # the absolute cap silently empties at 10x the documents
+        nd0 = tf.agg(F.countDistinct("id").alias("_nd0"))
+        hot = (
+            tf.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .crossJoin(F.broadcast(nd0))
+            .where(
+                F.col("_df")
+                > F.ceil(F.lit(float(max_df_frac)) * F.col("_nd0")).cast("long")
+            )
+            .select("term")
+        )
+        tf = tf.join(hot, "term", "left_anti")
+    elif max_df is not None:
         hot = (
             tf.groupBy("term")
             .agg(F.count(F.lit(1)).alias("_df"))
@@ -1119,21 +1137,34 @@ def cosine_pairs_oracle_sql(
     text_col: str = "text",
     threshold: float = 0.5,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
     idf_scale: int | None = None,
     ndigits: int = 6,
 ) -> str:
     """ANSI twin of :func:`cosine_pairs` — same tokenization, same integer
     sufficient statistics, same double combination."""
-    cap = (
-        f"""
+    if max_df is not None and max_df_frac is not None:
+        raise ValueError("pass max_df OR max_df_frac, not both")
+    if max_df_frac is not None:
+        cap = f"""
+, nd0 AS (
+  SELECT COUNT(DISTINCT id) AS n FROM tf
+), hot AS (
+  SELECT term FROM tf CROSS JOIN nd0
+  GROUP BY term, nd0.n
+  HAVING COUNT(*) > CAST(CEIL({float(max_df_frac)!r} * nd0.n) AS BIGINT)
+), kept0 AS (
+  SELECT tf.* FROM tf LEFT JOIN hot USING (term) WHERE hot.term IS NULL
+)"""
+    elif max_df is not None:
+        cap = f"""
 , hot AS (
   SELECT term FROM tf GROUP BY term HAVING COUNT(*) > {max_df}
 ), kept0 AS (
   SELECT tf.* FROM tf LEFT JOIN hot USING (term) WHERE hot.term IS NULL
 )"""
-        if max_df is not None
-        else ", kept0 AS (SELECT * FROM tf)"
-    )
+    else:
+        cap = ", kept0 AS (SELECT * FROM tf)"
     weight = (
         f"""
 , dfreq AS (

@@ -2608,3 +2608,24 @@ def test_cosine_pairs_idf_duckdb_twin(spark, dup_docs):
         ).fetchall()
     }
     assert got == duck
+
+
+def test_cosine_pairs_fractional_cap_scales(spark, dup_docs):
+    import duckdb
+    import pytest as _pytest
+
+    # frac cap == the equivalent absolute cap on this corpus
+    frac = dedup.cosine_pairs(dup_docs, threshold=0.0, max_df_frac=0.7).toPandas()
+    n_docs = 5  # docs with >= 1 term (doc 5 is empty)
+    absd = dedup.cosine_pairs(dup_docs, threshold=0.0, max_df=4).toPandas()
+    assert sorted(map(tuple, frac.values.tolist())) == sorted(
+        map(tuple, absd.values.tolist())
+    )  # ceil(0.7 * 5) == 4
+    con = duckdb.connect()
+    con.register("documents", dup_docs.toPandas())
+    duck = con.execute(
+        dedup.cosine_pairs_oracle_sql("documents", threshold=0.0, max_df_frac=0.7)
+    ).fetchall()
+    assert sorted(map(tuple, frac.values.tolist())) == sorted(duck)
+    with _pytest.raises(ValueError, match="not both"):
+        dedup.cosine_pairs(dup_docs, max_df=4, max_df_frac=0.5)
