@@ -1977,6 +1977,15 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between en and de term distributions —
+    the vocabulary-drift monitor, nano-quantized exact term sums."""
+    from ddspark.pipeline.textops import vocab_jsd
+
+    docs = _read(spark, sf_dir, "documents")
+    return vocab_jsd(docs, "lang", "en", "de")
+
+
 def _q_cosine_pairs_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF cosine near-dup pairs: exact BIGINT idf weights
     (floor(1000*ln((N+1)/(df+1)))+1) over the same inverted-index join,
@@ -2681,6 +2690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_cramers_v": wrap(_q_cramers_v),  # new in r5 (second stretch)
         "events_rfm_segments": wrap(_q_rfm),  # new in r5 (second stretch)
         "dedup_cosine_pairs_idf": wrap(_q_cosine_pairs_idf),  # new r5 (2nd s.)
+        "text_vocab_jsd": wrap(_q_vocab_jsd),  # new in r5 (second stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3925,6 +3935,7 @@ QUALIFY rank <= 10
         "profile_cramers_v": _cramers_v_oracle(),
         "events_rfm_segments": _rfm_oracle(),
         "dedup_cosine_pairs_idf": _cosine_pairs_idf_oracle(),
+        "text_vocab_jsd": _vocab_jsd_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4628,6 +4639,12 @@ FROM (
   GROUP BY e.qid
 )
 """.strip()
+
+
+def _vocab_jsd_oracle() -> str:
+    from ddspark.pipeline.textops import vocab_jsd_oracle_sql
+
+    return vocab_jsd_oracle_sql("documents", "lang", "en", "de")
 
 
 def _cosine_pairs_idf_oracle() -> str:

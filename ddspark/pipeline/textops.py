@@ -21,6 +21,8 @@ __all__ = [
     "sentence_stats_oracle_sql",
     "readability_scores",
     "readability_scores_oracle_sql",
+    "vocab_jsd",
+    "vocab_jsd_oracle_sql",
     "token_count",
     "subword_count",
     "punct_ratio",
@@ -932,4 +934,111 @@ SELECT id, n_sentences, n_words, n_syllables,
                        - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
                        - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), {ndigits}) END AS flesch
 FROM agg
+""".strip()
+
+
+def vocab_jsd(
+    df: DataFrame,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence between the term distributions of two
+    corpus segments: one row ``(n_terms_a, n_terms_b, vocab, jsd)`` —
+    the vocabulary-drift monitor (new crawl vs old, en vs de, split A vs
+    split B).  JSD is symmetric, bounded [0, ln 2], and finite under
+    disjoint vocabularies — the properties that make it the standard
+    corpus-comparison divergence where KL blows up.
+
+    Unigram counts come from the shared :func:`word_tokens` rule;
+    probabilities are Laplace-smoothed over the union vocabulary
+    ``(c+1)/(n+V)``; each term's contribution
+    ``(p·ln(p/m) + q·ln(q/m)) / 2`` with ``m = (p+q)/2`` floor-quantizes
+    to exact BIGINT nanos before summation (the
+    :func:`ddspark.profile.column_entropy` trick — no float-summation
+    order), so the statistic value-hashes cross-engine.  One token
+    explode + one (term, segment) count aggregation + one rollup; the
+    shuffle carries term counts, never documents.
+    """
+    from .dedup import word_tokens
+
+    toks = df.where(F.col(seg_col).isin([seg_a, seg_b])).select(
+        F.col(seg_col).alias("_s"),
+        F.explode(word_tokens(F.col(text_col))).alias("term"),
+    ).where(F.col("term") != "")
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("_s") == seg_a, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("_s") == seg_b, 1).otherwise(0)).alias("cb"),
+    )
+    tot = counts.agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    pa = (F.col("ca") + 1).cast("double") / (F.col("na") + F.col("v")).cast("double")
+    pb = (F.col("cb") + 1).cast("double") / (F.col("nb") + F.col("v")).cast("double")
+    m = (pa + pb) / 2
+    term_nano = F.floor(
+        F.lit(1e9) * ((pa * F.log(pa / m) + pb * F.log(pb / m)) / 2)
+    ).cast("long")
+    agg = counts.crossJoin(F.broadcast(tot)).agg(
+        F.first("na").alias("n_terms_a"),
+        F.first("nb").alias("n_terms_b"),
+        F.first("v").alias("vocab"),
+        F.sum(term_nano).alias("_nano"),
+    )
+    return agg.select(
+        "n_terms_a",
+        "n_terms_b",
+        "vocab",
+        F.round(F.col("_nano").cast("double") / 1e9, ndigits).alias("jsd"),
+    )
+
+
+def vocab_jsd_oracle_sql(
+    table: str,
+    seg_col: str,
+    seg_a: str,
+    seg_b: str,
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`vocab_jsd`."""
+    return f"""
+WITH toks AS (
+  SELECT {seg_col} AS s, u.term
+  FROM {table},
+       UNNEST(string_split(regexp_replace(trim(lower({text_col})), '\\s+', ' ', 'g'), ' ')) AS u(term)
+  WHERE {seg_col} IN ('{seg_a}', '{seg_b}') AND u.term != ''
+),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN s = '{seg_a}' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN s = '{seg_b}' THEN 1 ELSE 0 END) AS cb
+  FROM toks GROUP BY term
+),
+tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS v FROM counts
+),
+nano AS (
+  SELECT CAST(FLOOR(1e9 * (
+           (CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+             * LN((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                  / (((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                      + (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))) / 2))
+           + (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+             * LN((CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))
+                  / (((CAST(ca + 1 AS DOUBLE) / CAST(na + v AS DOUBLE))
+                      + (CAST(cb + 1 AS DOUBLE) / CAST(nb + v AS DOUBLE))) / 2))
+         ) / 2) AS BIGINT) AS t,
+         na, nb, v
+  FROM counts CROSS JOIN tot
+)
+SELECT CAST(MIN(na) AS BIGINT) AS n_terms_a,
+       CAST(MIN(nb) AS BIGINT) AS n_terms_b,
+       CAST(MIN(v) AS BIGINT) AS vocab,
+       ROUND(CAST(SUM(t) AS DOUBLE) / 1e9, {ndigits}) AS jsd
+FROM nano
 """.strip()

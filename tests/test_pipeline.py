@@ -2629,3 +2629,33 @@ def test_cosine_pairs_fractional_cap_scales(spark, dup_docs):
     assert sorted(map(tuple, frac.values.tolist())) == sorted(duck)
     with _pytest.raises(ValueError, match="not both"):
         dedup.cosine_pairs(dup_docs, max_df=4, max_df_frac=0.5)
+
+
+def test_vocab_jsd_properties_and_duckdb(spark, sf_dir):
+    import duckdb
+
+    from ddspark.pipeline.textops import vocab_jsd, vocab_jsd_oracle_sql
+
+    # identical segments -> jsd ~ 0; disjoint vocabularies -> near ln 2
+    same = spark.createDataFrame(
+        [("a", "alpha beta gamma")] * 10 + [("b", "alpha beta gamma")] * 10,
+        "s string, text string",
+    )
+    row = vocab_jsd(same, "s", "a", "b").collect()[0]
+    assert abs(row["jsd"]) < 1e-6
+    import math
+
+    disjoint = spark.createDataFrame(
+        [("a", "aaa bbb ccc ddd " * 10)] * 20 + [("b", "www xxx yyy zzz " * 10)] * 20,
+        "s string, text string",
+    )
+    row = vocab_jsd(disjoint, "s", "a", "b").collect()[0]
+    assert row["jsd"] > 0.9 * math.log(2)
+    assert row["jsd"] <= math.log(2) + 1e-9
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = tuple(vocab_jsd(docs, "lang", "en", "de").collect()[0])
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    duck = con.execute(vocab_jsd_oracle_sql("documents", "lang", "en", "de")).fetchall()[0]
+    assert got == duck
