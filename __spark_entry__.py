@@ -1977,6 +1977,49 @@ def _q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mannwhitney_u(docs, "n_chars", "lang", "en", "de")
 
 
+def _q_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed per-language corpus scorecard — quality_score +
+    gini_exact + exact-dup fingerprints in ONE gate row per lang:
+    (n_docs, mean_quality via exact micro sums, gini_chars, dup_rate).
+    The composition a curation run reads before touching thresholds."""
+    from ddspark.pipeline.textops import fingerprint, quality_score
+    from ddspark.profile import gini_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.select(
+        "lang",
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    agg = base.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.round(F.col("q") * 1e6).cast("long")).cast("double")
+            / 1e6
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_quality"),
+        F.countDistinct("fp").alias("n_distinct"),
+    )
+    g = gini_exact(docs, "n_chars", by=["lang"]).select(
+        "lang", F.col("gini").alias("gini_chars")
+    )
+    return (
+        agg.join(g, "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "mean_quality",
+            "gini_chars",
+            F.round(
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
 def _q_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen-Shannon divergence between en and de term distributions —
     the vocabulary-drift monitor, nano-quantized exact term sums."""
@@ -2691,6 +2734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm_segments": wrap(_q_rfm),  # new in r5 (second stretch)
         "dedup_cosine_pairs_idf": wrap(_q_cosine_pairs_idf),  # new r5 (2nd s.)
         "text_vocab_jsd": wrap(_q_vocab_jsd),  # new in r5 (second stretch)
+        "curation_scorecard": wrap(_q_scorecard),  # new in r5 (second stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3936,6 +3980,7 @@ QUALIFY rank <= 10
         "events_rfm_segments": _rfm_oracle(),
         "dedup_cosine_pairs_idf": _cosine_pairs_idf_oracle(),
         "text_vocab_jsd": _vocab_jsd_oracle(),
+        "curation_scorecard": _scorecard_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4638,6 +4683,43 @@ FROM (
   LEFT JOIN ({ivf}) a ON e.qid = a.qid AND e.nid = a.nid
   GROUP BY e.qid
 )
+""".strip()
+
+
+def _scorecard_oracle() -> str:
+    from ddspark.profile import gini_exact_oracle_sql
+
+    gini = gini_exact_oracle_sql("documents", "n_chars", by=["lang"])
+    quality = """
+                LEAST(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+                * (1.0 - 0.5 * LEAST(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}-]+', '', 'g')) AS DOUBLE) / length(text) END * 4.0, 1.0))
+                * (1.0 - 0.5 * LEAST(CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE CAST(length(regexp_replace(text, '[^0-9]+', '', 'g')) AS DOUBLE) / length(text) END * 4.0, 1.0))
+                * (1.0 - CASE WHEN (CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(string_split_regex(trim(text), '\\s+')) END) = 0 THEN 1.0 ELSE 0.0 END)
+    """
+    return f"""
+WITH base AS (
+  SELECT lang,
+         ROUND({quality}, 6) AS q,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+),
+agg AS (
+  SELECT lang,
+         COUNT(*) AS n_docs,
+         ROUND(CAST(SUM(CAST(ROUND(q * 1e6) AS BIGINT)) AS DOUBLE) / 1e6
+               / CAST(COUNT(*) AS DOUBLE), 6) AS mean_quality,
+         COUNT(DISTINCT fp) AS n_distinct
+  FROM base GROUP BY lang
+)
+SELECT agg.lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       mean_quality,
+       g.gini AS gini_chars,
+       ROUND(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
+FROM agg JOIN ({gini}) g ON g.lang = agg.lang
 """.strip()
 
 
