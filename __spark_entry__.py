@@ -1172,6 +1172,23 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact two-sided CUSUM change detection
+    (ddspark/timeseries.py cusum_changepoints): daily cents per event
+    type, slack k = mu/2, alarm at 5*mu — the prefix-sum / prefix-min
+    closed form of the max-recurrence, all BIGINT so the statistics and
+    flags replay exactly.  Two bucket-level window passes, no recursion."""
+    from ddspark.timeseries import cusum_changepoints
+
+    ev = _read(spark, sf_dir, "events").select(
+        "ts", "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    out = cusum_changepoints(ev, "ts", "c", by=["event_type"])
+    return out.withColumn(
+        "bucket_start", F.date_format("bucket_start", "yyyy-MM-dd")
+    )
+
+
 def _q_strip_accents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Accent folding (NFD + drop Mn, NO recomposition — DuckDB
     strip_accents semantics exactly) over synth accent tails; md5 of the
@@ -2735,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cosine_pairs_idf": wrap(_q_cosine_pairs_idf),  # new r5 (2nd s.)
         "text_vocab_jsd": wrap(_q_vocab_jsd),  # new in r5 (second stretch)
         "curation_scorecard": wrap(_q_scorecard),  # new in r5 (second stretch)
+        "ts_cusum_changepoints": wrap(_q_cusum),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3981,6 +3999,7 @@ QUALIFY rank <= 10
         "dedup_cosine_pairs_idf": _cosine_pairs_idf_oracle(),
         "text_vocab_jsd": _vocab_jsd_oracle(),
         "curation_scorecard": _scorecard_oracle(),
+        "ts_cusum_changepoints": _cusum_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4720,6 +4739,19 @@ SELECT agg.lang,
        g.gini AS gini_chars,
        ROUND(CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS dup_rate
 FROM agg JOIN ({gini}) g ON g.lang = agg.lang
+""".strip()
+
+
+def _cusum_oracle() -> str:
+    from ddspark.timeseries import cusum_changepoints_oracle_sql
+
+    inner = cusum_changepoints_oracle_sql(
+        "events", "ts", "CAST(floor(value * 100) AS BIGINT)", by=["event_type"]
+    )
+    return f"""
+SELECT event_type, strftime(bucket_start, '%Y-%m-%d') AS bucket_start,
+       v, s_pos, s_neg, alarm_up, alarm_down
+FROM ({inner})
 """.strip()
 
 

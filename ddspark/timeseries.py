@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-__all__ = ["downsample_multi", "decayed_sum", "flag_spikes", "seasonal_residuals", "autocorr_exact", "autocorr_exact_oracle_sql"]
+__all__ = ["downsample_multi", "decayed_sum", "flag_spikes", "seasonal_residuals", "autocorr_exact", "autocorr_exact_oracle_sql", "cusum_changepoints", "cusum_changepoints_oracle_sql"]
 
 # date_trunc units both Spark and ANSI engines agree on (week = ISO Monday)
 _UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
@@ -315,3 +315,153 @@ FROM daily a JOIN daily b ON a.day = b.day + {lag}"""
   {arms}
 ) pairs"""
     return pearson_corr_exact_oracle_sql(pairs, "x", "y", by=["lag"], ndigits=ndigits)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts: str,
+    value: str,
+    by: list[str] | None = None,
+    granularity: str = "day",
+    slack_num: int = 1,
+    slack_den: int = 2,
+    threshold_num: int = 5,
+    threshold_den: int = 1,
+) -> DataFrame:
+    """Integer-exact two-sided CUSUM change detection (Page 1954) on the
+    downsampled series: bucket ``value`` by ``granularity`` (summed per
+    ``by`` group), then accumulate the classic one-sided statistics
+
+    ``S+_t = max(0, S+_{t-1} + (v_t - mu - k))`` (upward level shift)
+    ``S-_t = max(0, S-_{t-1} - (v_t - mu - (-k)))`` (downward shift)
+
+    with reference mean ``mu = mean(v)`` over the group's buckets, slack
+    ``k = (slack_num/slack_den) * mu`` and alarm threshold
+    ``h = (threshold_num/threshold_den) * mu``.  CUSUM catches small
+    *persistent* level shifts that per-bucket detectors
+    (:func:`flag_spikes`, :func:`seasonal_residuals`) miss, because the
+    drift accumulates across buckets.
+
+    **Exactness** — the max-recurrence has the closed form
+    ``S_t = P_t - min(0, min_{i<=t} P_i)`` over the prefix sums
+    ``P_t = sum_{j<=t} z_j``, so the whole statistic is two window
+    passes (running sum, running min of the running sum), no recursion.
+    Scaling every term by ``n * slack_den`` clears both divisions:
+
+    ``z+_t = slack_den*n*v_t - (slack_den + slack_num)*T``
+    ``z-_t = (slack_den - slack_num)*T - slack_den*n*v_t``
+
+    with ``T = sum(v)``, ``n = count(v)`` per group — all BIGINT, so the
+    alarm flags and the scaled statistics replay exactly in any engine.
+    The alarm compare is the cross-multiplication
+    ``S_scaled * threshold_den > threshold_num * slack_den * T``
+    (both sides BIGINT; division-free).
+
+    **Scale** — the raw-event scan collapses map-side into per-bucket
+    partials; every window below runs over *buckets* (thousands of rows
+    per group).  Overflow headroom: with cents-scale bucket totals
+    ``<= 1e13`` and ``<= 1e4`` buckets, ``slack_den*n*v ~ 1e17`` stays
+    under the 9.2e18 BIGINT ceiling; raise ``granularity`` before
+    raising ``slack_den`` if both are extreme.
+
+    Returns ``(*by, bucket_start, v, s_pos, s_neg, alarm_up,
+    alarm_down)`` — ``s_pos``/``s_neg`` in the documented
+    ``n*slack_den`` scaled units.
+    """
+    by = list(by or [])
+    if granularity not in _UNITS:
+        raise ValueError(f"granularity must be one of {_UNITS}")
+    if min(slack_num, slack_den, threshold_num, threshold_den) < 0 or (
+        slack_den == 0 or threshold_den == 0
+    ):
+        raise ValueError("slack/threshold fractions must be >= 0 with nonzero denominators")
+    buckets = (
+        df.where(F.col(ts).isNotNull())
+        .groupBy(
+            *by,
+            F.date_trunc(granularity, F.col(ts))
+            .cast("timestamp_ntz")
+            .alias("bucket_start"),
+        )
+        .agg(F.sum(F.col(value)).cast("long").alias("v"))
+    )
+    wg = Window.partitionBy(*by)
+    wo = Window.partitionBy(*by).orderBy("bucket_start")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t_tot = F.sum("v").over(wg)
+    n_tot = F.count("v").over(wg)
+    zp = F.lit(slack_den) * n_tot * F.col("v") - F.lit(slack_den + slack_num) * t_tot
+    zm = F.lit(slack_den - slack_num) * t_tot - F.lit(slack_den) * n_tot * F.col("v")
+    stats = buckets.withColumns({"_t": t_tot, "_zp": zp, "_zm": zm})
+    pp = F.sum("_zp").over(wrun)
+    pm = F.sum("_zm").over(wrun)
+    s_pos = pp - F.least(F.lit(0).cast("long"), F.min(pp).over(wrun))
+    s_neg = pm - F.least(F.lit(0).cast("long"), F.min(pm).over(wrun))
+    h_rhs = F.lit(threshold_num * slack_den) * F.col("_t")
+    out = stats.withColumns(
+        {
+            "s_pos": s_pos.cast("long"),
+            "s_neg": s_neg.cast("long"),
+        }
+    ).withColumns(
+        {
+            "alarm_up": F.col("s_pos") * threshold_den > h_rhs,
+            "alarm_down": F.col("s_neg") * threshold_den > h_rhs,
+        }
+    )
+    return out.select(*by, "bucket_start", "v", "s_pos", "s_neg", "alarm_up", "alarm_down")
+
+
+def cusum_changepoints_oracle_sql(
+    table: str = "events",
+    ts: str = "ts",
+    value_sql: str = "CAST(floor(value * 100) AS BIGINT)",
+    by: list[str] | None = None,
+    granularity: str = "day",
+    slack_num: int = 1,
+    slack_den: int = 2,
+    threshold_num: int = 5,
+    threshold_den: int = 1,
+) -> str:
+    """ANSI twin of :func:`cusum_changepoints` (same prefix-sum /
+    prefix-min closed form, same BIGINT scaling)."""
+    by = list(by or [])
+    bycols = "".join(f"{c}, " for c in by)
+    part = ("PARTITION BY " + ", ".join(by)) if by else ""
+    return f"""
+WITH buckets AS (
+  SELECT {bycols}date_trunc('{granularity}', {ts}) AS bucket_start,
+         CAST(SUM({value_sql}) AS BIGINT) AS v
+  FROM {table} WHERE {ts} IS NOT NULL
+  GROUP BY ALL
+),
+z AS (
+  SELECT {bycols}bucket_start, v,
+         CAST(SUM(v) OVER ({part}) AS BIGINT) AS t,
+         COUNT(v) OVER ({part}) AS n
+  FROM buckets
+),
+p AS (
+  SELECT {bycols}bucket_start, v, t,
+         CAST(SUM({slack_den} * n * v - {slack_den + slack_num} * t)
+              OVER w AS BIGINT) AS pp,
+         CAST(SUM({slack_den - slack_num} * t - {slack_den} * n * v)
+              OVER w AS BIGINT) AS pm
+  FROM z
+  WINDOW w AS ({part} ORDER BY bucket_start
+               ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT {bycols}bucket_start, v, t,
+         pp - LEAST(0, MIN(pp) OVER w) AS s_pos,
+         pm - LEAST(0, MIN(pm) OVER w) AS s_neg
+  FROM p
+  WINDOW w AS ({part} ORDER BY bucket_start
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT {bycols}bucket_start, v,
+       CAST(s_pos AS BIGINT) AS s_pos, CAST(s_neg AS BIGINT) AS s_neg,
+       s_pos * {threshold_den} > {threshold_num * slack_den} * t AS alarm_up,
+       s_neg * {threshold_den} > {threshold_num * slack_den} * t AS alarm_down
+FROM s
+""".strip()

@@ -153,3 +153,91 @@ def test_autocorr_exact_duckdb_twin(spark, sf_dir):
     assert got == duck
     with pytest.raises(ValueError, match="positive"):
         autocorr_exact(ev, "ts", "value", lags=[0]).collect()
+
+
+def test_cusum_matches_python_replay_and_flags_the_shift(spark):
+    """A series flat at 100/day for 30 days then shifted to 200/day must
+    alarm upward only after the shift; the scaled statistics must equal a
+    pure-Python replay of S_t = max(0, S_{t-1} + z_t)."""
+    import datetime
+
+    from ddspark.timeseries import cusum_changepoints
+
+    vals = [100] * 30 + [200] * 15
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (base + datetime.timedelta(days=i, hours=3), "g", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k string, v long")
+    got = (
+        cusum_changepoints(
+            df, "ts", "v", by=["k"], slack_num=1, slack_den=4,
+            threshold_num=2, threshold_den=1,
+        )
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert len(got) == len(vals)
+    # pure-Python replay of the scaled recurrences
+    n, t = len(vals), sum(vals)
+    sp = sm = 0
+    exp = []
+    for v in vals:
+        zp = 4 * n * v - 5 * t          # slack_den*n*v - (den+num)*t
+        zm = 3 * t - 4 * n * v          # (den-num)*t - slack_den*n*v
+        sp = max(0, sp + zp)
+        sm = max(0, sm + zm)
+        exp.append((sp, sm, sp > 2 * 4 * t, sm > 2 * 4 * t))
+    for r, (esp, esm, eup, edown) in zip(got, exp):
+        assert (r["s_pos"], r["s_neg"], r["alarm_up"], r["alarm_down"]) == (
+            esp, esm, eup, edown
+        ), r
+    # the qualitative story: no alarms during the flat prefix, an upward
+    # alarm eventually after the level shift, never a downward alarm
+    assert not any(r["alarm_up"] or r["alarm_down"] for r in got[:30])
+    assert any(r["alarm_up"] for r in got[30:])
+    assert not any(r["alarm_down"] for r in got)
+
+
+def test_cusum_oracle_twin_agrees_on_random_series(spark):
+    import duckdb
+    import random
+
+    from ddspark.timeseries import (
+        cusum_changepoints,
+        cusum_changepoints_oracle_sql,
+    )
+
+    rng = random.Random(7)
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = [
+        (
+            base + datetime.timedelta(hours=i * 7 % 720, days=i % 3),
+            "ab"[i % 2],
+            float(rng.randint(-50, 300)) / 100.0,
+        )
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    ev = df.select(
+        "ts", "event_type", F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    got = {
+        (r["event_type"], str(r["bucket_start"])[:10]): (
+            r["v"], r["s_pos"], r["s_neg"], r["alarm_up"], r["alarm_down"]
+        )
+        for r in cusum_changepoints(ev, "ts", "c", by=["event_type"]).collect()
+    }
+    con = duckdb.connect()
+    con.register("events", df.toPandas())
+    sql = cusum_changepoints_oracle_sql(
+        "events", "ts", "CAST(floor(value * 100) AS BIGINT)", by=["event_type"]
+    )
+    want = {
+        (r[0], str(r[1])[:10]): tuple(r[2:])
+        for r in con.execute(sql).fetchall()
+    }
+    assert got == want and len(got) > 10
