@@ -922,6 +922,24 @@ def _q_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return levenshtein_pairs(docs, max_dist=2)
 
 
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (ddspark/pipeline/graph.py
+    adamic_adar_topk) over the same deterministic 1000-node link graph
+    as graph_pagerank/graph_triangles: top-25 non-adjacent pairs by the
+    exact BIGINT sum of floor(1e6/ln(deg)) common-neighbor weights,
+    hub centers capped at max_degree=60 (the deg^2 fan-out guard,
+    mirrored in the oracle)."""
+    from ddspark.pipeline.graph import adamic_adar_topk
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return adamic_adar_topk(edges, top=25, max_degree=60)
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the same deterministic 1000-node link
     graph as graph_pagerank, via degree-ordered edge orientation (the
@@ -2753,6 +2771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_jsd": wrap(_q_vocab_jsd),  # new in r5 (second stretch)
         "curation_scorecard": wrap(_q_scorecard),  # new in r5 (second stretch)
         "ts_cusum_changepoints": wrap(_q_cusum),  # new in r5 (third stretch)
+        "graph_adamic_adar": wrap(_q_adamic_adar),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4000,6 +4019,7 @@ QUALIFY rank <= 10
         "text_vocab_jsd": _vocab_jsd_oracle(),
         "curation_scorecard": _scorecard_oracle(),
         "ts_cusum_changepoints": _cusum_oracle(),
+        "graph_adamic_adar": _adamic_adar_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4637,6 +4657,20 @@ def _assortativity_oracle() -> str:
         "SELECT user_id % 1000 AS src, "
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
+    )
+
+
+def _adamic_adar_oracle() -> str:
+    from ddspark.pipeline.graph import adamic_adar_topk_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    return adamic_adar_topk_oracle_sql(
+        "SELECT user_id % 1000 AS src, "
+        f"({h}) % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL",
+        top=25,
+        max_degree=60,
     )
 
 

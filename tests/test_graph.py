@@ -333,3 +333,74 @@ def test_clustering_coefficient_known_graphs(spark):
         clustering_coefficient_oracle_sql("SELECT src, dst FROM edges")
     ).fetchall()[0]
     assert tuple(got) == duck
+
+
+def test_adamic_adar_known_graph(spark):
+    """Path 1-2-3 plus star center 10 with leaves {4,5,6}: every
+    non-adjacent leaf pair shares exactly the center, scoring
+    floor(1e6/ln(deg(center))); the path endpoints share node 2."""
+    import math
+
+    from ddspark.pipeline.graph import adamic_adar_topk
+
+    edges = [(1, 2), (2, 3), (10, 4), (10, 5), (10, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r["x"], r["y"]): (r["cn"], r["score_micro"])
+        for r in adamic_adar_topk(df, top=100).collect()
+    }
+    w2 = math.floor(10**6 / math.log(2))   # deg(2) == 2
+    w10 = math.floor(10**6 / math.log(3))  # deg(10) == 3
+    assert got[(1, 3)] == (1, w2)
+    for pair in [(4, 5), (4, 6), (5, 6)]:
+        assert got[pair] == (1, w10)
+    # adjacent pairs and pairs with no common neighbor never appear
+    assert (1, 2) not in got and (2, 3) not in got and (1, 10) not in got
+    assert len(got) == 4
+
+
+def test_adamic_adar_degree_cap_and_ties(spark):
+    """max_degree skips hub centers entirely; tie-break is (x, y) asc."""
+    from ddspark.pipeline.graph import adamic_adar_topk
+
+    # hub 0 connected to 1..6 (deg 6), plus a small wedge 7-8, 8-9
+    edges = [(0, i) for i in range(1, 7)] + [(7, 8), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    capped = adamic_adar_topk(df, top=100, max_degree=5).collect()
+    assert {(r["x"], r["y"]) for r in capped} == {(7, 9)}
+    full = adamic_adar_topk(df, top=3, max_degree=None).collect()
+    # (7,9) scores 1/ln2, beating the 15 tied hub pairs at 1/ln6; the
+    # tied tail orders deterministically by (x, y) asc
+    assert [(r["x"], r["y"]) for r in full] == [(7, 9), (1, 2), (1, 3)]
+    with pytest.raises(ValueError):
+        adamic_adar_topk(df, top=0)
+    with pytest.raises(ValueError):
+        adamic_adar_topk(df, max_degree=1)
+
+
+def test_adamic_adar_duckdb_twin(spark):
+    import random
+
+    from ddspark.pipeline.graph import (
+        adamic_adar_topk,
+        adamic_adar_topk_oracle_sql,
+    )
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(40), rng.randrange(40)) for _ in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = [
+        (r["x"], r["y"], r["cn"], r["score_micro"], r["aa"])
+        for r in adamic_adar_topk(df, top=30, max_degree=10).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges(src BIGINT, dst BIGINT)"
+    )
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    want = con.execute(
+        adamic_adar_topk_oracle_sql(
+            "SELECT src, dst FROM edges", top=30, max_degree=10
+        )
+    ).fetchall()
+    assert got == [tuple(r) for r in want] and len(got) == 30
