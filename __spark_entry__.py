@@ -1190,6 +1190,22 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (ddspark/pipeline/curation.py
+    dsir_select): score every document by the hashed unigram+bigram
+    importance log-weight ln(p_target/p_raw) with the en-language slice
+    as the target set, micro-nat BIGINT sums, deterministic top-100
+    selection.  The 4096-row bucket-weight table broadcasts; the corpus
+    side is one explode + two keyed aggregations."""
+    from ddspark.pipeline.curation import dsir_select
+
+    docs = _read(spark, sf_dir, "documents")
+    target = docs.where(F.col("lang") == "en").select(
+        F.col("doc_id"), F.col("text")
+    )
+    return dsir_select(docs, target, buckets=512, k=100)
+
+
 def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact two-sided CUSUM change detection
     (ddspark/timeseries.py cusum_changepoints): daily cents per event
@@ -2772,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_scorecard": wrap(_q_scorecard),  # new in r5 (second stretch)
         "ts_cusum_changepoints": wrap(_q_cusum),  # new in r5 (third stretch)
         "graph_adamic_adar": wrap(_q_adamic_adar),  # new in r5 (third stretch)
+        "curation_dsir_select": wrap(_q_dsir),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4020,6 +4037,7 @@ QUALIFY rank <= 10
         "curation_scorecard": _scorecard_oracle(),
         "ts_cusum_changepoints": _cusum_oracle(),
         "graph_adamic_adar": _adamic_adar_oracle(),
+        "curation_dsir_select": _dsir_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4657,6 +4675,17 @@ def _assortativity_oracle() -> str:
         "SELECT user_id % 1000 AS src, "
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
+    )
+
+
+def _dsir_oracle() -> str:
+    from ddspark.pipeline.curation import dsir_select_oracle_sql
+
+    return dsir_select_oracle_sql(
+        "SELECT doc_id AS id, text FROM documents",
+        "SELECT doc_id AS id, text FROM documents WHERE lang = 'en'",
+        buckets=512,
+        k=100,
     )
 
 

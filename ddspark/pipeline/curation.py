@@ -72,6 +72,8 @@ __all__ = [
     "chunk_documents_oracle_sql",
     "gopher_quality",
     "gopher_quality_oracle_sql",
+    "dsir_select",
+    "dsir_select_oracle_sql",
     "c4_clean",
     "c4_clean_oracle_sql",
     "quality_funnel",
@@ -1434,4 +1436,197 @@ SELECT category, CAST(n AS BIGINT) AS n,
               / (CAST(n AS DOUBLE) + {float(smoothing)})) / {y_scale},
              {ndigits}) AS encoding
 FROM per_cat CROSS JOIN tot
+""".strip()
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``id | f`` — one row per hashed-n-gram feature OCCURRENCE
+    (unigrams + adjacent word bigrams, multiplicity kept), the DSIR
+    paper's feature space.  Tokenization is the shared
+    :func:`ddspark.pipeline.dedup.word_tokens` rule."""
+    from .dedup import word_tokens
+
+    toks = df.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    n = F.size("t")
+    uni = toks.select("id", F.explode("t").alias("f")).where(F.col("f") != "")
+    pairs = F.arrays_zip(
+        F.slice("t", 1, n - 1).alias("w1"),
+        F.slice("t", 2, n - 1).alias("w2"),
+    )
+    bi = (
+        toks.where(n >= 2)
+        .select("id", F.explode(pairs).alias("p"))
+        .select("id", F.concat_ws(" ", "p.w1", "p.w2").alias("f"))
+    )
+    return uni.unionAll(bi)
+
+
+def dsir_select(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+    k: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by how target-like its hashed-n-gram distribution is, and
+    flag the top ``k``.  Returns
+    ``(id_col, n_feats, logw_micro, selected)`` where ``logw_micro`` is
+    the exact BIGINT importance log-weight
+
+    ``sum over doc features of  floor(scale * ln(p_target(b) / p_raw(b)))``
+
+    with bucket ``b = portable_hash63(gram) % buckets`` over unigram +
+    bigram word features and Laplace-smoothed bucket models
+    ``p(b) = (c(b)+1) / (total+buckets)`` fitted on the target set and
+    on the corpus itself.  ``selected`` is the deterministic
+    (weight desc, id asc) top-``k`` flag (all false when ``k`` is None).
+
+    **Exactness** — each bucket's log-ratio quantizes to an integer
+    micro-nat BEFORE the per-document sum (the shared micro-nat trick),
+    so scores are BIGINT sums that replay cross-engine; the smoothed
+    ratio is evaluated as one ``ln`` of a double expression written
+    identically in both engines.
+
+    **Scale** — the bucket-weight table has at most ``buckets`` rows
+    (default 4096) and is BROADCAST to the per-document feature counts:
+    the corpus-side work is one explode + one (id, bucket) partial agg +
+    one map-side join + one id-keyed agg.  The target set (a benchmark
+    or a quality seed corpus) is small by construction.  The top-k flag
+    is a windowless global rank over |corpus| score rows — use
+    :func:`exact_k_sample` semantics downstream if k approaches corpus
+    size.
+    """
+    if buckets < 2 or scale < 1 or (k is not None and k < 1):
+        raise ValueError("buckets >= 2, scale >= 1, k >= 1 required")
+    fb_c = _dsir_features(corpus, id_col, text_col).select(
+        "id", (portable_hash63(F.col("f")) % buckets).alias("b")
+    )
+    fb_t = _dsir_features(target, id_col, text_col).select(
+        (portable_hash63(F.col("f")) % buckets).alias("b")
+    )
+    ct = fb_t.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    doc_b = fb_c.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+    cr = doc_b.groupBy("b").agg(F.sum("c").alias("cr"))
+    tots = cr.agg(F.sum("cr").alias("tr")).crossJoin(
+        F.broadcast(ct.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt")))
+    )
+    w = (
+        cr.join(ct, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.floor(
+                F.lit(scale)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).cast("double")
+                        * (F.col("tr") + F.lit(buckets)).cast("double")
+                    )
+                    / (
+                        (F.col("cr") + F.lit(1)).cast("double")
+                        * (F.col("tt") + F.lit(buckets)).cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    scored = (
+        doc_b.join(F.broadcast(w), "b")
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c") * F.col("w")).alias("logw_micro"),
+        )
+    )
+    if k is None:
+        out = scored.withColumn("selected", F.lit(False))
+    else:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(
+            Window.orderBy(F.desc("logw_micro"), F.col("id"))
+        )
+        out = scored.withColumn("selected", rk <= k)
+    return out.select(
+        F.col("id").alias(id_col), "n_feats", "logw_micro", "selected"
+    )
+
+
+def dsir_select_oracle_sql(
+    corpus_sql: str,
+    target_sql: str,
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    k: int | None = None,
+    scale: int = 10**6,
+) -> str:
+    """ANSI twin of :func:`dsir_select` over corpus/target subqueries
+    with columns ``(id, text)`` — same tokenization, same hash-bucket
+    features, same micro-nat quantization, same tie-break."""
+    h = portable_hash63_sql("f")
+    feats = rf"""
+  SELECT id, t[i] AS f
+  FROM {{src}}_toks, UNNEST(generate_series(1, len(t))) AS u(i)
+  WHERE t[i] <> ''
+  UNION ALL
+  SELECT id, t[i] || ' ' || t[i+1] AS f
+  FROM {{src}}_toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2"""
+    sel = (
+        f"rank <= {k}" if k is not None else "FALSE"
+    )
+    return rf"""
+WITH corpus_toks AS (
+  SELECT id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM ({corpus_sql}) WHERE text IS NOT NULL
+),
+target_toks AS (
+  SELECT id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+  FROM ({target_sql}) WHERE text IS NOT NULL
+),
+corpus_f AS ({feats.format(src="corpus")}),
+target_f AS ({feats.format(src="target")}),
+doc_b AS (
+  SELECT id, ({h}) % {buckets} AS b, COUNT(*) AS c
+  FROM corpus_f GROUP BY 1, 2
+),
+cr AS (SELECT b, CAST(SUM(c) AS BIGINT) AS cr FROM doc_b GROUP BY b),
+ct AS (
+  SELECT ({h}) % {buckets} AS b, COUNT(*) AS ct FROM target_f GROUP BY 1
+),
+tots AS (
+  SELECT (SELECT SUM(cr) FROM cr) AS tr,
+         (SELECT COALESCE(SUM(ct), 0) FROM ct) AS tt
+),
+w AS (
+  SELECT cr.b,
+         CAST(FLOOR({scale} * LN(
+             (CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+              * CAST(tots.tr + {buckets} AS DOUBLE))
+             / (CAST(cr.cr + 1 AS DOUBLE)
+                * CAST(tots.tt + {buckets} AS DOUBLE))
+         )) AS BIGINT) AS w
+  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN tots
+),
+scored AS (
+  SELECT doc_b.id,
+         CAST(SUM(doc_b.c) AS BIGINT) AS n_feats,
+         CAST(SUM(doc_b.c * w.w) AS BIGINT) AS logw_micro
+  FROM doc_b JOIN w ON doc_b.b = w.b
+  GROUP BY 1
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY logw_micro DESC, id) AS rank
+  FROM scored
+)
+SELECT id AS {id_col}, n_feats, logw_micro, {sel} AS selected
+FROM ranked
 """.strip()

@@ -698,3 +698,45 @@ def test_target_encode_shrinkage(spark):
 
     with pytest.raises(ValueError, match="smoothing"):
         target_encode(df, "k", "y", smoothing=-1)
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    """Corpus of 6 'cat' docs + 6 'hund' docs, target = cat text: every
+    cat doc must outscore every hund doc, top-k selects only cats."""
+    from ddspark.pipeline.curation import dsir_select
+
+    cats = [(i, "the cat sat on the mat with the cat") for i in range(6)]
+    dogs = [(i + 10, "der hund schlief unter dem tisch im haus") for i in range(6)]
+    corpus = spark.createDataFrame(cats + dogs, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100, "a cat and the mat and the cat sat")], "doc_id long, text string"
+    )
+    out = dsir_select(corpus, target, buckets=64, k=6).collect()
+    scores = {r["doc_id"]: r["logw_micro"] for r in out}
+    assert min(scores[i] for i in range(6)) > max(scores[i + 10] for i in range(6))
+    assert {r["doc_id"] for r in out if r["selected"]} == set(range(6))
+    # k=None -> no selection, scores unchanged
+    out2 = dsir_select(corpus, target, buckets=64).collect()
+    assert not any(r["selected"] for r in out2)
+    assert {r["doc_id"]: r["logw_micro"] for r in out2} == scores
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_select(corpus, target, buckets=1)
+    with _pytest.raises(ValueError):
+        dsir_select(corpus, target, k=0)
+
+
+def test_dsir_bucket_weights_broadcast(spark, sf_dir):
+    """The <=buckets-row weight table must reach the per-doc feature
+    counts through a broadcast join — no shuffle on the corpus side for
+    the weight attach."""
+    from ddspark.pipeline.curation import dsir_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("lang") == "en")
+    plan = (
+        dsir_select(docs, target, buckets=256, k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
