@@ -1190,6 +1190,23 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (ddspark/pipeline/graph.py hits_scores)
+    over the same deterministic 1000-node link graph as graph_pagerank:
+    4 exact integer iterations, each half-step max-normalized to 1e6 by
+    integer division so every score replays bit-for-bit in the unrolled
+    CTE oracle."""
+    from ddspark.pipeline.graph import hits_scores
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") % 1000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 1000).alias("dst"),
+    )
+    return hits_scores(edges, iters=4)
+
+
 def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (ddspark/pipeline/curation.py
     dsir_select): score every document by the hashed unigram+bigram
@@ -2789,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_cusum_changepoints": wrap(_q_cusum),  # new in r5 (third stretch)
         "graph_adamic_adar": wrap(_q_adamic_adar),  # new in r5 (third stretch)
         "curation_dsir_select": wrap(_q_dsir),  # new in r5 (third stretch)
+        "graph_hits": wrap(_q_hits),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4038,6 +4056,7 @@ QUALIFY rank <= 10
         "ts_cusum_changepoints": _cusum_oracle(),
         "graph_adamic_adar": _adamic_adar_oracle(),
         "curation_dsir_select": _dsir_oracle(),
+        "graph_hits": _hits_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4675,6 +4694,19 @@ def _assortativity_oracle() -> str:
         "SELECT user_id % 1000 AS src, "
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
+    )
+
+
+def _hits_oracle() -> str:
+    from ddspark.pipeline.graph import hits_scores_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    return hits_scores_oracle_sql(
+        "SELECT user_id % 1000 AS src, "
+        f"({h}) % 1000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL",
+        iters=4,
     )
 
 

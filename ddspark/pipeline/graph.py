@@ -778,3 +778,139 @@ FROM cand
 ORDER BY score_micro DESC, x, y
 LIMIT {top}
 """.strip()
+
+
+def hits_scores(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) over the directed
+    simple graph: ``(node, hub, auth)`` after ``iters`` exact integer
+    iterations of the mutual recursion
+
+    ``auth(v) = sum of hub(u) over in-edges (u,v)``
+    ``hub(u)  = sum of auth(v) over out-edges (u,v)``
+
+    each half-step max-normalized to ``scale`` by the integer division
+    ``floor(x * scale / max(x))`` — max is an exact aggregate (unlike
+    the usual L2 norm's sqrt), so every score is deterministic BIGINT
+    in [0, scale] and the iteration replays in any engine.  Hubs are
+    pages that link to many authorities; authorities are pages linked
+    from many hubs — the second classic link-quality signal next to
+    :func:`pagerank_integer`, and the one that separates directories
+    from destinations (PageRank conflates them).
+
+    **Scale** — per iteration: two keyed join+agg rounds over the edge
+    list plus one scalar max; lineage is cut per iteration
+    (``localCheckpoint``) exactly like :func:`pagerank_integer`.
+    Overflow bound: ``x <= scale * max_degree``, so the normalization
+    product needs ``scale^2 * max_degree < 2^63`` — the default 1e6
+    supports degrees to ~9e6; drop ``scale`` to 1e4 for web-scale hubs
+    (degree ~9e10).  Self-loops drop (a page is not its own endorser).
+    """
+    if iters < 1 or scale < 2:
+        raise ValueError("iters >= 1 and scale >= 2 required")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    hub = nodes.withColumn("h", F.lit(int(scale)).cast("long"))
+    auth = None
+    # Each half-step materializes (eager localCheckpoint) and collects ONE
+    # scalar — the max, same driver-side footprint as pagerank_integer's
+    # node count.  Keeping the normalizer on the driver keeps the plan
+    # depth constant per iteration instead of nesting broadcast subplans.
+    for _ in range(iters):
+        a_all = (
+            nodes.join(
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy("dst")
+                .agg(F.sum("h").alias("x")),
+                nodes["node"] == F.col("dst"),
+                "left",
+            )
+            .select("node", F.coalesce("x", F.lit(0).cast("long")).alias("x"))
+            .localCheckpoint()
+        )
+        am = a_all.agg(F.max("x")).collect()[0][0]
+        auth = a_all.select(
+            "node", F.expr(f"(x * {int(scale)}) div {int(am)}").alias("a")
+        )
+        h_all = (
+            nodes.join(
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy("src")
+                .agg(F.sum("a").alias("x")),
+                nodes["node"] == F.col("src"),
+                "left",
+            )
+            .select("node", F.coalesce("x", F.lit(0).cast("long")).alias("x"))
+            .localCheckpoint()
+        )
+        hm = h_all.agg(F.max("x")).collect()[0][0]
+        hub = h_all.select(
+            "node", F.expr(f"(x * {int(scale)}) div {int(hm)}").alias("h")
+        )
+    return (
+        nodes.join(hub, "node")
+        .join(auth, "node")
+        .select("node", F.col("h").alias("hub"), F.col("a").alias("auth"))
+    )
+
+
+def hits_scores_oracle_sql(
+    edges_sql: str,
+    iters: int = 4,
+    scale: int = 10**6,
+) -> str:
+    """ANSI twin of :func:`hits_scores`: the same max-normalized integer
+    iterations unrolled as chained CTEs."""
+    s = int(scale)
+    # AS MATERIALIZED is load-bearing: each level is referenced more
+    # than once (by the next level AND by its own MAX normalizer), so an
+    # inlining planner would expand the unrolled chain exponentially.
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql})",
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        " nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        f" h0 AS (SELECT node, CAST({s} AS BIGINT) AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", ar{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.x, 0) AS x"
+            f"  FROM nodes n LEFT JOIN ("
+            f"    SELECT e.dst AS node, SUM({prev_h}.h) AS x"
+            f"    FROM e JOIN {prev_h} ON e.src = {prev_h}.node GROUP BY 1"
+            f"  ) s ON n.node = s.node)"
+            f", a{i} AS MATERIALIZED (SELECT node,"
+            f"  CAST((x * {s}) // (SELECT MAX(x) FROM ar{i}) AS BIGINT) AS a"
+            f"  FROM ar{i})"
+            f", hr{i} AS MATERIALIZED (SELECT n.node, COALESCE(s.x, 0) AS x"
+            f"  FROM nodes n LEFT JOIN ("
+            f"    SELECT e.src AS node, SUM(a{i}.a) AS x"
+            f"    FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1"
+            f"  ) s ON n.node = s.node)"
+            f", h{i} AS MATERIALIZED (SELECT node,"
+            f"  CAST((x * {s}) // (SELECT MAX(x) FROM hr{i}) AS BIGINT) AS h"
+            f"  FROM hr{i})"
+        )
+        prev_h = f"h{i}"
+    parts.append(
+        f" SELECT n.node, h{iters}.h AS hub, a{iters}.a AS auth"
+        f" FROM nodes n JOIN h{iters} ON n.node = h{iters}.node"
+        f" JOIN a{iters} ON n.node = a{iters}.node"
+    )
+    return "\n".join(parts)

@@ -404,3 +404,57 @@ def test_adamic_adar_duckdb_twin(spark):
         )
     ).fetchall()
     assert got == [tuple(r) for r in want] and len(got) == 30
+
+
+def test_hits_known_graph(spark):
+    """Directed star 1->{2,3,4}: node 1 is the pure hub (hub=scale,
+    auth=0), leaves are equal pure authorities (auth=scale, hub=0)."""
+    from ddspark.pipeline.graph import hits_scores
+
+    edges = [(1, 2), (1, 3), (1, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits_scores(df, iters=3).collect()}
+    assert got[1] == (10**6, 0)
+    assert got[2] == got[3] == got[4] == (0, 10**6)
+    with pytest.raises(ValueError):
+        hits_scores(df, iters=0)
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """Two hubs pointing at a shared authority plus a chain: the shared
+    target must out-auth everything; the two-out-edge hub out-hubs the
+    one-out-edge node."""
+    from ddspark.pipeline.graph import hits_scores
+
+    # hubs 10, 11 both -> 1 and 2; plus 20 -> 1
+    edges = [(10, 1), (10, 2), (11, 1), (11, 2), (20, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits_scores(df, iters=4).collect()}
+    assert got[1][1] == 10**6                 # the max authority
+    assert got[1][1] > got[2][1] > 0
+    assert got[10] == got[11]                 # symmetric hubs tie exactly
+    assert got[10][0] == 10**6 and got[10][0] > got[20][0] > 0
+
+
+def test_hits_duckdb_twin_random_graph(spark):
+    import random
+
+    from ddspark.pipeline.graph import hits_scores, hits_scores_oracle_sql
+
+    rng = random.Random(23)
+    edges = [(rng.randrange(50), rng.randrange(50)) for _ in range(250)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: (r["hub"], r["auth"])
+        for r in hits_scores(df, iters=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            hits_scores_oracle_sql("SELECT src, dst FROM edges", iters=3)
+        ).fetchall()
+    }
+    assert got == want and len(got) == 50
