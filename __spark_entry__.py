@@ -1190,6 +1190,18 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (ddspark/pipeline/textops.py
+    rake_keywords): top-20 corpus phrases by summed member-word
+    deg/freq scores — pure integer floor division (scale*deg) div freq,
+    BIGINT phrase sums, (score desc, phrase) tie-break, so the ranking
+    replays bit-for-bit in the DuckDB twin."""
+    from ddspark.pipeline.textops import rake_keywords
+
+    docs = _read(spark, sf_dir, "documents")
+    return rake_keywords(docs, top=20, max_words=4)
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs/authorities (ddspark/pipeline/graph.py hits_scores)
     over the same deterministic 1000-node link graph as graph_pagerank:
@@ -2807,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_adamic_adar": wrap(_q_adamic_adar),  # new in r5 (third stretch)
         "curation_dsir_select": wrap(_q_dsir),  # new in r5 (third stretch)
         "graph_hits": wrap(_q_hits),  # new in r5 (third stretch)
+        "text_rake_keywords": wrap(_q_rake),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4057,6 +4070,7 @@ QUALIFY rank <= 10
         "graph_adamic_adar": _adamic_adar_oracle(),
         "curation_dsir_select": _dsir_oracle(),
         "graph_hits": _hits_oracle(),
+        "text_rake_keywords": _rake_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4695,6 +4709,12 @@ def _assortativity_oracle() -> str:
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
     )
+
+
+def _rake_oracle() -> str:
+    from ddspark.pipeline.textops import rake_keywords_oracle_sql
+
+    return rake_keywords_oracle_sql("documents", top=20, max_words=4)
 
 
 def _hits_oracle() -> str:

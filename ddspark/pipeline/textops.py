@@ -28,6 +28,8 @@ __all__ = [
     "punct_ratio",
     "digit_ratio",
     "stopword_ratio",
+    "rake_keywords",
+    "rake_keywords_oracle_sql",
     "quality_score",
     "language_id",
     "language_id_oracle_sql",
@@ -1041,4 +1043,184 @@ SELECT CAST(MIN(na) AS BIGINT) AS n_terms_a,
        CAST(MIN(v) AS BIGINT) AS vocab,
        ROUND(CAST(SUM(t) AS DOUBLE) / 1e9, {ndigits}) AS jsd
 FROM nano
+""".strip()
+
+
+# RAKE phrase-boundary stopwords (Rose et al. 2010) — deliberately small
+# and frozen: the list is part of the operator's cross-engine contract.
+RAKE_STOPWORDS: list[str] = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "has", "have", "he", "i", "in", "is", "it", "its", "not", "of", "on",
+    "or", "our", "she", "that", "the", "their", "these", "they", "this",
+    "those", "to", "was", "we", "were", "will", "with", "you", "your",
+]
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 20,
+    max_words: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) over the corpus: the
+    ``top`` candidate phrases ranked by the summed member-word scores
+    ``deg(w)/freq(w)``.  Candidate phrases are maximal runs of
+    non-stopword tokens between stopword/punctuation boundaries;
+    ``freq(w)`` counts a word's phrase memberships and ``deg(w)`` sums
+    the lengths of the phrases it appears in — so words that co-occur
+    inside long multi-word terms outrank equally frequent words that
+    only stand alone.  Returns ``(phrase, n_words, n, score_micro,
+    score)`` with ``n`` the corpus-wide occurrence count.
+
+    **Exactness** — the word score quantizes as the pure-integer floor
+    division ``(scale * deg) div freq`` (no floats anywhere), and the
+    phrase score is the BIGINT sum of member-word scores, so the
+    ranking replays bit-for-bit cross-engine; ties break on the phrase
+    text.
+
+    **Scale** — one explode + a token-keyed aggregation for the word
+    table, then a token-keyed join back to phrase members (vocab-keyed,
+    partial-agg friendly, no skew beyond natural token frequency) and a
+    phrase-keyed aggregation.  Phrases longer than ``max_words`` drop
+    (mirrored), which also bounds the member fan-out per phrase.
+    """
+    if top < 1 or max_words < 1 or scale < 1:
+        raise ValueError("top, max_words, scale must all be >= 1")
+    norm = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]+", " | "),
+            r"\s+",
+            " ",
+        ),
+        r"^ | $",
+        "",
+    )
+    toks = df.select(F.col(id_col).alias("id"), F.split(norm, " ").alias("t")).where(
+        F.size("t") > 0
+    )
+    pos = toks.select("id", F.posexplode("t").alias("pos", "tok"))
+    flagged = pos.withColumn(
+        "boundary",
+        (F.col("tok") == "|") | (F.col("tok") == "") | F.col("tok").isin(RAKE_STOPWORDS),
+    )
+    wo = Window.partitionBy("id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    members = (
+        flagged.withColumn("pid", F.sum(F.col("boundary").cast("int")).over(wo))
+        .where(~F.col("boundary"))
+        .select("id", "pid", "pos", "tok")
+    )
+    wp = Window.partitionBy("id", "pid")
+    members = members.withColumn("plen", F.count(F.lit(1)).over(wp)).where(
+        F.col("plen") <= max_words
+    )
+    words = members.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    wscore = words.select(
+        "tok", F.expr(f"({int(scale)} * deg) div freq").alias("ws")
+    )
+    phrases = (
+        members.join(wscore, "tok")
+        .groupBy("id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("ws").alias("score_micro"),
+        )
+    )
+    out = phrases.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("score_micro").alias("score_micro"),
+    )
+    out = out.select(
+        "phrase",
+        "n_words",
+        "n",
+        "score_micro",
+        F.round(F.col("score_micro").cast("double") / scale, 6).alias("score"),
+    )
+    return out.orderBy(F.desc("score_micro"), "phrase").limit(top)
+
+
+def rake_keywords_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top: int = 20,
+    max_words: int = 4,
+    scale: int = 10**6,
+) -> str:
+    """ANSI twin of :func:`rake_keywords` (same normalization, boundary
+    rule, integer word scores, and tie-break)."""
+    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         string_split(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower({text_col}), '[^a-z0-9\s]+', ' | ', 'g'),
+               '\s+', ' ', 'g'),
+             '^ | $', '', 'g'),
+           ' ') AS t
+  FROM {table} WHERE {text_col} IS NOT NULL
+),
+pos AS (
+  SELECT id, i AS pos, t[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+flagged AS (
+  SELECT id, pos, tok,
+         (tok = '|' OR tok = '' OR tok IN ({stops})) AS boundary
+  FROM pos
+),
+members0 AS (
+  SELECT id, pos, tok,
+         SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
+             OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pid
+  FROM flagged
+  QUALIFY NOT boundary
+),
+members AS (
+  SELECT * FROM (
+    SELECT id, pid, pos, tok,
+           COUNT(*) OVER (PARTITION BY id, pid) AS plen
+    FROM members0
+  ) WHERE plen <= {max_words}
+),
+words AS (
+  SELECT tok, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  FROM members GROUP BY tok
+),
+wscore AS (
+  SELECT tok, ({int(scale)} * deg) // freq AS ws FROM words
+),
+phrases AS (
+  SELECT m.id, m.pid,
+         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+         COUNT(*) AS n_words,
+         CAST(SUM(w.ws) AS BIGINT) AS score_micro
+  FROM members m JOIN wscore w ON m.tok = w.tok
+  GROUP BY 1, 2
+)
+SELECT phrase,
+       CAST(MAX(n_words) AS BIGINT) AS n_words,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MAX(score_micro) AS BIGINT) AS score_micro,
+       ROUND(CAST(MAX(score_micro) AS DOUBLE) / {int(scale)}, 6) AS score
+FROM phrases
+GROUP BY phrase
+ORDER BY MAX(score_micro) DESC, phrase
+LIMIT {top}
 """.strip()

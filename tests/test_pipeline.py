@@ -2659,3 +2659,58 @@ def test_vocab_jsd_properties_and_duckdb(spark, sf_dir):
     con.register("documents", docs.toPandas())
     duck = con.execute(vocab_jsd_oracle_sql("documents", "lang", "en", "de")).fetchall()[0]
     assert got == duck
+
+
+def test_rake_keywords_hand_corpus(spark):
+    """The worked RAKE property: words that co-occur inside multi-word
+    phrases (deg > freq) outscore standalone words of equal frequency."""
+    from ddspark.pipeline.textops import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deep learning is the best. deep learning wins."),
+            (2, "the cat sat. cat naps are short, deep learning helps."),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keywords(docs, top=50, max_words=4).collect()
+    rows = {r["phrase"]: r for r in out}
+    # phrases: [deep learning], [best], [deep learning wins] (doc 1);
+    # [cat sat], [cat naps], [short], [deep learning helps] (doc 2).
+    # freq(deep)=3, deg(deep)=2+3+3=8 -> ws=floor(8e6/3)=2666666 (same
+    # for 'learning'), so the bare phrase scores 2*2666666
+    assert rows["deep learning"]["score_micro"] == 5_333_332
+    assert rows["deep learning"]["n"] == 1
+    assert rows["deep learning"]["n_words"] == 2
+    # 'best' stands alone once: ws = 1e6
+    assert rows["best"]["score_micro"] == 1_000_000
+    # the two 3-word terms tie at 8333332; phrase-asc tie-break
+    assert out[0]["phrase"] == "deep learning helps"
+    assert out[1]["phrase"] == "deep learning wins"
+    assert out[0]["score_micro"] == out[1]["score_micro"] == 8_333_332
+    # stopwords never appear in phrases
+    assert all(" the " not in f" {p} " and p != "the" for p in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rake_keywords(docs, top=0)
+
+
+def test_rake_keywords_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from ddspark.pipeline.textops import rake_keywords, rake_keywords_oracle_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = [
+        (r["phrase"], r["n_words"], r["n"], r["score_micro"], r["score"])
+        for r in rake_keywords(docs, top=30).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(
+        rake_keywords_oracle_sql("documents", top=30)
+    ).fetchall()]
+    assert got == want and len(got) == 30
