@@ -1190,6 +1190,25 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real QOI decode path (qoiformat.org chunk stream): synthesize a
+    deterministic 7x5 QOI per document (raster byte i is
+    (doc_id + i) % 256 — adjacent pixels step +3 per channel, so every
+    pixel entropy-codes as a LUMA chunk and the running-index discipline
+    must hold), decode through the full chunk walker, and emit exact
+    stats the oracle replays in closed form."""
+    from ddspark.pipeline.multimodal import decode_stats, synth_images
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = synth_images(docs, "doc_id", width=7, height=5, fmt="qoi")
+    return decode_stats(imgs, "doc_id", "img").select(
+        "doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def _q_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAKE keyword extraction (ddspark/pipeline/textops.py
     rake_keywords): top-20 corpus phrases by summed member-word
@@ -2820,6 +2839,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_dsir_select": wrap(_q_dsir),  # new in r5 (third stretch)
         "graph_hits": wrap(_q_hits),  # new in r5 (third stretch)
         "text_rake_keywords": wrap(_q_rake),  # new in r5 (third stretch)
+        "multimodal_qoi_stats": wrap(_q_multimodal_qoi),  # new in r5 (3rd s.)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -3436,6 +3456,20 @@ def oracle_sql() -> dict[str, str]:
         # is 7x5x3 raster bytes (doc_id + idx) % 256 with channel idx%3
         # (row stride 21 is divisible by 3); the 3x2 nearest-neighbor
         # resize samples src = ((y*5)//2, (x*7)//3).
+        "multimodal_qoi_stats": """
+            WITH px AS (
+              SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
+              FROM documents d, UNNEST(generate_series(0, 104)) AS u(i)
+            )
+            SELECT doc_id, 7 AS width, 5 AS height,
+                   CAST(SUM(CASE WHEN idx % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+                   CAST(SUM(CASE WHEN idx % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+                   CAST(SUM(CASE WHEN idx % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+                   ROUND(AVG(CASE WHEN idx % 3 = 0 THEN CAST(v AS DOUBLE) END), 6) AS mean_r,
+                   ROUND(AVG(CASE WHEN idx % 3 = 1 THEN CAST(v AS DOUBLE) END), 6) AS mean_g,
+                   ROUND(AVG(CASE WHEN idx % 3 = 2 THEN CAST(v AS DOUBLE) END), 6) AS mean_b
+            FROM px GROUP BY doc_id
+        """,
         "multimodal_decode_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v

@@ -824,6 +824,8 @@ def decode_image(blob: bytes) -> np.ndarray:
             return _decode_ppm(b)
         if b[:4] in (b"II*\x00", b"MM\x00*"):
             return _decode_tiff(b)
+        if b[:4] == b"qoif":
+            return _decode_qoi(b)
     except ValueError:
         raise
     except (struct.error, IndexError, KeyError, EOFError, OverflowError,
@@ -834,7 +836,7 @@ def decode_image(blob: bytes) -> np.ndarray:
             f"corrupt image blob: {type(exc).__name__}: {exc}"
         ) from exc
     raise ValueError(
-        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/GIF/JPEG/TIFF supported)"
+        f"unsupported image magic {b[:2]!r} (BMP/PPM/PNG/GIF/JPEG/TIFF/QOI supported)"
     )
 
 
@@ -889,6 +891,7 @@ def synth_images(
         # PackBits + big-endian: the strip decompressor and MM byte order
         # both run on decode, same closed-form pixels
         "tiff_pb": lambda a: encode_tiff(a, packbits=True, big_endian=True),
+        "qoi": encode_qoi,
     }[fmt]
     n = width * height * 3
     schema = StructType(
@@ -2012,3 +2015,129 @@ def _decode_tiff(blob: bytes) -> np.ndarray:
             a = 255 - a
         return np.repeat(a[:, :, None], 3, axis=2)
     return a.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# QOI — the "Quite OK Image" format (qoiformat.org, spec 1.0).  One-pass
+# byte stream of five chunk ops over a running 64-slot color index; no
+# entropy coder, so it is the cheapest *real* lossless interchange format
+# a crawl contains.  Same dependency-free contract as the other codecs.
+# ---------------------------------------------------------------------------
+
+def _qoi_hash(r: int, g: int, b: int, a: int) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(arr: np.ndarray) -> bytes:
+    """Encode an ``(H, W, 3) uint8`` RGB array as a QOI blob (channels=3,
+    sRGB colorspace byte 0).  Emits all five chunk ops exactly per the
+    spec: RUN (<=62, 0xFE/0xFF tags excluded by the bias), INDEX on a
+    64-slot hash hit, 2-bit DIFF, LUMA, and literal RGB — wraparound
+    differences included."""
+    h, w, ch = arr.shape
+    if ch != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_qoi expects (H, W, 3) uint8")
+    out = bytearray(b"qoif")
+    out += struct.pack(">IIBB", w, h, 3, 0)
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for r, g, b in arr.reshape(-1, 3).tolist():
+        cur = (r, g, b, 255)
+        if cur == prev:
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        hp = _qoi_hash(r, g, b, 255)
+        if index[hp] == cur:
+            out.append(hp)
+        else:
+            index[hp] = cur
+            dr = ((r - prev[0]) + 128) % 256 - 128
+            dg = ((g - prev[1]) + 128) % 256 - 128
+            db = ((b - prev[2]) + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(0x80 | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out.append(0xFE)
+                out += bytes((r, g, b))
+        prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def _decode_qoi(blob: bytes) -> np.ndarray:
+    """QOI -> (H, W, 3) uint8 RGB.  Mirrors the reference decoder's index
+    discipline exactly: the 64-slot index is (re)written after every
+    non-RUN chunk, never on RUN repeats.  RGBA files decode with alpha
+    dropped; truncated streams and a missing end marker raise ValueError.
+    """
+    b = bytes(blob)
+    if b[:4] != b"qoif" or len(b) < 22:
+        raise ValueError("not a QOI stream")
+    w, h, ch, _cs = struct.unpack_from(">IIBB", b, 4)
+    if ch not in (3, 4):
+        raise ValueError(f"unsupported QOI channel count {ch}")
+    _check_dims(w, h, "QOI")
+    npx = w * h
+    out = np.empty((npx, 3), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    px = (0, 0, 0, 255)
+    i, p, end = 14, 0, len(b) - 8
+    while p < npx:
+        if i >= end:
+            raise ValueError("QOI stream exhausted before all pixels")
+        byte = b[i]
+        if byte == 0xFE:
+            px = (b[i + 1], b[i + 2], b[i + 3], px[3])
+            i += 4
+        elif byte == 0xFF:
+            px = (b[i + 1], b[i + 2], b[i + 3], b[i + 4])
+            i += 5
+        else:
+            tag = byte >> 6
+            if tag == 0:
+                px = index[byte & 0x3F]
+                i += 1
+            elif tag == 1:
+                px = (
+                    (px[0] + ((byte >> 4) & 3) - 2) % 256,
+                    (px[1] + ((byte >> 2) & 3) - 2) % 256,
+                    (px[2] + (byte & 3) - 2) % 256,
+                    px[3],
+                )
+                i += 1
+            elif tag == 2:
+                dg = (byte & 0x3F) - 32
+                b2 = b[i + 1]
+                px = (
+                    (px[0] + dg + ((b2 >> 4) & 15) - 8) % 256,
+                    (px[1] + dg) % 256,
+                    (px[2] + dg + (b2 & 15) - 8) % 256,
+                    px[3],
+                )
+                i += 2
+            else:
+                run = (byte & 0x3F) + 1
+                if p + run > npx:
+                    raise ValueError("QOI run overflows the pixel count")
+                out[p : p + run] = px[:3]
+                p += run
+                i += 1
+                continue
+        index[_qoi_hash(*px)] = px
+        out[p] = px[:3]
+        p += 1
+    if b[i:] != b"\x00" * 7 + b"\x01":
+        raise ValueError("bad QOI end marker")
+    return out.reshape(h, w, 3)

@@ -566,3 +566,78 @@ def test_tiff_rejects_unsupported():
     # contract turns it into a ValueError like every other codec
     with _pytest.raises(ValueError, match="corrupt image blob"):
         decode_image(bytes(good[:20]))
+
+
+def test_qoi_roundtrip_all_chunk_types():
+    """Every QOI op must be exercised and roundtrip exactly: RUN
+    (including the 62 cap), INDEX, DIFF, LUMA, literal RGB, and
+    wraparound diffs."""
+    import numpy as np
+
+    from ddspark.pipeline.multimodal import _decode_qoi, encode_qoi
+
+    # flat image: header + runs only
+    flat = np.full((3, 50, 3), 9, np.uint8)
+    blob = encode_qoi(flat)
+    assert np.array_equal(_decode_qoi(blob), flat)
+    # 150 identical px -> runs of 62+62+25(+first literal): tiny blob
+    assert len(blob) < 30
+
+    # alternating two colors -> INDEX chunks after first occurrences
+    alt = np.zeros((2, 40, 3), np.uint8)
+    alt[:, 1::2] = (200, 100, 50)
+    assert np.array_equal(_decode_qoi(encode_qoi(alt)), alt)
+
+    # +1 ramp -> DIFF chunks; +3 ramp -> LUMA; 255->0 wraparound
+    ramp = np.zeros((1, 256, 3), np.uint8)
+    ramp[0, :, 0] = np.arange(255, -1, -1, dtype=np.uint8)  # -1 steps
+    ramp[0, :, 1] = (np.arange(256) * 3).astype(np.uint8)
+    assert np.array_equal(_decode_qoi(encode_qoi(ramp)), ramp)
+
+    # random stress incl. repeated colors
+    rng = np.random.default_rng(42)
+    noisy = rng.integers(0, 8, (11, 13, 3), dtype=np.uint8) * 37
+    assert np.array_equal(_decode_qoi(encode_qoi(noisy)), noisy)
+
+
+def test_qoi_corrupt_blobs_raise_valueerror():
+    import numpy as np
+    import pytest
+
+    from ddspark.pipeline.multimodal import decode_image, encode_qoi
+
+    good = encode_qoi(np.full((4, 4, 3), 77, np.uint8))
+    # truncated stream
+    with pytest.raises(ValueError):
+        decode_image(good[:-10])
+    # bad end marker
+    with pytest.raises(ValueError):
+        decode_image(good[:-1] + b"\x02")
+    # decompression-bomb dims
+    import struct
+
+    bomb = b"qoif" + struct.pack(">IIBB", 1 << 16, 1 << 16, 3, 0) + good[14:]
+    with pytest.raises(ValueError, match="cap"):
+        decode_image(bomb)
+    # 2-channel header
+    two = good[:12] + bytes([2]) + good[13:]
+    with pytest.raises(ValueError, match="channel"):
+        decode_image(two)
+
+
+def test_qoi_rgba_decodes_with_alpha_dropped():
+    """A hand-built channels=4 stream with an RGBA literal decodes; the
+    alpha participates in the index hash but drops from the output."""
+    import struct
+
+    import numpy as np
+
+    from ddspark.pipeline.multimodal import _decode_qoi
+
+    head = b"qoif" + struct.pack(">IIBB", 2, 1, 4, 0)
+    body = bytes([0xFF, 10, 20, 30, 128])      # RGBA literal
+    body += bytes([0xC0 | 0])                   # run 1 (repeat)
+    blob = head + body + b"\x00" * 7 + b"\x01"
+    out = _decode_qoi(blob)
+    assert out.shape == (1, 2, 3)
+    assert np.array_equal(out, [[[10, 20, 30], [10, 20, 30]]])
