@@ -1190,6 +1190,17 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion (ddspark/events.py survival_km):
+    days from first view to first purchase per user, never-converters
+    right-censored at the corpus horizon; each KM factor enters as a
+    floor-quantized micro-nat before the cumulative sum so the curve
+    replays exactly."""
+    from ddspark.events import survival_km
+
+    return survival_km(_read(spark, sf_dir, "events"), "view", "purchase")
+
+
 def _q_multimodal_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real QOI decode path (qoiformat.org chunk stream): synthesize a
     deterministic 7x5 QOI per document (raster byte i is
@@ -2840,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits": wrap(_q_hits),  # new in r5 (third stretch)
         "text_rake_keywords": wrap(_q_rake),  # new in r5 (third stretch)
         "multimodal_qoi_stats": wrap(_q_multimodal_qoi),  # new in r5 (3rd s.)
+        "events_survival_km": wrap(_q_survival),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4105,6 +4117,7 @@ QUALIFY rank <= 10
         "curation_dsir_select": _dsir_oracle(),
         "graph_hits": _hits_oracle(),
         "text_rake_keywords": _rake_oracle(),
+        "events_survival_km": _survival_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4743,6 +4756,12 @@ def _assortativity_oracle() -> str:
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
     )
+
+
+def _survival_oracle() -> str:
+    from ddspark.events import survival_km_oracle_sql
+
+    return survival_km_oracle_sql("events", "view", "purchase")
 
 
 def _rake_oracle() -> str:

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["funnel", "cohort_retention", "top_paths", "markov_transitions", "markov_transitions_oracle_sql", "rfm_segments", "rfm_segments_oracle_sql"]
+__all__ = ["funnel", "cohort_retention", "top_paths", "markov_transitions", "markov_transitions_oracle_sql", "rfm_segments", "rfm_segments_oracle_sql", "survival_km", "survival_km_oracle_sql"]
 
 
 def funnel(
@@ -305,4 +305,200 @@ SELECT "user", recency_ts, frequency, monetary,
        CAST(NTILE({q}) OVER (ORDER BY frequency ASC, "user" ASC) AS INT) AS f,
        CAST(NTILE({q}) OVER (ORDER BY monetary ASC, "user" ASC) AS INT) AS m
 FROM per_user
+""".strip()
+
+
+def survival_km(
+    events: DataFrame,
+    start_type: str,
+    target_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    unit_seconds: int = 86400,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve: for each elapsed-time step
+    (in ``unit_seconds`` buckets since the user's first ``start_type``
+    event), the survival probability that a user has NOT yet performed
+    ``target_type``.  Users who never convert are right-censored at the
+    corpus's last observed timestamp — the estimator the KM product-limit
+    form exists for (dropping censored users would bias conversion fast).
+
+    Returns one row per event time: ``(t, n_risk, n_events, n_censored,
+    logs_micro, survival)`` where ``t`` is whole units since start,
+    ``n_risk`` counts users still unconverted and uncensored just before
+    ``t``, ``n_events`` conversions at exactly ``t``, and
+    ``survival = exp(logs_micro/scale)`` with
+
+    ``logs_micro = cumulative sum of floor(scale * ln((n_risk - n_events) / n_risk))``
+
+    — each KM factor ``(1 - d_i/n_i)`` enters as a floor-quantized
+    integer log BEFORE the cumulative sum (the shared micro-nat trick),
+    so the curve replays cross-engine; a final time step where everyone
+    at risk converts yields ``survival = 0`` exactly (flagged, not
+    ln(0)).  ``n_censored`` counts censoring in ``[t, next event time)``
+    as usual.
+
+    **Scale** — two conditional min-aggregates collapse the event table
+    to one row per user; everything after runs over distinct event
+    TIMES (thousands of rows), so the windows are trivial.  The global
+    censoring horizon is one scalar aggregate.
+    """
+    from pyspark.sql import Window
+
+    if unit_seconds < 1 or scale < 1:
+        raise ValueError("unit_seconds and scale must be >= 1")
+    ev = events.where(F.col(ts_col).isNotNull() & F.col(user_col).isNotNull())
+    per_user = ev.groupBy(user_col).agg(
+        F.min(F.when(F.col(type_col) == start_type, F.col(ts_col))).alias("t0"),
+        F.min(F.when(F.col(type_col) == target_type, F.col(ts_col))).alias("t1"),
+    )
+    horizon = ev.agg(F.max(ts_col).alias("hz"))
+    obs = (
+        per_user.where(F.col("t0").isNotNull())
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0")),
+                F.floor(
+                    (F.unix_timestamp("t1") - F.unix_timestamp("t0"))
+                    / F.lit(unit_seconds)
+                ),
+            ).alias("t_event"),
+            F.floor(
+                (F.unix_timestamp("hz") - F.unix_timestamp("t0"))
+                / F.lit(unit_seconds)
+            ).alias("t_censor"),
+        )
+        .select(
+            F.coalesce("t_event", "t_censor").cast("long").alias("t"),
+            F.col("t_event").isNotNull().alias("converted"),
+        )
+    )
+    times = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("n_events"),
+        F.sum(F.when(F.col("converted"), 0).otherwise(1)).alias("n_censored"),
+    )
+    wo = Window.orderBy("t")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = obs.count()
+    risk = times.withColumn(
+        "n_risk",
+        F.lit(int(total))
+        - F.coalesce(
+            F.sum(F.col("n_events") + F.col("n_censored")).over(wprev),
+            F.lit(0).cast("long"),
+        ),
+    )
+    term = F.when(
+        F.col("n_risk") > F.col("n_events"),
+        F.floor(
+            F.lit(int(scale))
+            * F.log(
+                (F.col("n_risk") - F.col("n_events")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out = (
+        risk.where(F.col("n_events") > 0)
+        .withColumn("_term", term)
+        .withColumn("_zero", F.col("n_risk") == F.col("n_events"))
+    )
+    wrun2 = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = out.withColumns(
+        {
+            "logs_micro": F.sum("_term").over(wrun2),
+            "_zero_seen": F.max(F.col("_zero").cast("int")).over(wrun2),
+        }
+    )
+    return out.select(
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(F.col("_zero_seen") == 1, F.lit(None).cast("long"))
+        .otherwise(F.col("logs_micro"))
+        .alias("logs_micro"),
+        F.when(F.col("_zero_seen") == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.col("logs_micro").cast("double") / int(scale)), 6)
+        )
+        .alias("survival"),
+    )
+
+
+def survival_km_oracle_sql(
+    table: str = "events",
+    start_type: str = "view",
+    target_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    unit_seconds: int = 86400,
+    scale: int = 10**6,
+) -> str:
+    """ANSI twin of :func:`survival_km` (same censoring horizon, same
+    micro-nat factor quantization, same zero-survival flag)."""
+    s = int(scale)
+    return f"""
+WITH ev AS (
+  SELECT {user_col} AS u, {ts_col} AS ts, {type_col} AS et
+  FROM {table} WHERE {ts_col} IS NOT NULL AND {user_col} IS NOT NULL
+),
+per_user AS (
+  SELECT u,
+         MIN(CASE WHEN et = '{start_type}' THEN ts END) AS t0,
+         MIN(CASE WHEN et = '{target_type}' THEN ts END) AS t1
+  FROM ev GROUP BY u
+),
+hz AS (SELECT MAX(ts) AS hz FROM ev),
+obs AS (
+  SELECT COALESCE(
+           CASE WHEN t1 IS NOT NULL AND t1 >= t0
+                THEN CAST(FLOOR(date_diff('second', t0, t1) / {unit_seconds}) AS BIGINT)
+           END,
+           CAST(FLOOR(date_diff('second', t0, hz.hz) / {unit_seconds}) AS BIGINT)
+         ) AS t,
+         (t1 IS NOT NULL AND t1 >= t0) AS converted
+  FROM per_user CROSS JOIN hz
+  WHERE t0 IS NOT NULL
+),
+times AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+  FROM obs GROUP BY t
+),
+risk AS (
+  SELECT t, n_events, n_censored,
+         CAST((SELECT COUNT(*) FROM obs)
+              - COALESCE(SUM(n_events + n_censored)
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+  FROM times
+),
+steps AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CASE WHEN n_risk > n_events
+              THEN CAST(FLOOR({s} * LN(CAST(n_risk - n_events AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE))) AS BIGINT)
+              ELSE 0 END AS term,
+         CASE WHEN n_risk = n_events THEN 1 ELSE 0 END AS zero
+  FROM risk WHERE n_events > 0
+),
+acc AS (
+  SELECT t, n_risk, n_events, n_censored,
+         SUM(term) OVER w AS logs_micro,
+         MAX(zero) OVER w AS zero_seen
+  FROM steps
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT t, n_risk, n_events, n_censored,
+       CAST(CASE WHEN zero_seen = 1 THEN NULL ELSE logs_micro END AS BIGINT) AS logs_micro,
+       CASE WHEN zero_seen = 1 THEN 0.0
+            ELSE ROUND(EXP(CAST(logs_micro AS DOUBLE) / {s}), 6) END AS survival
+FROM acc
 """.strip()

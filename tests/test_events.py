@@ -227,3 +227,72 @@ def test_rfm_segments_scores_and_duckdb(spark, sf_dir):
 
     with _pytest.raises(ValueError, match="q must be"):
         rfm_segments(ev, q=1)
+
+
+def test_survival_km_hand_curve(spark):
+    """5 at-risk users: 2 convert at t=1, censor at t=2, convert at t=3,
+    censor at t=5 -> KM steps S(1)=3/5, S(3)=3/10, all replayed through
+    the micro-nat quantization."""
+    import math
+
+    from ddspark.events import survival_km
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-02 00:00:00", "purchase"),
+        (2, "2024-01-01 00:00:00", "view"), (2, "2024-01-02 00:00:00", "purchase"),
+        (3, "2024-01-01 00:00:00", "view"), (3, "2024-01-04 00:00:00", "purchase"),
+        (4, "2024-01-04 00:00:00", "view"),
+        (5, "2024-01-01 00:00:00", "view"),
+        (9, "2024-01-06 00:00:00", "error"),   # horizon only (no view)
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["t"]: r for r in survival_km(ev, "view", "purchase").collect()}
+    assert set(got) == {1, 3}
+    r1, r3 = got[1], got[3]
+    assert (r1["n_risk"], r1["n_events"], r1["n_censored"]) == (5, 2, 0)
+    assert (r3["n_risk"], r3["n_events"], r3["n_censored"]) == (2, 1, 0)
+    t1 = math.floor(1e6 * math.log(3 / 5))
+    t3 = math.floor(1e6 * math.log(1 / 2))
+    assert r1["logs_micro"] == t1
+    assert r3["logs_micro"] == t1 + t3
+    assert r1["survival"] == round(math.exp(t1 / 1e6), 6)
+    assert r3["survival"] == round(math.exp((t1 + t3) / 1e6), 6)
+
+
+def test_survival_km_zero_tail_and_twin(spark):
+    """When everyone still at risk converts at the last step the curve
+    hits exactly 0 (no ln(0)); random-events twin equality."""
+    import duckdb
+
+    from ddspark.events import survival_km, survival_km_oracle_sql
+
+    rows = [
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-02 00:00:00", "purchase"),
+        (2, "2024-01-01 00:00:00", "view"), (2, "2024-01-03 00:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sorted(
+        survival_km(ev, "view", "purchase").collect(), key=lambda r: r["t"]
+    )
+    assert [r["t"] for r in got] == [1, 2]
+    assert got[0]["survival"] == 0.5
+    assert got[1]["n_risk"] == got[1]["n_events"] == 1
+    assert got[1]["survival"] == 0.0 and got[1]["logs_micro"] is None
+
+    ev2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got2 = [tuple(r) for r in survival_km(ev2, "view", "purchase")
+            .orderBy("t").collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * "
+        "FROM '/root/testdata/sf0.001/events.parquet'"
+    )
+    want = [tuple(r) for r in con.execute(
+        survival_km_oracle_sql("events", "view", "purchase")
+        + " ORDER BY t"
+    ).fetchall()]
+    assert got2 == want and len(got2) >= 3
