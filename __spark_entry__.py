@@ -1190,6 +1190,16 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty (ddspark/pipeline/dedup.py
+    ngram_novelty): fraction of a doc's distinct word trigrams appearing
+    in no other document — pure integer floor division, the
+    memorization/template-spam signal."""
+    from ddspark.pipeline.dedup import ngram_novelty
+
+    return ngram_novelty(_read(spark, sf_dir, "documents"), n=3)
+
+
 def _q_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kaplan-Meier time-to-conversion (ddspark/events.py survival_km):
     days from first view to first purchase per user, never-converters
@@ -2852,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rake_keywords": wrap(_q_rake),  # new in r5 (third stretch)
         "multimodal_qoi_stats": wrap(_q_multimodal_qoi),  # new in r5 (3rd s.)
         "events_survival_km": wrap(_q_survival),  # new in r5 (third stretch)
+        "text_ngram_novelty": wrap(_q_novelty),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4118,6 +4129,7 @@ QUALIFY rank <= 10
         "graph_hits": _hits_oracle(),
         "text_rake_keywords": _rake_oracle(),
         "events_survival_km": _survival_oracle(),
+        "text_ngram_novelty": _novelty_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4756,6 +4768,12 @@ def _assortativity_oracle() -> str:
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
     )
+
+
+def _novelty_oracle() -> str:
+    from ddspark.pipeline.dedup import ngram_novelty_oracle_sql
+
+    return ngram_novelty_oracle_sql("documents", n=3)
 
 
 def _survival_oracle() -> str:

@@ -52,6 +52,8 @@ __all__ = [
     "dedup_keepers",
     "dedup_paragraphs",
     "dedup_paragraphs_oracle_sql",
+    "ngram_novelty",
+    "ngram_novelty_oracle_sql",
 ]
 
 # 2^31-1: products of two residues fit in int64 (no overflow under ANSI mode)
@@ -1209,4 +1211,102 @@ JOIN norms na ON na.id = dots.id_a
 JOIN norms nb ON nb.id = dots.id_b
 WHERE ROUND(CAST(dot AS DOUBLE) /
             (SQRT(CAST(na.n2 AS DOUBLE)) * SQRT(CAST(nb.n2 AS DOUBLE))), {ndigits}) >= {threshold}
+""".strip()
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization/recombination
+    signal: of a document's DISTINCT word ``n``-grams, what fraction
+    appears in NO other document?  Low novelty means the document is
+    recombined from corpus-common phrasing (template spam, boilerplate,
+    near-dup tails that survived pair-level dedup); training pipelines
+    use it both to drop low-novelty documents and to find eval-set
+    memorization.  Returns ``(id_col, n_grams, n_novel, novelty_micro,
+    novelty)`` with ``novelty_micro = (scale * n_novel) div n_grams``
+    (pure integer floor division — replays cross-engine) and documents
+    shorter than ``n`` tokens carrying ``n_grams = 0`` and NULL
+    novelty.
+
+    **Scale** — the shared :func:`word_shingles` explode (distinct grams
+    per doc, so in-document repetition never inflates the gram table),
+    one gram-keyed count aggregation for corpus document frequency, one
+    join back, one id-keyed aggregation.  The gram shuffle is the same
+    shape as :func:`jaccard_pairs`' first stage, and hot grams cannot
+    skew the per-doc counts because each doc contributes a gram once.
+    """
+    if n < 1 or scale < 1:
+        raise ValueError("n and scale must be >= 1")
+    sh = word_shingles(df, id_col, text_col, n=n)
+    gdf = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("gdf"))
+    per_doc = (
+        sh.join(gdf, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gdf") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    out = base.join(per_doc, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+    )
+    nm = F.when(
+        F.col("n_grams") > 0,
+        F.expr(f"({int(scale)} * n_novel) div n_grams"),
+    ).cast("long")
+    return out.withColumns(
+        {
+            "novelty_micro": nm,
+            "novelty": F.round(nm.cast("double") / int(scale), 6),
+        }
+    )
+
+
+def ngram_novelty_oracle_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    scale: int = 10**6,
+) -> str:
+    """ANSI twin of :func:`ngram_novelty` (same tokenization, distinct
+    grams per doc, integer floor division)."""
+    shingle = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return rf"""
+WITH toks AS (
+  SELECT {id_col} AS id,
+         string_split(regexp_replace(trim(lower({text_col})), '\s+', ' ', 'g'), ' ') AS t
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT id, {shingle} AS shingle
+  FROM toks, UNNEST(generate_series(1, len(t) - {n - 1})) AS u(i)
+  WHERE len(t) >= {n}
+),
+gdf AS (SELECT shingle, COUNT(*) AS gdf FROM sh GROUP BY shingle),
+per_doc AS (
+  SELECT sh.id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM sh JOIN gdf USING (shingle)
+  GROUP BY sh.id
+)
+SELECT d.{id_col},
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN ({int(scale)} * p.n_novel) // p.n_grams END AS BIGINT)
+           AS novelty_micro,
+       ROUND(CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                  THEN ({int(scale)} * p.n_novel) // p.n_grams END AS DOUBLE)
+             / {int(scale)}, 6) AS novelty
+FROM {table} d LEFT JOIN per_doc p ON p.id = d.{id_col}
 """.strip()

@@ -2714,3 +2714,58 @@ def test_rake_keywords_duckdb_twin(spark, sf_dir):
         rake_keywords_oracle_sql("documents", top=30)
     ).fetchall()]
     assert got == want and len(got) == 30
+
+
+def test_ngram_novelty_hand_corpus(spark):
+    """Doc 1 and 2 share a trigram; doc 3 is fully novel; doc 4 is too
+    short to have any trigram."""
+    from ddspark.pipeline.dedup import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown cat sleeps"),
+            (3, "entirely different words here now"),
+            (4, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    # doc 1 grams: [the quick brown, quick brown fox, brown fox jumps]
+    # shared: 'the quick brown' (df=2) -> 2 of 3 novel
+    assert (got[1]["n_grams"], got[1]["n_novel"]) == (3, 2)
+    assert got[1]["novelty_micro"] == (10**6 * 2) // 3
+    assert (got[2]["n_grams"], got[2]["n_novel"]) == (3, 2)
+    assert (got[3]["n_grams"], got[3]["n_novel"]) == (3, 3)
+    assert got[3]["novelty"] == 1.0
+    assert (got[4]["n_grams"], got[4]["n_novel"]) == (0, 0)
+    assert got[4]["novelty_micro"] is None and got[4]["novelty"] is None
+    # in-document repetition never inflates: a doc repeating one phrase
+    docs2 = spark.createDataFrame(
+        [(1, "a b c a b c a b c"), (2, "x y z")], "doc_id long, text string"
+    )
+    got2 = {r["doc_id"]: r for r in ngram_novelty(docs2, n=3).collect()}
+    # distinct grams of doc 1: {a b c, b c a, c a b} -> all df=1
+    assert (got2[1]["n_grams"], got2[1]["n_novel"]) == (3, 3)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ngram_novelty(docs, n=0)
+
+
+def test_ngram_novelty_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from ddspark.pipeline.dedup import ngram_novelty, ngram_novelty_oracle_sql
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: tuple(r)[1:] for r in ngram_novelty(docs, n=4).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = {r[0]: tuple(r)[1:] for r in con.execute(
+        ngram_novelty_oracle_sql("documents", n=4)
+    ).fetchall()}
+    assert got == want and len(got) >= 100
