@@ -1190,6 +1190,38 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (ddspark/pipeline/joins.py
+    interval_overlap_join): concurrent view/click activity windows per
+    user — both sides explode into covering 600 s buckets and each
+    overlapping pair is kept only in the bucket holding the overlap
+    start, so the bucketed equi-join emits every pair exactly once (the
+    tiny theta-join oracle must match row-for-row)."""
+    from ddspark.pipeline.joins import interval_overlap_join
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.unix_timestamp("ts").alias("v_lo"),
+        (F.unix_timestamp("ts") + 600).alias("v_hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("c_lo"),
+        (F.unix_timestamp("ts") + 300).alias("c_hi"),
+    )
+    j = interval_overlap_join(
+        views, clicks, "v_lo", "v_hi", "c_lo", "c_hi",
+        on="user_id", bucket=600.0,
+    )
+    return j.select(
+        "user_id", "view_id", "click_id",
+        (F.least("v_hi", "c_hi") - F.greatest("v_lo", "c_lo")).alias("overlap_s"),
+    )
+
+
 def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 3-gram novelty (ddspark/pipeline/dedup.py
     ngram_novelty): fraction of a doc's distinct word trigrams appearing
@@ -2863,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_qoi_stats": wrap(_q_multimodal_qoi),  # new in r5 (3rd s.)
         "events_survival_km": wrap(_q_survival),  # new in r5 (third stretch)
         "text_ngram_novelty": wrap(_q_novelty),  # new in r5 (third stretch)
+        "join_interval_overlap": wrap(_q_interval_overlap),  # new r5 (3rd s.)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4130,6 +4163,7 @@ QUALIFY rank <= 10
         "text_rake_keywords": _rake_oracle(),
         "events_survival_km": _survival_oracle(),
         "text_ngram_novelty": _novelty_oracle(),
+        "join_interval_overlap": _interval_overlap_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4767,6 +4801,30 @@ def _assortativity_oracle() -> str:
         "SELECT user_id % 1000 AS src, "
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
+    )
+
+
+def _interval_overlap_oracle() -> str:
+    from ddspark.pipeline.joins import interval_overlap_join_oracle_sql
+
+    views = (
+        "SELECT user_id, event_id AS view_id, "
+        "date_diff('second', TIMESTAMP '1970-01-01', ts) AS v_lo, "
+        "date_diff('second', TIMESTAMP '1970-01-01', ts) + 600 AS v_hi "
+        "FROM events WHERE user_id IS NOT NULL AND event_type = 'view'"
+    )
+    clicks = (
+        "SELECT user_id, event_id AS click_id, "
+        "date_diff('second', TIMESTAMP '1970-01-01', ts) AS c_lo, "
+        "date_diff('second', TIMESTAMP '1970-01-01', ts) + 300 AS c_hi "
+        "FROM events WHERE user_id IS NOT NULL AND event_type = 'click'"
+    )
+    return interval_overlap_join_oracle_sql(
+        views, clicks, "v_lo", "v_hi", "c_lo", "c_hi", on=["user_id"],
+        select=(
+            "l.user_id, l.view_id, r.click_id, "
+            "LEAST(l.v_hi, r.c_hi) - GREATEST(l.v_lo, r.c_lo) AS overlap_s"
+        ),
     )
 
 

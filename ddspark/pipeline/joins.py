@@ -257,9 +257,14 @@ def range_join(
         raise ValueError(
             f"right columns {clash} clash with left names: rename them first"
         )
-    j = l.join(r, cond, how)
     if how in ("left_semi", "left_anti"):
-        return j.drop("_lb")
+        matched = (
+            l.join(r, cond, "inner").select(l[left_key].alias("_mk")).distinct()
+        )
+        return left.join(
+            matched, left[left_key] == matched["_mk"], how
+        )
+    j = l.join(r, cond, "inner")
     out = j.drop("_lb", "_rb")
     for k in on:
         # keep the left copy of the equality keys (right copy is equal or,
@@ -385,3 +390,135 @@ def key_profile(
             " div _total"
         ).alias("cum_share_bp"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    on: list[str] | str | None = None,
+    bucket: float = 1.0,
+    how: str = "inner",
+    left_key: str | None = None,
+    max_buckets_per_interval: int = 10_000,
+) -> DataFrame:
+    """Interval-overlap join: every (left, right) pair whose closed
+    intervals intersect (``l.lo <= r.hi AND r.lo <= l.hi``, plus
+    optional equality keys) — the two-sided sibling of
+    :func:`range_join`, without the cartesian product a theta-join
+    plans.
+
+    **Scale / exactly-once** — BOTH sides explode into their covering
+    buckets, and the join keeps a pair only in the single bucket that
+    contains the overlap's START (``floor(greatest(l.lo, r.lo) /
+    bucket)``).  The overlap start lies in exactly one bucket and both
+    intervals cover it, so every overlapping pair is emitted exactly
+    once with NO post-dedup — the join stays a plain equi-join Catalyst
+    can broadcast or AQE-split.  Explode factor is ``span/bucket + 1``
+    per side; intervals spanning more than ``max_buckets_per_interval``
+    buckets fail fast with a per-row raise.  Pick ``bucket`` near the
+    typical interval length.  ``how``: inner / left_semi / left_anti.
+    """
+    on = [] if on is None else [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(f"how must be inner/left_semi/left_anti, got {how!r}")
+    if how in ("left_semi", "left_anti") and not left_key:
+        raise ValueError(
+            "left_semi/left_anti need left_key (a unique left column): the "
+            "left side explodes into buckets, so existence is decided on "
+            "the key set, then applied to the UNEXPLODED left"
+        )
+    for c, df, side in (
+        (left_lo, left, "left"),
+        (left_hi, left, "left"),
+        (right_lo, right, "right"),
+        (right_hi, right, "right"),
+    ):
+        if c not in df.columns:
+            raise ValueError(f"{side} side is missing column {c!r}")
+    b = float(bucket)
+    if not b > 0:
+        raise ValueError(f"bucket must be positive, got {bucket!r}")
+    taken = {"_lb", "_rb"} & (set(left.columns) | set(right.columns))
+    if taken:
+        raise ValueError(
+            f"columns {sorted(taken)} are reserved by interval_overlap_join"
+        )
+
+    def exploded(df: DataFrame, lo: str, hi: str, col: str) -> DataFrame:
+        lo_b = F.floor(F.col(lo) / b)
+        hi_b = F.floor(F.col(hi) / b)
+        span_ok = (hi_b - lo_b) < F.lit(int(max_buckets_per_interval))
+        buckets = F.when(span_ok, F.sequence(lo_b, hi_b)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_overlap_join: interval spans "),
+                    (hi_b - lo_b + 1).cast("string"),
+                    F.lit(
+                        f" buckets (> {max_buckets_per_interval}); raise `bucket`"
+                    ),
+                )
+            )
+        )
+        return df.where(
+            F.col(lo).isNotNull()
+            & F.col(hi).isNotNull()
+            & (F.col(hi) >= F.col(lo))
+        ).withColumn(col, F.explode(buckets))
+
+    l = exploded(left, left_lo, left_hi, "_lb")
+    r = exploded(right, right_lo, right_hi, "_rb")
+    cond = l["_lb"] == r["_rb"]
+    for k in on:
+        cond = cond & (l[k] == r[k])
+    cond = (
+        cond
+        & (l[left_lo] <= r[right_hi])
+        & (r[right_lo] <= l[left_hi])
+        # keep the pair only in the bucket holding the overlap start
+        & (l["_lb"] == F.floor(F.greatest(l[left_lo], r[right_lo]) / b))
+    )
+    clash = [c for c in right.columns if c in left.columns and c not in on]
+    if how == "inner" and clash:
+        raise ValueError(
+            f"right columns {clash} clash with left names: rename them first"
+        )
+    if how in ("left_semi", "left_anti"):
+        matched = (
+            l.join(r, cond, "inner").select(l[left_key].alias("_mk")).distinct()
+        )
+        return left.join(
+            matched, left[left_key] == matched["_mk"], how
+        )
+    j = l.join(r, cond, "inner")
+    out = j.drop("_lb", "_rb")
+    for k in on:
+        out = out.drop(r[k])
+    return out
+
+
+def interval_overlap_join_oracle_sql(
+    left_sql: str,
+    right_sql: str,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    on: list[str] | None = None,
+    select: str = "*",
+) -> str:
+    """ANSI twin of :func:`interval_overlap_join` (inner): the direct
+    overlap theta-join over the same subqueries — tiny at gate scale,
+    which is the point: the bucketed plan must emit exactly these rows."""
+    on = list(on or [])
+    eq = " AND ".join(f"l.{k} = r.{k}" for k in on)
+    pred = f"l.{left_lo} <= r.{right_hi} AND r.{right_lo} <= l.{left_hi}"
+    cond = f"{eq} AND {pred}" if eq else pred
+    return f"""
+SELECT {select}
+FROM ({left_sql}) l
+JOIN ({right_sql}) r ON {cond}
+""".strip()

@@ -2769,3 +2769,81 @@ def test_ngram_novelty_duckdb_twin(spark, sf_dir):
         ngram_novelty_oracle_sql("documents", n=4)
     ).fetchall()}
     assert got == want and len(got) >= 100
+
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Bucketed overlap join == naive theta-join on random intervals,
+    including touch-at-endpoint overlaps, across bucket sizes."""
+    import random
+
+    from ddspark.pipeline.joins import interval_overlap_join
+
+    rng = random.Random(17)
+    lrows = [
+        (i, rng.randrange(3), rng.randrange(0, 500)) for i in range(120)
+    ]
+    rrows = [
+        (i, rng.randrange(3), rng.randrange(0, 500)) for i in range(120)
+    ]
+    left = spark.createDataFrame(
+        [(i, k, lo, lo + rng.randrange(0, 40)) for i, k, lo in lrows],
+        "lid long, k long, lo long, hi long",
+    )
+    right = spark.createDataFrame(
+        [(i, k, lo, lo + rng.randrange(0, 25)) for i, k, lo in rrows],
+        "rid long, k long, rlo long, rhi long",
+    )
+    lc = left.collect()
+    rc = right.collect()
+    want = {
+        (a["lid"], b["rid"])
+        for a in lc
+        for b in rc
+        if a["k"] == b["k"] and a["lo"] <= b["rhi"] and b["rlo"] <= a["hi"]
+    }
+    for bucket in (1.0, 7.0, 64.0, 1000.0):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                left, right, "lo", "hi", "rlo", "rhi", on="k", bucket=bucket
+            ).collect()
+        }
+        assert got == want, bucket
+    assert len(want) > 50
+    # touching endpoints overlap (closed intervals)
+    a = spark.createDataFrame([(1, 0, 10)], "lid long, lo long, hi long")
+    b = spark.createDataFrame([(2, 10, 20)], "rid long, rlo long, rhi long")
+    assert interval_overlap_join(a, b, "lo", "hi", "rlo", "rhi", bucket=5.0).count() == 1
+
+
+def test_interval_overlap_join_guards_and_semi(spark):
+    import pytest as _pytest
+
+    from ddspark.pipeline.joins import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 10), (2, 100, 105)], "lid long, lo long, hi long")
+    b = spark.createDataFrame([(7, 8, 12)], "rid long, rlo long, rhi long")
+    semi = interval_overlap_join(
+        a, b, "lo", "hi", "rlo", "rhi", bucket=4.0, how="left_semi",
+        left_key="lid",
+    )
+    assert [r["lid"] for r in semi.collect()] == [1]
+    anti = interval_overlap_join(
+        a, b, "lo", "hi", "rlo", "rhi", bucket=4.0, how="left_anti",
+        left_key="lid",
+    )
+    assert [r["lid"] for r in anti.collect()] == [2]
+    with _pytest.raises(ValueError, match="left_key"):
+        interval_overlap_join(a, b, "lo", "hi", "rlo", "rhi", how="left_semi")
+    with _pytest.raises(ValueError, match="how"):
+        interval_overlap_join(a, b, "lo", "hi", "rlo", "rhi", how="full")
+    with _pytest.raises(ValueError, match="bucket"):
+        interval_overlap_join(a, b, "lo", "hi", "rlo", "rhi", bucket=0)
+    with _pytest.raises(ValueError, match="missing"):
+        interval_overlap_join(a, b, "nope", "hi", "rlo", "rhi")
+    # oversized interval fails fast per row
+    import pyspark.errors
+
+    wide = spark.createDataFrame([(3, 0, 10**9)], "rid long, rlo long, rhi long")
+    with _pytest.raises(Exception, match="spans"):
+        interval_overlap_join(a, wide, "lo", "hi", "rlo", "rhi", bucket=1.0).collect()
