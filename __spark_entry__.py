@@ -1190,6 +1190,21 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ddspark/pipeline/ann.py pq_build +
+    pq_search): per-subspace exact k-means codebooks (m=8, k=16, one
+    Lloyd update), ADC search via a broadcast m*k lookup table of
+    floor-quantized exact subspace distances, BIGINT score sums — the
+    memory-scale path where the scan side touches m codes per vector,
+    never raw floats."""
+    from ddspark.pipeline.ann import pq_build, pq_search
+
+    emb = _read(spark, sf_dir, "embeddings")
+    cb, codes = pq_build(emb, dim=64, m=8, k=16, iters=1)
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return pq_search(cb, codes, queries_df, dim=64, m=8, top=5)
+
+
 def _q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (ddspark/pipeline/joins.py
     interval_overlap_join): concurrent view/click activity windows per
@@ -2896,6 +2911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_survival_km": wrap(_q_survival),  # new in r5 (third stretch)
         "text_ngram_novelty": wrap(_q_novelty),  # new in r5 (third stretch)
         "join_interval_overlap": wrap(_q_interval_overlap),  # new r5 (3rd s.)
+        "ann_pq_search": wrap(_q_pq_search),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4164,6 +4180,7 @@ QUALIFY rank <= 10
         "events_survival_km": _survival_oracle(),
         "text_ngram_novelty": _novelty_oracle(),
         "join_interval_overlap": _interval_overlap_oracle(),
+        "ann_pq_search": _pq_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4801,6 +4818,15 @@ def _assortativity_oracle() -> str:
         "SELECT user_id % 1000 AS src, "
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
+    )
+
+
+def _pq_oracle() -> str:
+    from ddspark.pipeline.ann import pq_search_oracle_sql
+
+    return pq_search_oracle_sql(
+        "embeddings", queries_pred="vec_id < 5", dim=64, m=8, k=16,
+        iters=1, top=5,
     )
 
 

@@ -656,3 +656,271 @@ def ann_recall(
         "n_hits",
         F.round(F.col("n_hits").cast("double") / k, ndigits).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-scale ANN path: each vector is
+# split into m subvectors, each subspace gets its own exact k-means
+# codebook, and a vector is stored as m small codes.  Search is ADC
+# (asymmetric distance computation): per query, an m*k lookup table of
+# exact subspace distances, then candidate scores are BIGINT sums of
+# floor-quantized table entries — value-hashable cross-engine like
+# everything else here.  At 10^9 vectors PQ codes are ~m bytes a vector
+# vs 4*dim for floats; the ADC join touches codes, never raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def _pq_subvectors(
+    df: DataFrame, id_col: str, vec_col: str, m: int, sub_dim: int, scale: int
+) -> DataFrame:
+    """``(vid, sub, x)`` — integer-grid subvectors, one row per subspace."""
+    xq = F.transform(
+        F.col(vec_col), lambda x: F.round(x.cast("double") * scale).cast("long")
+    )
+    return (
+        df.select(F.col(id_col).alias("vid"), xq.alias("_xq"))
+        .select("vid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"), "_xq")
+        .select(
+            "vid",
+            "sub",
+            F.slice("_xq", F.col("sub") * sub_dim + 1, sub_dim).alias("x"),
+        )
+    )
+
+
+def _pq_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per (vid, sub): exact rational comparison
+    ``A/n^2`` (the :mod:`ddspark.pipeline.cluster` form), ties to the
+    smaller cid."""
+    j = v.join(F.broadcast(cents), "sub")
+    term = F.zip_with("x", "s", lambda x, s: F.col("n") * x - s)
+    big = lambda t: t.cast("decimal(19,0)")  # noqa: E731
+    a = F.aggregate(
+        term,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + big(t) * big(t),
+    )
+    q = a.cast("double") / (F.col("n") * F.col("n")).cast("double")
+    w = Window.partitionBy("vid", "sub").orderBy(F.asc("q"), F.asc("cid"))
+    return (
+        j.select("vid", "sub", "x", "cid", q.alias("q"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    dims = assigned.select("sub", "cid", F.posexplode("x").alias("d", "xd"))
+    per_dim = dims.groupBy("sub", "cid", "d").agg(
+        F.sum("xd").alias("sd"), F.count(F.lit(1)).alias("n")
+    )
+    vec = F.transform(
+        F.array_sort(F.collect_list(F.struct("d", "sd"))), lambda s: s["sd"]
+    )
+    return per_dim.groupBy("sub", "cid").agg(
+        vec.alias("s"), F.first("n").alias("n")
+    )
+
+
+def pq_build(
+    df: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks and encode the corpus.  Returns
+    ``(codebook, codes)``: the codebook is ``(sub, cid, s, n)`` — exact
+    rational centroids, the :func:`ddspark.pipeline.cluster.kmeans_assign`
+    state split by subspace — and codes are ``(vid, sub, cid)`` long
+    format (m rows per vector, join-ready for ADC).
+
+    Seeding is the k-smallest-id vectors' subvectors per subspace
+    (deterministic, SQL-replayable); Lloyd updates run on ALL subspaces
+    at once — one broadcast join + one (sub, cid, d) partial agg per
+    iteration, never m separate jobs.  Codebook size is m*k rows
+    (broadcast everywhere); the corpus-side state after encoding is m
+    BIGINT codes per vector.
+    """
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    if k < 1 or iters < 0 or scale < 1:
+        raise ValueError("k >= 1, iters >= 0, scale >= 1 required")
+    sub_dim = dim // m
+    v = _pq_subvectors(df, id_col, vec_col, m, sub_dim, scale).localCheckpoint(
+        eager=False
+    )
+    seed_ids = v.select("vid").distinct().orderBy("vid").limit(k)
+    cents = (
+        v.join(F.broadcast(seed_ids), "vid")
+        .select(
+            "sub",
+            (
+                F.row_number().over(Window.partitionBy("sub").orderBy("vid")) - 1
+            ).alias("cid"),
+            F.col("x").alias("s"),
+            F.lit(1).cast("long").alias("n"),
+        )
+    )
+    for _ in range(iters):
+        cents = _pq_update(_pq_assign(v, cents)).localCheckpoint(eager=True)
+    codes = _pq_assign(v, cents).select("vid", "sub", "cid")
+    return cents, codes
+
+
+def pq_search(
+    codebook: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    dscale: int = 10**6,
+) -> DataFrame:
+    """ADC top-k: ``(qid, nid, rank, dist_micro)`` per query.  The
+    per-query lookup table (m*k rows: exact subspace distance ``A/n^2``
+    floor-quantized by ``dscale``) broadcasts; candidate scores are the
+    BIGINT sums of each vector's m table entries — summation-order-free,
+    so the ranking (dist asc, nid asc) replays cross-engine.  The scan
+    side touches only the m-codes-per-vector table, never raw vectors —
+    the point of PQ at 10^9 rows."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub_dim = dim // m
+    qv = _pq_subvectors(queries, id_col, vec_col, m, sub_dim, scale).select(
+        F.col("vid").alias("qid"), "sub", F.col("x").alias("qx")
+    )
+    j = qv.join(F.broadcast(codebook), "sub")
+    term = F.zip_with("qx", "s", lambda x, s: F.col("n") * x - s)
+    big = lambda t: t.cast("decimal(19,0)")  # noqa: E731
+    a = F.aggregate(
+        term,
+        F.lit(0).cast("decimal(38,0)"),
+        lambda acc, t: acc + big(t) * big(t),
+    )
+    d_micro = F.floor(
+        F.lit(int(dscale))
+        * (
+            a.cast("double")
+            / (F.col("n") * F.col("n")).cast("double")
+            / float(scale) ** 2
+        )
+    ).cast("long")
+    lut = j.select("qid", "sub", "cid", d_micro.alias("dm"))
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("qid", "vid")
+        .agg(F.sum("dm").alias("dist_micro"), F.count(F.lit(1)).alias("_m"))
+        .where(F.col("_m") == m)
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist_micro"), F.asc("vid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select("qid", F.col("vid").alias("nid"), "rank", "dist_micro")
+    )
+
+
+def pq_search_oracle_sql(
+    table: str = "embeddings",
+    queries_pred: str = "vec_id < 5",
+    dim: int = 64,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+    dscale: int = 10**6,
+) -> str:
+    """ANSI twin of :func:`pq_build` + :func:`pq_search` on the same
+    table (queries selected by ``queries_pred``): the per-subspace Lloyd
+    chain unrolls like :func:`ddspark.pipeline.cluster.kmeans_assign_oracle_sql`
+    with ``sub`` in every key, then the ADC table, BIGINT score sums,
+    and the (dist, nid) rank.  CTEs are ``AS MATERIALIZED`` — most are
+    referenced more than once (the HITS-oracle lesson)."""
+    sd = dim // m
+    s2 = float(scale) ** 2
+    blocks = [
+        f"""q AS MATERIALIZED (
+  SELECT {id_col} AS vid,
+         list_transform({vec_col}, x -> CAST(ROUND(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS xq
+  FROM {table}
+),
+vd AS MATERIALIZED (
+  SELECT vid, u.i // {sd} AS sub, u.i % {sd} AS d, xq[u.i + 1] AS x
+  FROM q, UNNEST(generate_series(0, {dim - 1})) AS u(i)
+),
+seeds AS MATERIALIZED (SELECT vid FROM q ORDER BY vid LIMIT {k}),
+cents0 AS MATERIALIZED (
+  SELECT vd.sub,
+         CAST(DENSE_RANK() OVER (PARTITION BY vd.sub ORDER BY vd.vid) AS BIGINT) - 1 AS cid,
+         vd.d, vd.x AS s, CAST(1 AS BIGINT) AS n
+  FROM vd JOIN seeds USING (vid)
+)"""
+    ]
+    for t in range(iters + 1):
+        blocks.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vd.vid, vd.sub, c.cid,
+         SUM(CAST(c.n * vd.x - c.s AS HUGEINT) * CAST(c.n * vd.x - c.s AS HUGEINT)) AS A,
+         ANY_VALUE(c.n) AS n
+  FROM vd JOIN cents{t} c ON c.sub = vd.sub AND c.d = vd.d
+  GROUP BY vd.vid, vd.sub, c.cid
+),
+pick{t} AS MATERIALIZED (
+  SELECT vid, sub, cid
+  FROM (
+    SELECT vid, sub, cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY vid, sub
+             ORDER BY CAST(A AS DOUBLE) / CAST(n * n AS DOUBLE), cid
+           ) AS rn
+    FROM a{t}
+  ) WHERE rn = 1
+)"""
+        )
+        if t < iters:
+            blocks.append(
+                f"""cents{t + 1} AS MATERIALIZED (
+  SELECT p.sub, p.cid, vd.d,
+         CAST(SUM(vd.x) AS BIGINT) AS s, COUNT(*) AS n
+  FROM pick{t} p
+  JOIN vd ON vd.vid = p.vid AND vd.sub = p.sub
+  GROUP BY p.sub, p.cid, vd.d
+)"""
+            )
+    blocks.append(
+        f"""lut AS MATERIALIZED (
+  SELECT qv.vid AS qid, qv.sub, c.cid,
+         CAST(FLOOR({int(dscale)} * (
+           CAST(SUM(CAST(c.n * qv.x - c.s AS HUGEINT)
+                    * CAST(c.n * qv.x - c.s AS HUGEINT)) AS DOUBLE)
+           / CAST(ANY_VALUE(c.n) * ANY_VALUE(c.n) AS DOUBLE) / {s2}
+         )) AS BIGINT) AS dm
+  FROM (SELECT vd.* FROM vd JOIN q USING (vid) WHERE {queries_pred.replace(id_col, "vid")}) qv
+  JOIN cents{iters} c ON c.sub = qv.sub AND c.d = qv.d
+  GROUP BY qv.vid, qv.sub, c.cid
+),
+scored AS MATERIALIZED (
+  SELECT lut.qid, p.vid,
+         CAST(SUM(lut.dm) AS BIGINT) AS dist_micro, COUNT(*) AS mm
+  FROM pick{iters} p
+  JOIN lut ON lut.sub = p.sub AND lut.cid = p.cid
+  GROUP BY lut.qid, p.vid
+)
+SELECT qid, vid AS nid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_micro, vid) AS BIGINT) AS rank,
+       dist_micro
+FROM scored WHERE mm = {m}
+QUALIFY rank <= {top}"""
+    )
+    return "WITH " + ",\n".join(blocks)

@@ -2847,3 +2847,61 @@ def test_interval_overlap_join_guards_and_semi(spark):
     wide = spark.createDataFrame([(3, 0, 10**9)], "rid long, rlo long, rhi long")
     with _pytest.raises(Exception, match="spans"):
         interval_overlap_join(a, wide, "lo", "hi", "rlo", "rhi", bucket=1.0).collect()
+
+
+def test_pq_exact_on_codebook_vectors_and_recall(spark):
+    """Vectors that ARE codebook centroids encode losslessly (their own
+    code, subspace distance 0); on the real embeddings PQ@16 centroids
+    must put each query's own id in its top-5 (self-distance is only
+    quantization residual)."""
+    from ddspark.pipeline.ann import pq_build, pq_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb, codes = pq_build(emb, dim=64, m=8, k=8, iters=1)
+    q = emb.where(F.col("vec_id") < 4)
+    out = pq_search(cb, codes, q, dim=64, m=8, top=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nid"], r["dist_micro"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        assert rows[0][1] == qid  # self is nearest under ADC
+        # dist strictly grows with rank except exact ties broken by nid
+        dists = [r[2] for r in rows]
+        assert dists == sorted(dists)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divide"):
+        pq_build(emb, dim=64, m=7)
+
+
+def test_pq_matches_duckdb_oracle(spark):
+    import duckdb
+
+    from ddspark.pipeline.ann import pq_build, pq_search, pq_search_oracle_sql
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cb, codes = pq_build(emb, dim=64, m=4, k=8, iters=2)
+    q = emb.where(F.col("vec_id") < 3)
+    got = sorted(
+        tuple(r)
+        for r in pq_search(cb, codes, q, dim=64, m=4, top=4).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * "
+        "FROM '/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            pq_search_oracle_sql(
+                "embeddings", queries_pred="vec_id < 3", dim=64, m=4, k=8,
+                iters=2, top=4,
+            )
+        ).fetchall()
+    )
+    assert got == want and len(got) == 12
