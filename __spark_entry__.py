@@ -1190,6 +1190,16 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across all five event types (ddspark/profile.py
+    anova_f): per-group between-terms floor-quantized to BIGINT before
+    the cross-group sum, F and eta2 one fixed double combination each."""
+    from ddspark.profile import anova_f
+
+    ev = _read(spark, sf_dir, "events")
+    return anova_f(ev, "value", "event_type", scale=100)
+
+
 def _q_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ddspark/pipeline/ann.py pq_build +
     pq_search): per-subspace exact k-means codebooks (m=8, k=16, one
@@ -2912,6 +2922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": wrap(_q_novelty),  # new in r5 (third stretch)
         "join_interval_overlap": wrap(_q_interval_overlap),  # new r5 (3rd s.)
         "ann_pq_search": wrap(_q_pq_search),  # new in r5 (third stretch)
+        "profile_anova_f": wrap(_q_anova),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4181,6 +4192,7 @@ QUALIFY rank <= 10
         "text_ngram_novelty": _novelty_oracle(),
         "join_interval_overlap": _interval_overlap_oracle(),
         "ann_pq_search": _pq_oracle(),
+        "profile_anova_f": _anova_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4819,6 +4831,12 @@ def _assortativity_oracle() -> str:
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
     )
+
+
+def _anova_oracle() -> str:
+    from ddspark.profile import anova_f_oracle_sql
+
+    return anova_f_oracle_sql("events", "value", "event_type", scale=100)
 
 
 def _pq_oracle() -> str:

@@ -49,6 +49,8 @@ __all__ = [
     "bootstrap_ci_mean_oracle_sql",
     "welch_t",
     "welch_t_oracle_sql",
+    "anova_f",
+    "anova_f_oracle_sql",
     "cramers_v",
     "cramers_v_oracle_sql",
 ]
@@ -1882,4 +1884,124 @@ SELECT n, n_rows, n_cols,
        CASE WHEN CAST(n AS DOUBLE) * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE) > 0
             THEN ROUND(SQRT(chi2 / (CAST(n AS DOUBLE) * CAST(LEAST(n_rows - 1, n_cols - 1) AS DOUBLE))), {ndigits}) END AS v
 FROM agg
+""".strip()
+
+
+def anova_f(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    scale: int = 1,
+    ndigits: int = 6,
+) -> DataFrame:
+    """One-way ANOVA F statistic across ALL groups of ``group_col``: one
+    row ``(k, n, ss_between, ss_within, f_stat, eta2)`` — the k-group
+    generalization of :func:`welch_t` (is ANY group's mean different?),
+    plus the effect size ``eta2 = SSB / (SSB + SSW)``.
+
+    Per-group sufficient statistics ``(n_g, s_g, q_g)`` accumulate as
+    exact integers/DECIMALs; each group's between-term ``s_g^2 / n_g``
+    floor-quantizes to BIGINT BEFORE the cross-group sum (the shared
+    per-term-quantization trick — k doubles summed in engine order would
+    not value-hash), and the final F / eta2 are one fixed double
+    combination each.  Overflow headroom: the quantized term is
+    ``(sum of scaled values)^2 / n`` — with cents-scale sums to ~1e13
+    the term stays under the BIGINT ceiling; lower ``scale`` first at
+    extreme corpus sizes.
+
+    **Scale** — one scan, one |groups|-row aggregation, one 1-row
+    aggregation.  Degenerate inputs (k < 2 or n <= k) yield NULL
+    ``f_stat``/``eta2`` with the counts still reported.
+    """
+    pre = df.where(
+        F.col(group_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(group_col).alias("_g"),
+        F.round(F.col(value_col) * scale).cast("decimal(18,0)").alias("_x"),
+    )
+    grp = pre.groupBy("_g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("_x").cast("decimal(38,0)").alias("sg"),
+        F.sum(F.col("_x") * F.col("_x")).cast("decimal(38,0)").alias("qg"),
+    )
+    tg = F.floor(
+        F.col("sg").cast("double")
+        * F.col("sg").cast("double")
+        / F.col("ng").cast("double")
+    ).cast("long")
+    tot = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(tg).alias("tsum"),
+    )
+    t_tot = F.floor(
+        F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    ).cast("long")
+    ssb = (F.col("tsum") - t_tot).cast("double")
+    ssw = (F.col("q").cast("double") - F.col("tsum").cast("double"))
+    ok = (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw > 0)
+    fstat = (ssb / (F.col("k") - 1).cast("double")) / (
+        ssw / (F.col("n") - F.col("k")).cast("double")
+    )
+    eta2 = ssb / (ssb + ssw)
+    sc2 = float(scale) ** 2
+    return tot.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(ssb / sc2, ndigits).alias("ss_between"),
+        F.round(ssw / sc2, ndigits).alias("ss_within"),
+        F.when(ok, F.round(fstat, ndigits)).alias("f_stat"),
+        F.when(ok, F.round(eta2, ndigits)).alias("eta2"),
+    )
+
+
+def anova_f_oracle_sql(
+    table: str = "events",
+    value_sql: str = "value",
+    group_col: str = "event_type",
+    scale: int = 1,
+    ndigits: int = 6,
+) -> str:
+    """ANSI twin of :func:`anova_f` (same per-group quantized terms,
+    same fixed double combination)."""
+    sc2 = float(scale) ** 2
+    return f"""
+WITH grp AS (
+  SELECT {group_col} AS g,
+         COUNT(*) AS ng,
+         CAST(SUM(CAST(ROUND({value_sql} * {scale}) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS sg,
+         CAST(SUM(CAST(ROUND({value_sql} * {scale}) AS DECIMAL(18,0))
+                  * CAST(ROUND({value_sql} * {scale}) AS DECIMAL(18,0))) AS DECIMAL(38,0)) AS qg
+  FROM {table}
+  WHERE {group_col} IS NOT NULL AND {value_sql} IS NOT NULL
+  GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS k,
+         CAST(SUM(ng) AS BIGINT) AS n,
+         CAST(SUM(sg) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(qg) AS DECIMAL(38,0)) AS q,
+         CAST(SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+                             / CAST(ng AS DOUBLE)) AS BIGINT)) AS BIGINT) AS tsum
+  FROM grp
+),
+f AS (
+  SELECT k, n,
+         CAST(tsum - CAST(FLOOR(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                / CAST(n AS DOUBLE)) AS BIGINT) AS DOUBLE) AS ssb,
+         CAST(q AS DOUBLE) - CAST(tsum AS DOUBLE) AS ssw
+  FROM tot
+)
+SELECT CAST(k AS BIGINT) AS k, n,
+       ROUND(ssb / {sc2}, {ndigits}) AS ss_between,
+       ROUND(ssw / {sc2}, {ndigits}) AS ss_within,
+       CASE WHEN k > 1 AND n > k AND ssw > 0
+            THEN ROUND((ssb / (k - 1)) / (ssw / (n - k)), {ndigits}) END AS f_stat,
+       CASE WHEN k > 1 AND n > k AND ssw > 0
+            THEN ROUND(ssb / (ssb + ssw), {ndigits}) END AS eta2
+FROM f
 """.strip()

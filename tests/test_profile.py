@@ -692,3 +692,63 @@ def test_cramers_v_degenerate_single_row_level(spark):
     )
     row = cramers_v(df, "r", "c").collect()[0]
     assert row["n_rows"] == 1 and row["v"] is None
+
+
+def test_anova_f_matches_scipy_formula(spark):
+    """Three groups with known means: F computed by the textbook
+    between/within decomposition (replayed in pure Python) and eta2 in
+    [0,1]; equal-groups F ~ 0."""
+    import itertools
+
+    from ddspark.profile import anova_f
+
+    groups = {"a": [1, 2, 3, 4], "b": [2, 3, 4, 5], "c": [10, 11, 12, 13]}
+    rows = [(g, float(v)) for g, vs in groups.items() for v in vs]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = anova_f(df, "v", "g").collect()[0]
+    # python replay with the same quantization (scale=1, integer values)
+    import math
+
+    tg = {g: math.floor(sum(vs) ** 2 / len(vs)) for g, vs in groups.items()}
+    allv = list(itertools.chain(*groups.values()))
+    n, k = len(allv), len(groups)
+    tsum = sum(tg.values())
+    ssb = tsum - math.floor(sum(allv) ** 2 / n)
+    ssw = sum(v * v for v in allv) - tsum
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert (got["k"], got["n"]) == (3, 12)
+    assert got["ss_between"] == round(ssb, 6)
+    assert got["ss_within"] == round(ssw, 6)
+    assert got["f_stat"] == round(f, 6)
+    assert got["eta2"] == round(ssb / (ssb + ssw), 6)
+    # scipy-free sanity: same groups -> F near 0 is false here (c differs)
+    assert got["f_stat"] > 10
+
+    # identical groups -> SSB quantization noise only, eta2 ~ 0
+    same = spark.createDataFrame(
+        [(g, float(v)) for g in "ab" for v in [5, 6, 7]], "g string, v double"
+    )
+    r = anova_f(same, "v", "g").collect()[0]
+    assert abs(r["eta2"]) < 0.01
+
+    # degenerate: one group -> NULL stats, counts still there
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r1 = anova_f(one, "v", "g").collect()[0]
+    assert r1["k"] == 1 and r1["f_stat"] is None and r1["eta2"] is None
+
+
+def test_anova_f_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    from ddspark.profile import anova_f, anova_f_oracle_sql
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = tuple(anova_f(ev, "value", "event_type", scale=100).collect()[0])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    want = tuple(
+        con.execute(
+            anova_f_oracle_sql("events", "value", "event_type", scale=100)
+        ).fetchone()
+    )
+    assert got == want

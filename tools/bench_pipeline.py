@@ -328,6 +328,97 @@ def main() -> None:
         .collect(),
         rows=N // 4,
     )
+
+    # seventh-stretch operators
+    from ddspark.events import survival_km
+    from ddspark.pipeline.curation import dsir_select
+    from ddspark.pipeline.dedup import ngram_novelty
+    from ddspark.pipeline.graph import adamic_adar_topk, hits_scores
+    from ddspark.pipeline.joins import interval_overlap_join
+    from ddspark.pipeline.textops import rake_keywords
+    from ddspark.timeseries import cusum_changepoints
+
+    timed(
+        "rake_keywords (top 20 corpus phrases, r5)",
+        lambda: rake_keywords(docs, top=20).collect(),
+    )
+    timed(
+        "ngram_novelty (trigram df + ratio, r5)",
+        lambda: ngram_novelty(docs, n=3).agg(F.sum("n_novel")).collect(),
+    )
+    timed(
+        "dsir_select (4096 buckets, en target slice, r5)",
+        lambda: dsir_select(
+            docs, docs.where(F.col("lang") == "en").limit(50_000)
+        )
+        .agg(F.sum("logw_micro"))
+        .collect(),
+    )
+    timed(
+        "cusum_changepoints (daily, 100k keys, r5)",
+        lambda: cusum_changepoints(evs, "tstamp", "payload", by=["k"])
+        .agg(F.sum("s_pos"))
+        .collect(),
+    )
+    timed(
+        "survival_km (daily conversion curve, r5)",
+        lambda: survival_km(
+            evs.select(
+                F.col("k").alias("user_id"),
+                F.col("tstamp").alias("ts"),
+                F.when(F.col("payload") % 3 == 0, "view")
+                .when(F.col("payload") % 3 == 1, "purchase")
+                .otherwise("other")
+                .alias("event_type"),
+            ),
+            "view",
+            "purchase",
+        ).collect(),
+    )
+    timed(
+        "adamic_adar_topk (100k nodes, cap 200, r5)",
+        lambda: adamic_adar_topk(edges, top=25, max_degree=200)
+        .collect(),
+        rows=4_000_000,
+    )
+    timed(
+        "hits_scores (100k nodes, 4M edges, 2 iters, r5)",
+        lambda: hits_scores(edges, iters=2).agg(F.sum("hub")).collect(),
+        rows=4_000_000 * 2,
+    )
+    ivl = spark.range(N // 40, numPartitions=64).select(
+        (F.col("id") % 100_000).alias("k"),
+        (F.col("id") * 283 % 1_000_000_000).cast("double").alias("llo"),
+        ((F.col("id") * 283 % 1_000_000_000) + 4_000.0).alias("lhi"),
+    )
+    timed(
+        "interval_overlap_join (2.5% x 2.5%, bucket=width, r5)",
+        lambda: interval_overlap_join(
+            ivl,
+            iv.withColumnRenamed("lo", "rlo").withColumnRenamed("hi", "rhi"),
+            "llo", "lhi", "rlo", "rhi", on="k", bucket=5_000.0,
+        )
+        .agg(F.count(F.lit(1)))
+        .collect(),
+        rows=N // 40,
+    )
+    from ddspark.pipeline.ann import pq_build, pq_search
+
+    timed(
+        "pq_build+search (1M vecs dim 64, m=8 k=16, r5)",
+        lambda: (lambda cb_codes: pq_search(
+            cb_codes[0], cb_codes[1], vecs.where(F.col("vec_id") < 5),
+            dim=64, m=8, top=5,
+        ).collect())(pq_build(vecs, dim=64, m=8, k=16, iters=1)),
+        warm=0,
+        rows=N // 4,
+    )
+    timed(
+        "image synth+decode (7x5 QOI codec, r5)",
+        lambda: decode_stats(
+            synth_images(ids, fmt="qoi")
+        ).agg(F.sum("sum_r")).collect(),
+    )
     spark.stop()
 
 
