@@ -1071,8 +1071,10 @@ def rake_keywords(
     ``freq(w)`` counts a word's phrase memberships and ``deg(w)`` sums
     the lengths of the phrases it appears in — so words that co-occur
     inside long multi-word terms outrank equally frequent words that
-    only stand alone.  Returns ``(phrase, n_words, n, score_micro,
-    score)`` with ``n`` the corpus-wide occurrence count.
+    only stand alone.  Boundaries are ASCII punctuation/symbols plus the
+    frozen stopword list; non-ASCII codepoints stay inside tokens.
+    Returns ``(phrase, n_words, n, score_micro, score)`` with ``n`` the
+    corpus-wide occurrence count.
 
     **Exactness** — the word score quantizes as the pure-integer floor
     division ``(scale * deg) div freq`` (no floats anywhere), and the
@@ -1080,70 +1082,63 @@ def rake_keywords(
     ranking replays bit-for-bit cross-engine; ties break on the phrase
     text.
 
-    **Scale** — one explode + a token-keyed aggregation for the word
-    table, then a token-keyed join back to phrase members (vocab-keyed,
-    partial-agg friendly, no skew beyond natural token frequency) and a
-    phrase-keyed aggregation.  Phrases longer than ``max_words`` drop
-    (mirrored), which also bounds the member fan-out per phrase.
+    **Scale** — boundary detection is PURE REGEX (punctuation and
+    word-bounded stopwords rewrite to a delimiter, then one split): no
+    per-token window, no per-doc sort — the 4 M-doc bench dropped
+    132 s -> explode-only cost when the original windowed form was
+    replaced.  Word stats aggregate over phrase OCCURRENCES (one
+    explode), but the phrase-score join touches only DISTINCT phrase
+    texts (a phrase's score depends only on its text), so the
+    vocab-keyed join is over the deduplicated phrase table.  Phrases
+    longer than ``max_words`` drop (mirrored).
     """
     if top < 1 or max_words < 1 or scale < 1:
         raise ValueError("top, max_words, scale must all be >= 1")
-    norm = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]+", " | "),
-            r"\s+",
-            " ",
-        ),
-        r"^ | $",
-        "",
+    stop_alt = "|".join(RAKE_STOPWORDS)
+    # positive ASCII punct/symbol class — the equivalent negated class
+    # [^a-z0-9\s]+ measured 26 s per pass over 4 M docs on this JVM
+    # (negated-class scan pathology); the positive ranges run at 2.5 s.
+    # Non-ASCII codepoints therefore stay inside tokens (documented).
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[!-/:-@\[-`{-~]+", " | ")
+    norm = F.regexp_replace(norm, rf"\b({stop_alt})\b", "|")
+    norm = F.regexp_replace(norm, r"\s+", " ")
+    phrases = F.filter(
+        F.transform(F.split(norm, r"\|"), lambda p: F.trim(p)),
+        lambda p: p != "",
     )
-    toks = df.select(F.col(id_col).alias("id"), F.split(norm, " ").alias("t")).where(
-        F.size("t") > 0
+    # projection boundaries are load-bearing (the grams_from_tokens
+    # lesson): exploding the raw lambda chain re-evaluates the whole
+    # regex+filter pipeline once per emitted phrase (measured 27 s for
+    # the explode alone at 4 M docs; 1.5 s with the boundary), and the
+    # same for re-splitting the phrase per member row.
+    occ = (
+        df.where(F.col(text_col).isNotNull())
+        .select(phrases.alias("_ps"))
+        .select(F.explode("_ps").alias("phrase"))
+        .select("phrase", F.split(F.col("phrase"), " ").alias("_toks"))
+        .withColumn("n_words", F.size("_toks"))
+        .where(F.col("n_words") <= max_words)
     )
-    pos = toks.select("id", F.posexplode("t").alias("pos", "tok"))
-    flagged = pos.withColumn(
-        "boundary",
-        (F.col("tok") == "|") | (F.col("tok") == "") | F.col("tok").isin(RAKE_STOPWORDS),
-    )
-    wo = Window.partitionBy("id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    members = (
-        flagged.withColumn("pid", F.sum(F.col("boundary").cast("int")).over(wo))
-        .where(~F.col("boundary"))
-        .select("id", "pid", "pos", "tok")
-    )
-    wp = Window.partitionBy("id", "pid")
-    members = members.withColumn("plen", F.count(F.lit(1)).over(wp)).where(
-        F.col("plen") <= max_words
-    )
+    # occurrence-level member rows drive the word statistics
+    members = occ.select("n_words", F.explode("_toks").alias("tok"))
     words = members.groupBy("tok").agg(
-        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+        F.count(F.lit(1)).alias("freq"), F.sum("n_words").alias("deg")
     )
     wscore = words.select(
         "tok", F.expr(f"({int(scale)} * deg) div freq").alias("ws")
     )
-    phrases = (
-        members.join(wscore, "tok")
-        .groupBy("id", "pid")
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s["tok"],
-                ),
-            ).alias("phrase"),
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("ws").alias("score_micro"),
-        )
+    dist = occ.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"), F.count(F.lit(1)).alias("n")
     )
-    out = phrases.groupBy("phrase").agg(
-        F.max("n_words").alias("n_words"),
-        F.count(F.lit(1)).alias("n"),
-        F.max("score_micro").alias("score_micro"),
+    dmem = dist.select(
+        "phrase", F.split(F.col("phrase"), " ").alias("_t")
+    ).select("phrase", F.explode("_t").alias("tok"))
+    scores = (
+        dmem.join(wscore, "tok")
+        .groupBy("phrase")
+        .agg(F.sum("ws").alias("score_micro"))
     )
-    out = out.select(
+    out = dist.join(scores, "phrase").select(
         "phrase",
         "n_words",
         "n",
@@ -1161,66 +1156,54 @@ def rake_keywords_oracle_sql(
     max_words: int = 4,
     scale: int = 10**6,
 ) -> str:
-    """ANSI twin of :func:`rake_keywords` (same normalization, boundary
-    rule, integer word scores, and tie-break)."""
-    stops = ", ".join(f"'{w}'" for w in RAKE_STOPWORDS)
+    """ANSI twin of :func:`rake_keywords` (same regex boundary rewrite,
+    integer word scores, and tie-break)."""
+    stop_alt = "|".join(RAKE_STOPWORDS)
     return rf"""
-WITH toks AS (
-  SELECT {id_col} AS id,
-         string_split(
-           regexp_replace(
+WITH occ0 AS (
+  SELECT trim(p) AS phrase
+  FROM (
+    SELECT string_split_regex(
              regexp_replace(
-               regexp_replace(lower({text_col}), '[^a-z0-9\s]+', ' | ', 'g'),
+               regexp_replace(
+                 regexp_replace(lower({text_col}), '[!-/:-@\[-`{{-~]+', ' | ', 'g'),
+                 '\b({stop_alt})\b', '|', 'g'),
                '\s+', ' ', 'g'),
-             '^ | $', '', 'g'),
-           ' ') AS t
-  FROM {table} WHERE {text_col} IS NOT NULL
+             '\|') AS ps
+    FROM {table} WHERE {text_col} IS NOT NULL
+  ), UNNEST(ps) AS u(p)
 ),
-pos AS (
-  SELECT id, i AS pos, t[i] AS tok
-  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
-),
-flagged AS (
-  SELECT id, pos, tok,
-         (tok = '|' OR tok = '' OR tok IN ({stops})) AS boundary
-  FROM pos
-),
-members0 AS (
-  SELECT id, pos, tok,
-         SUM(CASE WHEN boundary THEN 1 ELSE 0 END)
-             OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pid
-  FROM flagged
-  QUALIFY NOT boundary
+occ AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS n_words
+  FROM occ0
+  WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= {max_words}
 ),
 members AS (
-  SELECT * FROM (
-    SELECT id, pid, pos, tok,
-           COUNT(*) OVER (PARTITION BY id, pid) AS plen
-    FROM members0
-  ) WHERE plen <= {max_words}
+  SELECT n_words, u.tok
+  FROM occ, UNNEST(string_split(phrase, ' ')) AS u(tok)
 ),
 words AS (
-  SELECT tok, COUNT(*) AS freq, CAST(SUM(plen) AS BIGINT) AS deg
+  SELECT tok, COUNT(*) AS freq, CAST(SUM(n_words) AS BIGINT) AS deg
   FROM members GROUP BY tok
 ),
 wscore AS (
   SELECT tok, ({int(scale)} * deg) // freq AS ws FROM words
 ),
-phrases AS (
-  SELECT m.id, m.pid,
-         string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
-         COUNT(*) AS n_words,
-         CAST(SUM(w.ws) AS BIGINT) AS score_micro
-  FROM members m JOIN wscore w ON m.tok = w.tok
-  GROUP BY 1, 2
+dist AS (
+  SELECT phrase, CAST(MAX(n_words) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM occ GROUP BY phrase
+),
+scores AS (
+  SELECT d.phrase, CAST(SUM(w.ws) AS BIGINT) AS score_micro
+  FROM (SELECT phrase, u.tok
+        FROM dist, UNNEST(string_split(phrase, ' ')) AS u(tok)) d
+  JOIN wscore w ON d.tok = w.tok
+  GROUP BY d.phrase
 )
-SELECT phrase,
-       CAST(MAX(n_words) AS BIGINT) AS n_words,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(MAX(score_micro) AS BIGINT) AS score_micro,
-       ROUND(CAST(MAX(score_micro) AS DOUBLE) / {int(scale)}, 6) AS score
-FROM phrases
-GROUP BY phrase
-ORDER BY MAX(score_micro) DESC, phrase
+SELECT dist.phrase, dist.n_words, dist.n, s.score_micro,
+       ROUND(CAST(s.score_micro AS DOUBLE) / {int(scale)}, 6) AS score
+FROM dist JOIN scores s ON dist.phrase = s.phrase
+ORDER BY s.score_micro DESC, dist.phrase
 LIMIT {top}
 """.strip()
