@@ -1190,6 +1190,22 @@ def _q_spike_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (ddspark/pipeline/graph.py
+    label_propagation) over a SPARSE 10000-node synth graph (the
+    1000-node graph is near-complete at scale): 4 deterministic rounds,
+    min-label ties, per-round CTE unroll in the oracle."""
+    from ddspark.pipeline.graph import label_propagation
+    from ddspark.pipeline.hashing import portable_hash63
+
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    edges = ev.select(
+        (F.col("user_id") * 13 % 10000).alias("src"),
+        (portable_hash63(F.col("event_id").cast("string")) % 10000).alias("dst"),
+    )
+    return label_propagation(edges, iters=4)
+
+
 def _q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-way ANOVA F across all five event types (ddspark/profile.py
     anova_f): per-group between-terms floor-quantized to BIGINT before
@@ -2923,6 +2939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_interval_overlap": wrap(_q_interval_overlap),  # new r5 (3rd s.)
         "ann_pq_search": wrap(_q_pq_search),  # new in r5 (third stretch)
         "profile_anova_f": wrap(_q_anova),  # new in r5 (third stretch)
+        "graph_label_propagation": wrap(_q_lpa),  # new in r5 (third stretch)
         "text_readability": wrap(_q_readability),  # new in r5 (second stretch)
         "ts_autocorr": wrap(_q_autocorr),  # new in r5 (second stretch)
         "profile_ols": wrap(_q_ols),  # new in r5 (second stretch)
@@ -4193,6 +4210,7 @@ QUALIFY rank <= 10
         "join_interval_overlap": _interval_overlap_oracle(),
         "ann_pq_search": _pq_oracle(),
         "profile_anova_f": _anova_oracle(),
+        "graph_label_propagation": _lpa_oracle(),
         "multimodal_tiff_stats": """
             WITH px AS (
               SELECT d.doc_id, u.i AS idx, (d.doc_id + u.i) % 256 AS v
@@ -4830,6 +4848,19 @@ def _assortativity_oracle() -> str:
         "SELECT user_id % 1000 AS src, "
         f"({h}) % 1000 AS dst "
         "FROM events WHERE user_id IS NOT NULL"
+    )
+
+
+def _lpa_oracle() -> str:
+    from ddspark.pipeline.graph import label_propagation_oracle_sql
+    from ddspark.pipeline.hashing import portable_hash63_sql
+
+    h = portable_hash63_sql("CAST(event_id AS VARCHAR)")
+    return label_propagation_oracle_sql(
+        "SELECT user_id * 13 % 10000 AS src, "
+        f"({h}) % 10000 AS dst "
+        "FROM events WHERE user_id IS NOT NULL",
+        iters=4,
     )
 
 

@@ -29,7 +29,7 @@ with localCheckpoint (the standard guard for iterative DataFrame plans).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = [
     "pagerank_integer",
@@ -913,4 +913,87 @@ def hits_scores_oracle_sql(
         f" FROM nodes n JOIN h{iters} ON n.node = h{iters}.node"
         f" JOIN a{iters} ON n.node = a{iters}.node"
     )
+    return "\n".join(parts)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over the
+    undirected simple graph: ``(node, label)`` after ``iters`` rounds of
+    every node adopting its neighbors' most frequent label, ties broken
+    by the SMALLEST label — fully deterministic (the usual random order
+    is what makes vanilla LPA irreproducible; synchronous + min-label
+    replays in any engine).  Labels start as node ids; isolated-in-round
+    nodes keep their label.  Communities are denser-than-CC structure:
+    on one connected blob :func:`~ddspark.pipeline.dedup.connected_components`
+    returns a single id while LPA still splits it along sparse cuts.
+
+    **Scale** — one neighbor-join + one (node, label) count + one
+    top-1-per-node window per round, lineage cut per round.  Fixed
+    ``iters`` (synchronous LPA may oscillate on bipartite structure;
+    bounded rounds are the standard mitigation and keep the oracle an
+    exact per-round CTE unroll).
+    """
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .where(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbrs = e.select(F.col("u").alias("n"), F.col("v").alias("m")).unionAll(
+        e.select(F.col("v").alias("n"), F.col("u").alias("m"))
+    ).localCheckpoint(eager=False)
+    nodes = nbrs.select("n").distinct().localCheckpoint(eager=False)
+    labels = nodes.withColumn("label", F.col("n"))
+    w = Window.partitionBy("n").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iters):
+        cnt = (
+            nbrs.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("n", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("n").alias("node"), "label")
+
+
+def label_propagation_oracle_sql(
+    edges_sql: str,
+    iters: int = 4,
+) -> str:
+    """ANSI twin of :func:`label_propagation` (same synchronous rounds,
+    same (count desc, label asc) tie-break; MATERIALIZED per round)."""
+    parts = [
+        f"WITH e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v",
+        f" FROM ({edges_sql})",
+        " WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),",
+        " nbrs AS MATERIALIZED (SELECT u AS n, v AS m FROM e UNION ALL SELECT v, u FROM e),",
+        " l0 AS (SELECT DISTINCT n, n AS label FROM nbrs)",
+    ]
+    prev = "l0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f", l{i} AS MATERIALIZED ("
+            f"  SELECT n, label FROM ("
+            f"    SELECT nbrs.n, {prev}.label, COUNT(*) AS c,"
+            f"           ROW_NUMBER() OVER (PARTITION BY nbrs.n"
+            f"             ORDER BY COUNT(*) DESC, {prev}.label) AS rn"
+            f"    FROM nbrs JOIN {prev} ON {prev}.n = nbrs.m"
+            f"    GROUP BY nbrs.n, {prev}.label"
+            f"  ) WHERE rn = 1)"
+        )
+        prev = f"l{i}"
+    parts.append(f" SELECT n AS node, label FROM {prev}")
     return "\n".join(parts)

@@ -458,3 +458,42 @@ def test_hits_duckdb_twin_random_graph(spark):
         ).fetchall()
     }
     assert got == want and len(got) == 50
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 5-cliques joined by one bridge edge resolve to two
+    communities labeled by each clique's smallest id."""
+    import itertools
+
+    from ddspark.pipeline.graph import label_propagation
+
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iters=4).collect()}
+    assert {got[i] for i in range(5)} == {0}
+    assert {got[i] for i in range(10, 15)} == {10}
+    with pytest.raises(ValueError):
+        label_propagation(df, iters=0)
+
+
+def test_label_propagation_duckdb_twin(spark):
+    import random
+
+    from ddspark.pipeline.graph import (
+        label_propagation,
+        label_propagation_oracle_sql,
+    )
+
+    rng = random.Random(31)
+    edges = [(rng.randrange(80), rng.randrange(80)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iters=3).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges(src BIGINT, dst BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?)", edges)
+    want = dict(con.execute(
+        label_propagation_oracle_sql("SELECT src, dst FROM edges", iters=3)
+    ).fetchall())
+    assert got == want and len(got) > 50
