@@ -2912,6 +2912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # every query with NO driver-green row in any round leads, so the
         # next snapshot maximizes first-ever coverage; names/schemas are
         # byte-stable, only ordering rotates (see QUERIES.md).
+        "ddsketch_cdf_probes": wrap(_q_cdf_probes),  # only query never in any driver snapshot r1-r4 (VERDICT r4 #2)
+        "json_props_stats": wrap(_q_json_props_stats),  # ditto (VERDICT r4 #2)
         "ann_recall": wrap(_q_ann_recall),  # new in r5 (second stretch)
         "dedup_cosine_pairs": wrap(_q_cosine_pairs),  # new in r5 (2nd stretch)
         "cluster_kmeans": wrap(_q_kmeans),  # new in r5 (second stretch)
@@ -2976,8 +2978,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_rrf_fusion": wrap(_q_rrf_fuse),  # new in r5
         "curation_target_encode": wrap(_q_target_encode),  # new in r5
         "text_postings_topdf": wrap(_q_postings_topdf),  # new in r5
-        "ddsketch_cdf_probes": wrap(_q_cdf_probes),
-        "json_props_stats": wrap(_q_json_props_stats),
         "multimodal_gif_stats": wrap(_q_multimodal_gif),  # new in r5
         "curation_gopher_quality": wrap(_q_gopher_quality),  # new in r5
         "curation_c4_clean": wrap(_q_c4_clean),  # new in r5
