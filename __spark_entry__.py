@@ -2914,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # byte-stable, only ordering rotates (see QUERIES.md).
         "ddsketch_cdf_probes": wrap(_q_cdf_probes),  # only query never in any driver snapshot r1-r4 (VERDICT r4 #2)
         "json_props_stats": wrap(_q_json_props_stats),  # ditto (VERDICT r4 #2)
+        "ddsketch_session_events": wrap(_q_session_events),  # re-vouch under the r4 tie-stability oracle fix d895e84 (VERDICT r4 #3)
         "ann_recall": wrap(_q_ann_recall),  # new in r5 (second stretch)
         "dedup_cosine_pairs": wrap(_q_cosine_pairs),  # new in r5 (2nd stretch)
         "cluster_kmeans": wrap(_q_kmeans),  # new in r5 (second stretch)
@@ -3016,7 +3017,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_corpus_diff": wrap(_q_corpus_diff),  # new in r5
         "sketch_quantile_binning_grouped": wrap(_q_quantile_binning_grouped),  # new in r5
         # --- queries below have driver-green rows (r4 or earlier) ---
-        "ddsketch_session_events": wrap(_q_session_events),
         "hll_distinct_users_by_type": wrap(_q_hll_distinct),
         "exact_distinct_users_by_type": wrap(_q_exact_distinct),
         "tdigest_chars_by_lang": wrap(_q_tdigest_chars),
