@@ -257,14 +257,12 @@ def range_join(
         raise ValueError(
             f"right columns {clash} clash with left names: rename them first"
         )
+    # Unlike interval_overlap_join, the LEFT side is never exploded (each
+    # point lives in exactly one bucket), so semi/anti multiplicity is
+    # already exact on the direct join — no matched-key-set pass needed.
+    j = l.join(r, cond, how)
     if how in ("left_semi", "left_anti"):
-        matched = (
-            l.join(r, cond, "inner").select(l[left_key].alias("_mk")).distinct()
-        )
-        return left.join(
-            matched, left[left_key] == matched["_mk"], how
-        )
-    j = l.join(r, cond, "inner")
+        return j.drop("_lb")
     out = j.drop("_lb", "_rb")
     for k in on:
         # keep the left copy of the equality keys (right copy is equal or,
