@@ -301,14 +301,31 @@ def build_cells(
     by = list(by or [])
     cfg = cfg or SketchConfig()
     keyed = keyed_projection(df, value_col, by, cfg, weight_col)
-    aggs = [F.sum("_w").alias("_c")]
-    if stats:
-        aggs += [
-            F.sum(F.col("_v") * F.col("_w")).alias("_s"),
-            F.min("_v").alias("_mn"),
-            F.max("_v").alias("_mx"),
-        ]
-    aggs.append(F.count(F.lit(1)).alias("_rc"))
+    if weight_col:
+        aggs = [F.sum("_w").alias("_c")]
+        if stats:
+            aggs += [
+                F.sum(F.col("_v") * F.col("_w")).alias("_s"),
+                F.min("_v").alias("_mn"),
+                F.max("_v").alias("_mx"),
+            ]
+        aggs.append(F.count(F.lit(1)).alias("_rc"))
+    else:
+        # unweighted: _c == row count exactly (sum of literal 1.0s), so use
+        # the cheaper count accumulator, drop the _v * 1.0 multiply, and let
+        # Catalyst dedup the two count(1) aggregates — bit-identical cells
+        # with two fewer double accumulators in the partial aggregation
+        aggs = [F.count(F.lit(1)).cast("double").alias("_c")]
+        if stats:
+            aggs += [
+                # cast keeps _s DOUBLE for integer value columns, exactly
+                # as the old sum(_v * 1.0) promoted it — same values, same
+                # order, bit-identical sums
+                F.sum(F.col("_v").cast("double")).alias("_s"),
+                F.min("_v").alias("_mn"),
+                F.max("_v").alias("_mx"),
+            ]
+        aggs.append(F.count(F.lit(1)).alias("_rc"))
     return keyed.groupBy(*by, "_sgn", "_k").agg(*aggs)
 
 

@@ -188,6 +188,10 @@ class _BitReader:
         end = len(data)
         # trim consumed high bits so acc stays a small int forever
         acc, nbits = self.acc & ((1 << self.nbits) - 1), self.nbits
+        # greedy: buffer well past the request so each symbol+magnitude
+        # pair usually costs ZERO fill calls, not one or two — filling
+        # stops at markers without consuming them either way
+        n = n if n > 48 else 48
         while nbits < n and pos < end:
             b = data[pos]
             if b == 0xFF:
@@ -260,6 +264,35 @@ class _HuffTree:
                 base = c << (8 - ln)
                 for i in range(1 << (8 - ln)):
                     self.lut[base + i] = (sym, ln)
+
+    def decode_mag(self, br: _BitReader) -> tuple[int, int]:
+        """(symbol, EXTENDed magnitude) with one 24-bit peek serving both
+        the Huffman code and its magnitude bits in the common short-code
+        case (code <= 8 bits + size <= 15 bits fits the window).  The low
+        nibble of the symbol is the magnitude size for AC run/size pairs,
+        and equals the whole symbol for DC categories (<= 11), so one
+        helper serves both; size 0 (EOB/ZRL/zero diff) reads no extra
+        bits, exactly like the split decode() + bits() calls."""
+        v, avail = br.peek(24)
+        hit = self.lut[v >> 16]
+        if hit is not None:
+            sym, ln = hit
+            sz = sym & 0xF
+            need = ln + sz
+            if need <= avail:
+                br.nbits -= need
+                if sz == 0:
+                    return sym, 0
+                mag = (v >> (24 - need)) & ((1 << sz) - 1)
+                return sym, (
+                    mag if mag >= (1 << (sz - 1)) else mag - (1 << sz) + 1
+                )
+        sym = self.decode(br)
+        sz = sym & 0xF
+        if sz == 0:
+            return sym, 0
+        mag = br.bits(sz)
+        return sym, mag if mag >= (1 << (sz - 1)) else mag - (1 << sz) + 1
 
     def decode(self, br: _BitReader) -> int:
         v, avail = br.peek(8)
@@ -862,8 +895,7 @@ def _progressive_scan(
         eobrun = 0
 
     def dc_first(blk, dtree, ci) -> None:
-        s = dtree.decode(br)
-        diff = _extend(br.bits(s), s) if s else 0
+        _s, diff = dtree.decode_mag(br)
         pred[ci] += diff
         blk[0] = pred[ci] << al
 
@@ -878,7 +910,7 @@ def _progressive_scan(
             return
         k = ss
         while k <= se:
-            rs = atree.decode(br)
+            rs, val = atree.decode_mag(br)
             r, s = rs >> 4, rs & 0xF
             if s == 0:
                 if r != 15:
@@ -891,7 +923,7 @@ def _progressive_scan(
             k += r
             if k > se:
                 raise ValueError("JPEG AC index out of spectral band")
-            blk[k] = _extend(br.bits(s), s) << al
+            blk[k] = val << al
             k += 1
 
     def ac_refine(blk, atree) -> None:
@@ -1036,23 +1068,23 @@ def _sequential_scan(
             pred = 0
         by, bx = divmod(u, bw_)
         blk = arr[by, bx]
-        s = dtree.decode(br)
-        diff = _extend(br.bits(s), s) if s else 0
+        _s, diff = dtree.decode_mag(br)
         pred += diff
         blk[0] = pred
         k = 1
         while k < 64:
-            rs = atree.decode(br)
+            rs, val = atree.decode_mag(br)
             if rs == 0x00:  # EOB
                 break
             if rs == 0xF0:  # ZRL
                 k += 16
                 continue
             k += rs >> 4
-            sz = rs & 0xF
             if k > 63:
                 raise ValueError("JPEG AC index out of range")
-            blk[k] = _extend(br.bits(sz), sz)
+            if not rs & 0xF:
+                raise ValueError("invalid JPEG AC run/size")
+            blk[k] = val
             k += 1
     q = pos + br.pos
     while q + 1 < len(b):
@@ -1099,13 +1131,15 @@ def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart, rgb_direct=False):
     vmax = max(c["v"] for c, _, _ in scan)
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
-    planes = []
-    for comp, _, _ in scan:
-        pw, ph = mcux * comp["h"] * 8, mcuy * comp["v"] * 8
-        planes.append(np.zeros((ph, pw), dtype=np.float64))
     br = _BitReader(b[pos:])
     pred = [0] * len(scan)
     n_mcu = mcux * mcuy
+    # Entropy decode into flat per-component zigzag coefficient lists (the
+    # sequential Huffman walk is inherently scalar); everything after it —
+    # de-zigzag, dequantize, IDCT, block placement — runs ONCE per
+    # component as batched array math instead of ~4 NumPy calls per block.
+    ntrees = [(huff[(0, dct)], huff[(1, act)]) for _, dct, act in scan]
+    flat: list[list[int]] = [[] for _ in scan]
     for m in range(n_mcu):
         if restart and m and m % restart == 0:
             br.align()
@@ -1118,37 +1152,51 @@ def _decode_scan(b, pos, scan, qtabs, huff, h, w, restart, rgb_direct=False):
             ):
                 br.pos += 2
             pred = [0] * len(scan)
-        my, mx = divmod(m, mcux)
-        for ci, (comp, dct, act) in enumerate(scan):
-            q = qtabs[comp["tq"]]
-            dtree, atree = huff[(0, dct)], huff[(1, act)]
-            for by in range(comp["v"]):
-                for bx in range(comp["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    s = dtree.decode(br)
-                    diff = _extend(br.bits(s), s) if s else 0
-                    pred[ci] += diff
-                    zz[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        rs = atree.decode(br)
-                        if rs == 0x00:  # EOB
-                            break
-                        if rs == 0xF0:  # ZRL
-                            k += 16
-                            continue
-                        k += rs >> 4
-                        sz = rs & 0xF
-                        if k > 63:
-                            raise ValueError("JPEG AC index out of range")
-                        zz[k] = _extend(br.bits(sz), sz)
-                        k += 1
-                    coeff = np.zeros(64, dtype=np.int64)
-                    coeff[_ZIGZAG] = zz
-                    blk = _idct(coeff.reshape(8, 8) * q)
-                    y0 = (my * comp["v"] + by) * 8
-                    x0 = (mx * comp["h"] + bx) * 8
-                    planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+        for ci, (comp, _, _) in enumerate(scan):
+            dtree, atree = ntrees[ci]
+            out = flat[ci]
+            for _blk in range(comp["v"] * comp["h"]):
+                zz = [0] * 64
+                _s, diff = dtree.decode_mag(br)
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs, val = atree.decode_mag(br)
+                    if rs == 0x00:  # EOB
+                        break
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("JPEG AC index out of range")
+                    if not rs & 0xF:
+                        # zero size outside EOB/ZRL: invalid stream (the
+                        # split-decode path raised here too)
+                        raise ValueError("invalid JPEG AC run/size")
+                    zz[k] = val
+                    k += 1
+                out.extend(zz)
+    planes = []
+    for ci, (comp, _, _) in enumerate(scan):
+        cv, ch_ = comp["v"], comp["h"]
+        q = qtabs[comp["tq"]]
+        zzs = np.asarray(flat[ci], dtype=np.int64).reshape(-1, 64)
+        coeff = np.zeros_like(zzs)
+        coeff[:, _ZIGZAG] = zzs
+        # int64 dequant then float64 IDCT, exactly as the per-block
+        # _idct(coeff.reshape(8, 8) * q) did — np.matmul broadcasts the
+        # same (8, 8) dgemm per block, so the pixels are bit-identical
+        # (asserted against the per-block path in tests)
+        blocks = coeff.reshape(-1, 8, 8) * q
+        spatial = _DCT_M.T @ blocks @ _DCT_M
+        plane = (
+            spatial.reshape(mcuy, mcux, cv, ch_, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * ch_ * 8)
+        )
+        planes.append(plane)
     return _assemble(planes, [c for c, _, _ in scan], h, w, hmax, vmax,
                      rgb_direct)
 

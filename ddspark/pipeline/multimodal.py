@@ -352,44 +352,64 @@ def _png_unfilter(
     with no left dependency; zip comprehension is fine there."""
     if len(raw) - start < nrows * (rowbytes + 1):
         raise ValueError("PNG pixel data length mismatch")
-    out = bytearray(nrows * rowbytes)
-    prior = [0] * rowbytes
+    raw_np = np.frombuffer(raw, np.uint8)
+    out = np.empty((nrows, rowbytes), np.uint8)
+    prior_np = np.zeros(rowbytes, np.uint8)
+    prior_list: list[int] | None = None  # lazy list twin for the scalar paths
+    vec_sub = rowbytes % bpp == 0
     for y in range(nrows):
         base = start + y * (rowbytes + 1)
         ft = raw[base]
-        cur = list(raw[base + 1 : base + 1 + rowbytes])
+        cur_np = raw_np[base + 1 : base + 1 + rowbytes]
         if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(bpp, rowbytes):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif ft == 2:  # Up
-            cur = [(v + p) & 0xFF for v, p in zip(cur, prior)]
-        elif ft == 3:  # Average
-            for x in range(rowbytes):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif ft == 4:  # Paeth
-            for x in range(rowbytes):
-                a = cur[x - bpp] if x >= bpp else 0
-                b_ = prior[x]
-                c_ = prior[x - bpp] if x >= bpp else 0
-                p = a + b_ - c_
-                pa = p - a if p > a else a - p
-                pb = p - b_ if p > b_ else b_ - p
-                pc = p - c_ if p > c_ else c_ - p
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b_
-                else:
-                    pred = c_
-                cur[x] = (cur[x] + pred) & 0xFF
+            row = cur_np
+        elif ft == 1 and vec_sub:  # Sub: per-lane prefix sum mod 256
+            lanes = cur_np.reshape(-1, bpp).cumsum(axis=0, dtype=np.int64)
+            row = (lanes & 0xFF).astype(np.uint8).reshape(-1)
+        elif ft == 2:  # Up: uint8 wraparound IS the mod-256 add
+            row = cur_np + prior_np
+        elif ft in (1, 3, 4):
+            # Average/Paeth carry a left-neighbor dependency on the OUTPUT
+            # byte, so they cannot vectorize along the row — plain-Python
+            # int loops over lists (per-pixel ndarray indexing is ~30x
+            # slower at this grain)
+            cur = cur_np.tolist()
+            if prior_list is None:
+                prior_list = prior_np.tolist()
+            prior = prior_list
+            if ft == 1:  # Sub (rowbytes not a multiple of bpp)
+                for x in range(bpp, rowbytes):
+                    cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+            elif ft == 3:  # Average
+                for x in range(rowbytes):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+            else:  # Paeth
+                for x in range(rowbytes):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b_ = prior[x]
+                    c_ = prior[x - bpp] if x >= bpp else 0
+                    p = a + b_ - c_
+                    pa = p - a if p > a else a - p
+                    pb = p - b_ if p > b_ else b_ - p
+                    pc = p - c_ if p > c_ else c_ - p
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b_
+                    else:
+                        pred = c_
+                    cur[x] = (cur[x] + pred) & 0xFF
+            out[y] = cur
+            prior_np = out[y]
+            prior_list = cur
+            continue
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-        out[y * rowbytes : (y + 1) * rowbytes] = bytes(cur)
-        prior = cur
-    return out, nrows * (rowbytes + 1)
+        out[y] = row
+        prior_np = out[y]
+        prior_list = None
+    return bytearray(out.tobytes()), nrows * (rowbytes + 1)
 
 
 def _decode_png(blob: bytes) -> np.ndarray:
@@ -502,27 +522,42 @@ def _decode_png(blob: bytes) -> np.ndarray:
     return a
 
 
-def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> list[int]:
+def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> bytearray:
     """GIF-variant LZW: LSB-first bit packing, variable code width
-    ``min_code_size+1`` .. 12 (no early-change), clear/EOI codes."""
+    ``min_code_size+1`` .. 12 (no early-change), clear/EOI codes.
+
+    Table entries are ``bytes`` (palette indices are < 256 by
+    construction) so the hot loop concatenates/extends buffers instead of
+    Python lists, and table/output lengths are tracked as locals instead
+    of re-measured per code — ~97% of GIF decode time is this loop."""
     clear = 1 << min_code_size
     eoi = clear + 1
-    base = [[i] for i in range(clear)] + [None, None]
+    base = [bytes((i,)) for i in range(clear)] + [None, None]
     table = list(base)
+    base_len = len(base)
+    tlen = base_len
     code_size = min_code_size + 1
-    out: list[int] = []
+    mask = (1 << code_size) - 1
+    grow_at = 1 << code_size
+    out = bytearray()
+    outn = 0
     acc = nbits = 0
-    prev: list[int] | None = None
+    prev: bytes | None = None
+    append = table.append
     for byte in data:
         acc |= byte << nbits
         nbits += 8
         while nbits >= code_size:
-            code = acc & ((1 << code_size) - 1)
+            code = acc & mask
             acc >>= code_size
             nbits -= code_size
             if code == clear:
                 table = list(base)
+                append = table.append
+                tlen = base_len
                 code_size = min_code_size + 1
+                mask = (1 << code_size) - 1
+                grow_at = 1 << code_size
                 prev = None
                 continue
             if code == eoi:
@@ -531,20 +566,25 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, npix: int) -> list[int]:
                 if code >= clear:
                     raise ValueError("corrupt GIF LZW stream (first code)")
                 entry = table[code]
-            elif code < len(table) and table[code] is not None:
+            elif code < tlen and table[code] is not None:
                 entry = table[code]
-                table.append(prev + entry[:1])
-            elif code == len(table):
+                append(prev + entry[:1])
+                tlen += 1
+            elif code == tlen:
                 entry = prev + prev[:1]
-                table.append(entry)
+                append(entry)
+                tlen += 1
             else:
                 raise ValueError("corrupt GIF LZW stream (code gap)")
-            out.extend(entry)
-            if len(out) >= npix:
+            out += entry
+            outn += len(entry)
+            if outn >= npix:
                 return out
             prev = entry
-            if len(table) == (1 << code_size) and code_size < 12:
+            if tlen == grow_at and code_size < 12:
                 code_size += 1
+                mask = (1 << code_size) - 1
+                grow_at = 1 << code_size
     return out
 
 
@@ -682,7 +722,11 @@ def _decode_gif(blob: bytes) -> np.ndarray:
             idx = _gif_lzw_decode(bytes(data), min_code, fw * fh)
             if len(idx) < fw * fh:
                 raise ValueError("truncated GIF pixel data")
-            frame_idx = np.array(idx[: fw * fh], np.int64).reshape(fh, fw)
+            frame_idx = (
+                np.frombuffer(bytes(idx[: fw * fh]), np.uint8)
+                .astype(np.int64)
+                .reshape(fh, fw)
+            )
             if int(frame_idx.max(initial=0)) >= len(pal):
                 raise ValueError("GIF pixel index outside color table")
             if ifl & 0x40:  # interlaced: rows arrive in 4-pass order

@@ -56,6 +56,20 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # Spark 4's Arrow batching enforces maxBytesPerBatch (default 64 MB)
+        # by calling ArrowWriter.sizeInBytes() — a full vector-tree walk —
+        # after EVERY row written to a Python stage.  Profiling shows that
+        # walk costing ~1.5 us/row, ~70% of all JVM CPU under mapInPandas
+        # (6 M narrow rows: 1.9 s -> 0.55 s without it).  Int.MaxValue is
+        # the upstream sentinel that skips the per-row size check entirely
+        # (BatchedPythonArrowInput.underBatchSizeLimit); batches stay
+        # bounded by maxRecordsPerBatch above.  Blob stages re-enable a
+        # byte cap via multimodal.configure_blob_batches, where rows are
+        # MBs and the walk is amortized.
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("DDSPARK_ARROW_MAX_BYTES", "2147483647"),
+        )
         # pandas round-trips of struct columns as dicts (sketch state rows)
         .config("spark.sql.execution.pandas.structHandlingMode", "row")
         .config("spark.driver.memory", os.environ.get("DDSPARK_DRIVER_MEM", "8g"))

@@ -78,9 +78,12 @@ def sql_quantile_sketch(
     keyed = df.where(F.col(value_col) > 0).select(
         *by,
         F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k"),
-        w.alias("w"),
+        *([w.alias("w")] if weight_col else []),
     )
-    counts = keyed.groupBy(*by, "k").agg(F.sum("w").alias("c"))
+    # unweighted: sum of literal 1.0s == row count exactly, so count(*) is
+    # the cheaper bit-identical accumulator (no w column shipped at all)
+    c_agg = F.sum("w") if weight_col else F.count(F.lit(1)).cast("double")
+    counts = keyed.groupBy(*by, "k").agg(c_agg.alias("c"))
 
     if mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and bin_limit:
         wg = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))

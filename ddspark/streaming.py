@@ -453,8 +453,11 @@ def windowed_sketch_cells(
     return keyed.groupBy(
         F.window(ts_col, window_duration).alias("win"), *by, "_sgn", "_k"
     ).agg(
-        F.sum("_w").alias("_c"),
-        F.sum(F.col("_v") * F.col("_w")).alias("_s"),
+        # unweighted (_w is literal 1.0 here): count(*) is the cheaper
+        # bit-identical accumulator for both _c and _rc, and sum(_v) drops
+        # the * 1.0 multiply — same cells, two fewer double accumulators
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.sum(F.col("_v").cast("double")).alias("_s"),
         F.min("_v").alias("_mn"),
         F.max("_v").alias("_mx"),
         F.count(F.lit(1)).alias("_rc"),
