@@ -89,9 +89,19 @@ def test_sketch_quantile_alpha_bound(values, q, alpha):
     cfg = SketchConfig(alpha)
     sk = Sketch.from_values(v, cfg)
     est = sk.quantile(q)
-    exact = np.sort(v)[int(q * (len(v) - 1))]
     assert est is not None
-    assert abs(est - exact) - alpha * abs(exact) <= 1e-9 * max(1.0, abs(exact))
+    # A fractional rank r = q*(n-1) strictly between two data points has
+    # BOTH neighbors as valid rank values (the reference's negative branch
+    # walks lower=False, so at r = i - eps it answers the upper neighbor;
+    # the positive branch answers the lower one).  Accept either — the
+    # alpha guarantee is relative to a value at the requested rank.
+    s = np.sort(v)
+    r = q * (len(v) - 1)
+    candidates = {s[int(np.floor(r))], s[int(np.ceil(r))]}
+    assert any(
+        abs(est - exact) - alpha * abs(exact) <= 1e-9 * max(1.0, abs(exact))
+        for exact in candidates
+    )
 
 
 @settings(max_examples=60, deadline=None)
