@@ -225,6 +225,30 @@ def merge_partials(
     )
 
 
+_COLUMN_CACHE: dict[tuple, object] = {}
+
+
+def _cached_cols(key: tuple, build):
+    """Memoize unresolved Column/Window objects.
+
+    Building a quantile-sketch plan costs ~1,100 py4j round trips
+    (~0.35 s of driver latency per invocation, measured) — almost all of
+    it constructing the SAME immutable expression trees again.  Unresolved
+    Columns reference columns by NAME only, so an expression built once is
+    reusable against any DataFrame with those names; nothing here caches
+    data or results — every query still scans its inputs.
+    """
+    cols = _COLUMN_CACHE.get(key)
+    if cols is None:
+        cols = build()
+        _COLUMN_CACHE[key] = cols
+    return cols
+
+
+def _mapping_key(cfg: SketchConfig) -> tuple:
+    return (cfg.mapping, cfg.relative_accuracy, cfg.offset)
+
+
 def keyed_projection(
     df: DataFrame,
     value_col: str,
@@ -241,36 +265,47 @@ def keyed_projection(
     """
     by = list(by or [])
     cfg = cfg or SketchConfig()
-    mapping = cfg.key_mapping
-    mp = mapping.min_possible
-    v = F.col(value_col)
+
+    def build():
+        mapping = cfg.key_mapping
+        mp = mapping.min_possible
+        v = F.col(value_col)
+        cond = v.isNotNull() & ~F.isnan(v.cast("double"))
+        sgn = (
+            F.when(v > F.lit(mp), F.lit(1))
+            .when(v < F.lit(-mp), F.lit(-1))
+            .otherwise(F.lit(0))
+        )
+        k = (
+            F.when(sgn == 1, mapping.key_expr(v))
+            .when(sgn == -1, mapping.key_expr(-v))
+            .otherwise(F.lit(0))
+            .alias("_k")
+        )
+        return cond, v.alias("_v"), sgn.alias("_sgn"), k
+
+    cond, v_col, sgn_col, k_col = _cached_cols(
+        ("proj", _mapping_key(cfg), value_col), build
+    )
+    df = df.where(cond)
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    df = df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
     if weight_col:
-        df = df.where(w.isNotNull())
+        w0 = F.col(weight_col)
+        df = df.where(w0.isNotNull())
         # fail fast on non-positive weights, matching the kernel engine and
         # the reference's ValueError (ddsketch/ddsketch.py:141-142)
-        w = F.when(w > 0, w).otherwise(
+        w = F.when(w0 > 0, w0).otherwise(
             F.raise_error(
-                F.concat(F.lit("weight must be positive, got "), w.cast("string"))
+                F.concat(F.lit("weight must be positive, got "), w0.cast("string"))
             )
         )
-    sgn = (
-        F.when(v > F.lit(mp), F.lit(1))
-        .when(v < F.lit(-mp), F.lit(-1))
-        .otherwise(F.lit(0))
-    )
-
     return df.select(
         *(extra_cols or []),
         *by,
-        v.alias("_v"),
+        v_col,
         w.cast("double").alias("_w"),
-        sgn.alias("_sgn"),
-        F.when(sgn == 1, mapping.key_expr(v))
-        .when(sgn == -1, mapping.key_expr(-v))
-        .otherwise(F.lit(0))
-        .alias("_k"),
+        sgn_col,
+        k_col,
     )
 
 
@@ -301,31 +336,37 @@ def build_cells(
     by = list(by or [])
     cfg = cfg or SketchConfig()
     keyed = keyed_projection(df, value_col, by, cfg, weight_col)
-    if weight_col:
-        aggs = [F.sum("_w").alias("_c")]
-        if stats:
-            aggs += [
-                F.sum(F.col("_v") * F.col("_w")).alias("_s"),
-                F.min("_v").alias("_mn"),
-                F.max("_v").alias("_mx"),
-            ]
-        aggs.append(F.count(F.lit(1)).alias("_rc"))
-    else:
-        # unweighted: _c == row count exactly (sum of literal 1.0s), so use
-        # the cheaper count accumulator, drop the _v * 1.0 multiply, and let
-        # Catalyst dedup the two count(1) aggregates — bit-identical cells
-        # with two fewer double accumulators in the partial aggregation
-        aggs = [F.count(F.lit(1)).cast("double").alias("_c")]
-        if stats:
-            aggs += [
-                # cast keeps _s DOUBLE for integer value columns, exactly
-                # as the old sum(_v * 1.0) promoted it — same values, same
-                # order, bit-identical sums
-                F.sum(F.col("_v").cast("double")).alias("_s"),
-                F.min("_v").alias("_mn"),
-                F.max("_v").alias("_mx"),
-            ]
-        aggs.append(F.count(F.lit(1)).alias("_rc"))
+
+    def build():
+        if weight_col:
+            aggs = [F.sum("_w").alias("_c")]
+            if stats:
+                aggs += [
+                    F.sum(F.col("_v") * F.col("_w")).alias("_s"),
+                    F.min("_v").alias("_mn"),
+                    F.max("_v").alias("_mx"),
+                ]
+            aggs.append(F.count(F.lit(1)).alias("_rc"))
+        else:
+            # unweighted: _c == row count exactly (sum of literal 1.0s), so
+            # use the cheaper count accumulator, drop the _v * 1.0 multiply,
+            # and let Catalyst dedup the two count(1) aggregates —
+            # bit-identical cells with two fewer double accumulators in the
+            # partial aggregation
+            aggs = [F.count(F.lit(1)).cast("double").alias("_c")]
+            if stats:
+                aggs += [
+                    # cast keeps _s DOUBLE for integer value columns, exactly
+                    # as the old sum(_v * 1.0) promoted it — same values, same
+                    # order, bit-identical sums
+                    F.sum(F.col("_v").cast("double")).alias("_s"),
+                    F.min("_v").alias("_mn"),
+                    F.max("_v").alias("_mx"),
+                ]
+            aggs.append(F.count(F.lit(1)).alias("_rc"))
+        return tuple(aggs)
+
+    aggs = _cached_cols(("cells_aggs", bool(weight_col), stats), build)
     return keyed.groupBy(*by, "_sgn", "_k").agg(*aggs)
 
 
@@ -613,56 +654,77 @@ def finalize_cells_sql(
 
     by = list(by or [])
     cfg = cfg or SketchConfig()
-    mapping = cfg.key_mapping
 
     has_stats = "_s" in cells.columns
     df = cells
-    part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
-    if cfg.mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and cfg.bin_limit:
-        # Clamp bounds come from per-sign conditional extremes over the SAME
-        # window partition as the cumulative pass below (``by``, not
-        # ``by + _sgn``), so the whole finalize costs ONE exchange instead of
-        # two — the clamp is then just a local column expression before the
-        # partition-local sort.  Rows whose keys collapse onto the same
-        # clamped key are NOT re-aggregated: the rank walk crosses ``rank``
-        # at block granularity (equal clamped keys are adjacent in the sort
-        # and share one representative value), so duplicate keys change
-        # nothing, and count/sum/min/max are key-independent.
-        def bound(sgn: int):
-            ext = F.max if cfg.mode == COLLAPSE_LOWEST else F.min
-            e = ext(F.when(F.col("_sgn") == sgn, F.col("_k"))).over(part)
-            off = F.lit(cfg.bin_limit - 1)
-            return (e - off) if cfg.mode == COLLAPSE_LOWEST else (e + off)
 
-        lim = F.when(F.col("_sgn") == 1, bound(1)).otherwise(bound(-1))
-        clamp = F.greatest if cfg.mode == COLLAPSE_LOWEST else F.least
-        df = df.withColumn(
-            "_k",
-            F.when(F.col("_sgn") == 0, F.col("_k")).otherwise(
+    def build():
+        mapping = cfg.key_mapping
+        part = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
+        clamp_col = None
+        if cfg.mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and cfg.bin_limit:
+            # Clamp bounds come from per-sign conditional extremes over the
+            # SAME window partition as the cumulative pass below (``by``, not
+            # ``by + _sgn``), so the whole finalize costs ONE exchange
+            # instead of two — the clamp is then just a local column
+            # expression before the partition-local sort.  Rows whose keys
+            # collapse onto the same clamped key are NOT re-aggregated: the
+            # rank walk crosses ``rank`` at block granularity (equal clamped
+            # keys are adjacent in the sort and share one representative
+            # value), so duplicate keys change nothing, and
+            # count/sum/min/max are key-independent.
+            def bound(sgn: int):
+                ext = F.max if cfg.mode == COLLAPSE_LOWEST else F.min
+                e = ext(F.when(F.col("_sgn") == sgn, F.col("_k"))).over(part)
+                off = F.lit(cfg.bin_limit - 1)
+                return (e - off) if cfg.mode == COLLAPSE_LOWEST else (e + off)
+
+            lim = F.when(F.col("_sgn") == 1, bound(1)).otherwise(bound(-1))
+            clamp = F.greatest if cfg.mode == COLLAPSE_LOWEST else F.least
+            clamp_col = F.when(F.col("_sgn") == 0, F.col("_k")).otherwise(
                 clamp(F.col("_k"), lim)
-            ),
-        )
+            )
 
-    w_cum = part.orderBy(
-        F.col("_sgn").asc(), (F.col("_sgn") * F.col("_k")).asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = df.withColumn("run", F.sum("_c").over(w_cum)).withColumn(
-        "n", F.sum("_c").over(part)
+        w_cum = part.orderBy(
+            F.col("_sgn").asc(), (F.col("_sgn") * F.col("_k")).asc()
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        run_col = F.sum("_c").over(w_cum)
+        n_col = F.sum("_c").over(part)
+        val = F.when(F.col("_sgn") == 0, F.lit(0.0)).otherwise(
+            F.col("_sgn").cast("double") * mapping.value_expr(F.col("_k"))
+        )
+        aggs = [F.sum("_c").alias("count")]
+        if has_stats:
+            aggs += [
+                F.sum("_s").alias("sum"),
+                F.min("_mn").alias("min"),
+                F.max("_mx").alias("max"),
+                (F.sum("_s") / F.sum("_c")).alias("avg"),
+            ]
+        for q in qs:
+            rank = F.lit(float(q)) * (F.col("n") - 1)
+            aggs.append(
+                F.min(F.when(F.col("run") > rank, val)).alias(quantile_label(q))
+            )
+        return clamp_col, run_col, n_col, tuple(aggs)
+
+    clamp_col, run_col, n_col, aggs = _cached_cols(
+        (
+            "fin",
+            _mapping_key(cfg),
+            cfg.mode,
+            cfg.bin_limit,
+            tuple(by),
+            tuple(float(q) for q in qs),
+            has_stats,
+        ),
+        build,
     )
-    val = F.when(F.col("_sgn") == 0, F.lit(0.0)).otherwise(
-        F.col("_sgn").cast("double") * mapping.value_expr(F.col("_k"))
-    )
-    aggs = [F.sum("_c").alias("count")]
-    if has_stats:
-        aggs += [
-            F.sum("_s").alias("sum"),
-            F.min("_mn").alias("min"),
-            F.max("_mx").alias("max"),
-            (F.sum("_s") / F.sum("_c")).alias("avg"),
-        ]
-    for q in qs:
-        rank = F.lit(float(q)) * (F.col("n") - 1)
-        aggs.append(F.min(F.when(F.col("run") > rank, val)).alias(quantile_label(q)))
+    if clamp_col is not None:
+        df = df.withColumn("_k", clamp_col)
+    # one withColumns call: each DataFrame op costs a full eager re-analysis
+    # of the (growing) plan JVM-side — fusing the two projections halves it
+    cum = df.withColumns({"run": run_col, "n": n_col})
     grouped = cum.groupBy(*by) if by else cum.groupBy()
     return grouped.agg(*aggs)
 

@@ -61,12 +61,61 @@ def sql_quantile_sketch(
     estimate within ``alpha`` relative error of the exact rank value.
     Weighted adds (fractional weights included) via ``weight_col``.
     """
-    by = list(by or [])
-    mapping = LogarithmicMapping(alpha)
-    m = mapping._multiplier
-    gamma = mapping.gamma
+    from .agg import _cached_cols
 
-    w = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    by = list(by or [])
+
+    def build():
+        mapping = LogarithmicMapping(alpha)
+        m = mapping._multiplier
+        gamma = mapping.gamma
+        k_col = F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k")
+        # unweighted: sum of literal 1.0s == row count exactly, so count(*)
+        # is the cheaper bit-identical accumulator (no w column shipped)
+        c_agg = (F.sum("w") if weight_col else F.count(F.lit(1)).cast("double")).alias("c")
+        clamped = None
+        if mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and bin_limit:
+            wg = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
+            if mode == COLLAPSE_LOWEST:
+                clamped = F.greatest(
+                    F.col("k"), F.max("k").over(wg) - F.lit(bin_limit - 1)
+                )
+            else:
+                clamped = F.least(
+                    F.col("k"), F.min("k").over(wg) + F.lit(bin_limit - 1)
+                )
+        w_cum = (
+            (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0)))
+            .orderBy("k")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        w_all = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
+        run_col = F.sum("c").over(w_cum)
+        n_col = F.sum("c").over(w_all)
+        aggs = [F.max("n").alias("count")]
+        for q in qs:
+            rank = F.lit(q) * (F.col("n") - 1)
+            key_q = F.min(F.when(F.col("run") > rank, F.col("k")))
+            value_q = F.pow(F.lit(2.0), key_q.cast("double") / F.lit(m)) * F.lit(
+                2.0 / (1.0 + gamma)
+            )
+            aggs.append(value_q.alias(quantile_label(q)))
+        return k_col, c_agg, clamped, run_col, n_col, tuple(aggs)
+
+    k_col, c_agg, clamped, run_col, n_col, aggs = _cached_cols(
+        (
+            "sqlpath",
+            float(alpha),
+            value_col,
+            tuple(by),
+            tuple(float(q) for q in qs),
+            mode,
+            bin_limit,
+            weight_col,
+        ),
+        build,
+    )
+    w = F.col(weight_col).cast("double") if weight_col else None
     if weight_col:
         # fail fast on non-positive weights, matching the kernel engine and
         # the reference's ValueError (ddsketch/ddsketch.py:141-142)
@@ -77,46 +126,18 @@ def sql_quantile_sketch(
         )
     keyed = df.where(F.col(value_col) > 0).select(
         *by,
-        F.ceil(F.log2(F.col(value_col)) * F.lit(m)).cast("long").alias("k"),
+        k_col,
         *([w.alias("w")] if weight_col else []),
     )
-    # unweighted: sum of literal 1.0s == row count exactly, so count(*) is
-    # the cheaper bit-identical accumulator (no w column shipped at all)
-    c_agg = F.sum("w") if weight_col else F.count(F.lit(1)).cast("double")
-    counts = keyed.groupBy(*by, "k").agg(c_agg.alias("c"))
-
-    if mode in (COLLAPSE_LOWEST, COLLAPSE_HIGHEST) and bin_limit:
-        wg = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
-        if mode == COLLAPSE_LOWEST:
-            clamped = F.greatest(
-                F.col("k"), F.max("k").over(wg) - F.lit(bin_limit - 1)
-            )
-        else:
-            clamped = F.least(F.col("k"), F.min("k").over(wg) + F.lit(bin_limit - 1))
+    counts = keyed.groupBy(*by, "k").agg(c_agg)
+    if clamped is not None:
         counts = (
             counts.withColumn("k", clamped)
             .groupBy(*by, "k")
             .agg(F.sum("c").alias("c"))
         )
-
-    w_cum = (
-        (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0)))
-        .orderBy("k")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy(*by) if by else Window.partitionBy(F.lit(0))
-    cum = counts.withColumn("run", F.sum("c").over(w_cum)).withColumn(
-        "n", F.sum("c").over(w_all)
-    )
-
-    aggs = [F.max("n").alias("count")]
-    for q in qs:
-        rank = F.lit(q) * (F.col("n") - 1)
-        key_q = F.min(F.when(F.col("run") > rank, F.col("k")))
-        value_q = F.pow(F.lit(2.0), key_q.cast("double") / F.lit(m)) * F.lit(
-            2.0 / (1.0 + gamma)
-        )
-        aggs.append(value_q.alias(quantile_label(q)))
+    # single withColumns: one eager JVM analysis instead of two
+    cum = counts.withColumns({"run": run_col, "n": n_col})
     grouped = cum.groupBy(*by) if by else cum.groupBy()
     return grouped.agg(*aggs)
 
