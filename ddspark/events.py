@@ -337,8 +337,10 @@ def survival_km(
     integer log BEFORE the cumulative sum (the shared micro-nat trick),
     so the curve replays cross-engine; a final time step where everyone
     at risk converts yields ``survival = 0`` exactly (flagged, not
-    ln(0)).  ``n_censored`` counts censoring in ``[t, next event time)``
-    as usual.
+    ln(0)).  ``n_censored`` counts users censored at exactly ``t``;
+    censor-only times (no conversion event at ``t``) carry no output row,
+    so per-row censored counts do not reconcile to the total — they drop
+    out of ``n_risk`` at the next event time instead.
 
     **Scale** — two conditional min-aggregates collapse the event table
     to one row per user; everything after runs over distinct event

@@ -845,6 +845,13 @@ def hits_scores(
             .localCheckpoint()
         )
         am = a_all.agg(F.max("x")).collect()[0][0]
+        if am is None:
+            # no edges survived the null/self-loop filtering: the node set
+            # is empty and the normalizer has nothing to divide by
+            raise ValueError(
+                "hits_scores: edge set is empty after filtering "
+                "(nulls and self-loops are dropped)"
+            )
         auth = a_all.select(
             "node", F.expr(f"(x * {int(scale)}) div {int(am)}").alias("a")
         )
