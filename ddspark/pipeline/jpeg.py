@@ -825,8 +825,17 @@ def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
                     )
                 )
             if coeffs is None:
+                # nested Python lists, not ndarrays: the progressive /
+                # sequential scan loops do tens of thousands of scalar
+                # element reads+writes per image, and list indexing is
+                # several times cheaper than ndarray scalar access; the
+                # whole structure converts to one array in
+                # _reconstruct_coeffs
                 coeffs = [
-                    np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                    [
+                        [[0] * 64 for _ in range(mcux * c["h"])]
+                        for _ in range(mcuy * c["v"])
+                    ]
                     for c in comps
                 ]
             if progressive:
@@ -946,7 +955,7 @@ def _progressive_scan(
                 else:
                     raise ValueError("invalid AC refinement magnitude")
                 while k <= se:
-                    c = int(blk[k])
+                    c = blk[k]
                     if c != 0:
                         if br.bits(1) and not (c & p1):
                             blk[k] = c + (p1 if c > 0 else m1)
@@ -960,7 +969,7 @@ def _progressive_scan(
                     k += 1
         if eobrun > 0:
             while k <= se:
-                c = int(blk[k])
+                c = blk[k]
                 if c != 0:
                     if br.bits(1) and not (c & p1):
                         blk[k] = c + (p1 if c > 0 else m1)
@@ -988,7 +997,7 @@ def _progressive_scan(
             if restart and u and u % restart == 0:
                 rst_boundary()
             by, bx = divmod(u, bw_)
-            blk = arr[by, bx]
+            blk = arr[by][bx]
             if ah == 0:
                 dc_first(blk, dtree, 0)
             else:
@@ -1005,7 +1014,7 @@ def _progressive_scan(
                 arr = coeffs[comps.index(comp)]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        blk = arr[my * comp["v"] + by, mx * comp["h"] + bx]
+                        blk = arr[my * comp["v"] + by][mx * comp["h"] + bx]
                         if ah == 0:
                             dc_first(blk, dtree, ci)
                         else:
@@ -1024,7 +1033,7 @@ def _progressive_scan(
             if restart and u and u % restart == 0:
                 rst_boundary()
             by, bx = divmod(u, bw_)
-            blk = arr[by, bx]
+            blk = arr[by][bx]
             if ah == 0:
                 ac_first(blk, atree)
             else:
@@ -1067,7 +1076,7 @@ def _sequential_scan(
                 br.pos += 2
             pred = 0
         by, bx = divmod(u, bw_)
-        blk = arr[by, bx]
+        blk = arr[by][bx]
         _s, diff = dtree.decode_mag(br)
         pred += diff
         blk[0] = pred
@@ -1102,7 +1111,9 @@ def _reconstruct_coeffs(
     planes = []
     for ci, c in enumerate(comps):
         q = qtabs[c["tq"]].astype(np.float64)
-        arr = coeffs[ci]
+        # one bulk conversion of the nested scan-time lists (values are
+        # exact in float64 — progressive coefficients are small ints)
+        arr = np.asarray(coeffs[ci], dtype=np.float64)
         bv, bh_ = arr.shape[:2]
         nat = np.zeros((bv, bh_, 64), np.float64)
         nat[:, :, _ZIGZAG] = arr
