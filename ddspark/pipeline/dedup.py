@@ -620,24 +620,31 @@ def connected_components(
         )
         stepped = (
             lbl.join(nb, "id", "left")
-            .select("id", F.least("c", F.coalesce("nc", "c")).alias("c"))
+            .select(
+                "id",
+                F.least("c", F.coalesce("nc", "c")).alias("c"),
+                # round-start label rides along so the fixpoint check below
+                # is a local scan of the checkpointed rows instead of a
+                # whole extra node-set join+shuffle per iteration
+                F.col("c").alias("_oc"),
+            )
         )
         # (b) pointer jumping: c <- label(c) (labels are node ids, so the
         # parent lookup is a self-join); collapses label chains by half
         par = stepped.select(F.col("id").alias("_p"), F.col("c").alias("pc"))
         new_lbl = (
             stepped.join(par, stepped["c"] == par["_p"], "left")
-            .select("id", F.least(F.coalesce("pc", "c"), "c").alias("c"))
-            .localCheckpoint()  # cut the iterative plan's lineage
+            .select("id", F.least(F.coalesce("pc", "c"), "c").alias("c"), "_oc")
+            # lazy lineage cut: the fixpoint count below materializes it
+            # in its own job — one job per round instead of two
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_lbl.alias("n")
-            .join(lbl.alias("o"), "id")
-            .where(F.col("n.c") != F.col("o.c"))
-            .limit(1)
-            .count()
-        )
-        lbl = new_lbl
+        # full count, not limit(1): this is the job that materializes the
+        # lazy checkpoint, so every partition must be computed here (a
+        # limit could stop after one partition and leave the truncated
+        # lineage unable to rebuild the rest)
+        changed = new_lbl.where(F.col("c") != F.col("_oc")).count()
+        lbl = new_lbl.select("id", "c")
         if changed == 0:
             break
     both.unpersist()

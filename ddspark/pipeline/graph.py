@@ -842,7 +842,9 @@ def hits_scores(
                 "left",
             )
             .select("node", F.coalesce("x", F.lit(0).cast("long")).alias("x"))
-            .localCheckpoint()
+            # lazy: the max aggregate right below materializes the
+            # checkpoint in ITS job — one job per half-step, not two
+            .localCheckpoint(eager=False)
         )
         am = a_all.agg(F.max("x")).collect()[0][0]
         if am is None:
@@ -864,7 +866,8 @@ def hits_scores(
                 "left",
             )
             .select("node", F.coalesce("x", F.lit(0).cast("long")).alias("x"))
-            .localCheckpoint()
+            # lazy for the same reason as a_all above
+            .localCheckpoint(eager=False)
         )
         hm = h_all.agg(F.max("x")).collect()[0][0]
         hub = h_all.select(
