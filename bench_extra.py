@@ -83,11 +83,17 @@ def main():
     if args.plans:
         os.makedirs(f"{REPO}/plans/r06", exist_ok=True)
         for name, fn in qsuite.items():
-            p = fn()._sc._jvm.PythonSQLUtils.explainString(
-                fn()._jdf.queryExecution(), "formatted")
+            df = fn()
+            p = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
             with open(f"{REPO}/plans/r06/{name}_{args.plans}.txt", "w") as fh:
                 fh.write(p)
             print(f"wrote plans/r06/{name}_{args.plans}.txt")
+
+    if args.rounds < 1:
+        print(json.dumps({"sf": args.sf, "queries": {}, "value": 0, "rounds": []}))
+        spark.stop()
+        return
 
     # warm every query (bench methodology)
     for fn in qsuite.values():

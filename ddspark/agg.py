@@ -241,6 +241,11 @@ def _cached_cols(key: tuple, build):
     cols = _COLUMN_CACHE.get(key)
     if cols is None:
         cols = build()
+        # bound the cache: a long-lived driver sweeping many distinct
+        # (column, by, qs) combinations must not pin unbounded py4j
+        # expression handles — FIFO-evict the oldest beyond 256 entries
+        if len(_COLUMN_CACHE) >= 256:
+            _COLUMN_CACHE.pop(next(iter(_COLUMN_CACHE)))
         _COLUMN_CACHE[key] = cols
     return cols
 

@@ -825,19 +825,28 @@ def decode_jpeg(blob: bytes, apply_exif_orientation: bool = True) -> np.ndarray:
                     )
                 )
             if coeffs is None:
-                # nested Python lists, not ndarrays: the progressive /
+                # Nested Python lists for typical sizes: the progressive /
                 # sequential scan loops do tens of thousands of scalar
                 # element reads+writes per image, and list indexing is
                 # several times cheaper than ndarray scalar access; the
                 # whole structure converts to one array in
-                # _reconstruct_coeffs
-                coeffs = [
-                    [
-                        [[0] * 64 for _ in range(mcux * c["h"])]
-                        for _ in range(mcuy * c["v"])
+                # _reconstruct_coeffs.  Above ~4 MP the ~3x memory
+                # overhead of boxed ints matters more than the loop speed,
+                # so large images keep compact int32 arrays (both shapes
+                # index identically as arr[by][bx][k]).
+                if w * h <= (1 << 22):
+                    coeffs = [
+                        [
+                            [[0] * 64 for _ in range(mcux * c["h"])]
+                            for _ in range(mcuy * c["v"])
+                        ]
+                        for c in comps
                     ]
-                    for c in comps
-                ]
+                else:
+                    coeffs = [
+                        np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+                        for c in comps
+                    ]
             if progressive:
                 ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
                 ahal = body[3 + 2 * ns]

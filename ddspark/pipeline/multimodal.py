@@ -98,6 +98,39 @@ def configure_blob_batches(spark, max_bytes: int = 64 * 1024 * 1024) -> str | No
     return prev
 
 
+_SENTINEL_MAX_BYTES = "2147483647"
+
+
+def _ensure_blob_batch_cap(df: DataFrame) -> None:
+    """Blob rows are KB-MB sized: if the session's Arrow byte cap is the
+    disabled-sentinel that :func:`ddspark.session.get_spark` sets for
+    narrow rows (where the per-row size walk it avoids costs more than it
+    protects), restore the 64 MB blob default so one batch cannot balloon
+    to ``maxRecordsPerBatch x MBs``.  An explicitly user-chosen cap is
+    left alone."""
+    try:
+        spark = df.sparkSession
+        key = "spark.sql.execution.arrow.maxBytesPerBatch"
+        if spark.conf.get(key, None) == _SENTINEL_MAX_BYTES:
+            configure_blob_batches(spark)
+    except Exception:  # noqa: BLE001 — conf unavailable (e.g. connect): keep going
+        pass
+
+
+def _blob_stage(fn):
+    """Decorator for stages whose INPUT DataFrame carries a blob column
+    through ``mapInPandas`` — applies :func:`_ensure_blob_batch_cap` to
+    the first argument before building the plan."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(df, *args, **kwargs):
+        _ensure_blob_batch_cap(df)
+        return fn(df, *args, **kwargs)
+
+    return wrapper
+
+
 def with_blob(df: DataFrame, text_col: str = "text", media_type: str = "image/fake") -> DataFrame:
     """Stand-in media table: encode text as the blob payload + typed metadata."""
     blob = F.to_binary(F.col(text_col), F.lit("utf-8"))
@@ -999,6 +1032,7 @@ def synth_tile_jpegs(
     return df.select(id_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def resize_images(
     df: DataFrame,
     width: int,
@@ -1030,6 +1064,7 @@ def resize_images(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def decode_stats(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "img"
 ) -> DataFrame:
@@ -1294,6 +1329,7 @@ def synth_mjpeg(
     return df.select(id_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def video_frame_stats(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "clip"
 ) -> DataFrame:
@@ -1330,6 +1366,7 @@ def video_frame_stats(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def sample_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1410,6 +1447,7 @@ FEATURE_FIELDS = [
 ]
 
 
+@_blob_stage
 def extract_features(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "blob"
 ) -> DataFrame:
@@ -1549,6 +1587,7 @@ def synth_audio(
     return df.select(id_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def audio_stats(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "wav"
 ) -> DataFrame:
@@ -1588,6 +1627,7 @@ def audio_stats(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def audio_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1666,6 +1706,7 @@ def audio_features(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def downmix_mono(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "wav"
 ) -> DataFrame:
@@ -1690,6 +1731,7 @@ def downmix_mono(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def resample_audio(
     df: DataFrame,
     target_rate: int,
@@ -1732,6 +1774,7 @@ def resample_audio(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def image_dhash(
     df: DataFrame, id_col: str = "doc_id", blob_col: str = "img"
 ) -> DataFrame:
@@ -1771,6 +1814,7 @@ def image_dhash(
     return df.select(id_col, blob_col).mapInPandas(gen, schema)
 
 
+@_blob_stage
 def audio_fingerprint(
     df: DataFrame,
     id_col: str = "doc_id",
