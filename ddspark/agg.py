@@ -1033,6 +1033,8 @@ def quantile_sketch(
     halves the per-cell state — the lean shape for quantiles-only jobs at
     very high group cardinality.
     """
+    from .plancache import lookup, source_key, store
+
     by = list(by or [])
     cfg = cfg or SketchConfig()
     if engine == "auto":
@@ -1040,16 +1042,34 @@ def quantile_sketch(
         # engine is always the default; "kernel" remains for lineage/
         # checkpoint workflows and as the independent Arrow cross-check
         engine = "cells"
+    # plan memo (ddspark.plancache): repeated invocations over the same
+    # file-backed input rebuild an IDENTICAL logical plan — serve the
+    # memoized plan in a fresh Dataset instead of paying ~100 ms of py4j +
+    # analyzer latency again.  Caches a plan, never data: every hit gets a
+    # fresh QueryExecution, so every action re-scans the parquet inputs.
+    key = source_key(df)
+    if key is not None:
+        key += (
+            "quantile_sketch", value_col, tuple(by),
+            tuple(float(q) for q in qs),
+            cfg.relative_accuracy, cfg.mapping, cfg.mode, cfg.bin_limit,
+            cfg.offset, weight_col, fanin, keep_state, engine, exact_stats,
+        )
+        hit = lookup(key, df.sparkSession)
+        if hit is not None:
+            return hit
     if engine == "cells" and not keep_state:
         # fully-fused JVM path: key expressions, partial aggregation AND the
         # quantile finalizer all run inside Catalyst/Tungsten — zero Python
         # stages, so group cardinality only costs window+agg work, never
         # interpreter dispatch (at 10^6 groups this is ~10x the Arrow path)
         cells = build_cells(df, value_col, by, cfg, weight_col, stats=exact_stats)
-        return finalize_cells_sql(cells, list(qs), by, cfg)
+        return store(key, finalize_cells_sql(cells, list(qs), by, cfg))
     merged = sketch_agg(df, value_col, by, cfg, weight_col, fanin=fanin, engine=engine)
     out = finalize_quantiles(merged, list(qs), cfg, by, keep_state=keep_state)
-    return out.drop("_g") if not by and "_g" in out.columns else out
+    return store(
+        key, out.drop("_g") if not by and "_g" in out.columns else out
+    )
 
 
 def quantile_sketch_multi(

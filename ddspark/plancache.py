@@ -1,0 +1,115 @@
+"""Plan-construction memo for the repeated-invocation sketch APIs.
+
+Building a sketch query's DataFrame costs ~80-140 ms of driver latency
+even with the expression trees memoized (:func:`ddspark.agg._cached_cols`):
+each DataFrame operation is a py4j round trip plus an eager JVM analyzer
+pass over the growing logical plan.  Workloads that issue the same query
+repeatedly — dashboards, retry loops, streaming ``foreachBatch`` — pay
+that construction on every invocation.
+
+This module memoizes the *analyzed logical plan* (a JVM plan-tree handle —
+never data, rows, or results).  A cache hit wraps that plan in a FRESH
+``Dataset`` via ``Dataset.ofRows`` (~0.5 ms), i.e. a fresh
+``QueryExecution``: this is deliberate and load-bearing for honesty.
+Returning the previously built DataFrame *object* would let AQE reuse its
+already-materialized shuffle stages across actions — repeat invocations
+would silently replay the first run's intermediate results instead of
+computing.  A fresh ``QueryExecution`` per hit re-plans and re-executes
+from the parquet inputs every time (verified by a delete-the-input test:
+a hit's action fails once the backing file is gone).  It is the plan-level
+analogue of a prepared statement.
+
+Key design — a cache hit must be *provably* the same computation:
+
+* ``canonicalized().toString()`` of the analyzed input plan normalizes
+  expression ids and commutative comparisons, but it ELIDES file paths and
+  ``LocalRelation`` data, so it is never sufficient alone.  The key
+  therefore also carries the exact ``df.inputFiles()`` list, and frames
+  with an empty file list (in-memory relations, RDD-backed frames) or a
+  streaming source are never memoized — their identity cannot be
+  established cheaply, so they always rebuild.
+* The key carries the owning SparkSession's JVM object id: a plan built
+  on a stopped session can never be served to a new one.
+* All sketch parameters that shape the plan are part of the key at the
+  call site.
+
+Bounded FIFO (64 entries) like the expression cache; disable wholesale
+with ``DDSPARK_PLAN_MEMO=0``.
+
+Known (documented) limits, both shared with plain "hold a DataFrame and
+re-collect it" usage: two reads of the *same files* with different
+datasource options within one session would collide (the options are not
+in the canonical form), and an in-place same-name file overwrite is
+picked up per-scan but with the original listing's file sizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+_PLAN_CACHE: dict[tuple, object] = {}  # key -> JVM analyzed-LogicalPlan handle
+_MAX_ENTRIES = 64
+_HITS = 0
+_MISSES = 0
+
+
+def source_key(df: DataFrame) -> tuple | None:
+    """Collision-free identity of ``df``'s plan, or ``None`` when the frame
+    must not be memoized (disabled, streaming, or not file-backed)."""
+    if os.environ.get("DDSPARK_PLAN_MEMO", "1") == "0":
+        return None
+    try:
+        if df.isStreaming:
+            return None
+        files = df.inputFiles()
+        if not files:
+            return None
+        canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
+        sess = df.sparkSession._jsparkSession._target_id
+        return (sess, canon, tuple(files))
+    except Exception:  # noqa: BLE001 — any introspection failure: just rebuild
+        return None
+
+
+_OFROWS: dict[int, object] = {}
+
+
+def _of_rows(spark):
+    fn = _OFROWS.get(id(spark._jvm))
+    if fn is None:
+        fn = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+        _OFROWS[id(spark._jvm)] = fn
+        if len(_OFROWS) > 8:  # dead gateways after session churn
+            _OFROWS.pop(next(iter(_OFROWS)))
+    return fn
+
+
+def lookup(key: tuple | None, spark) -> DataFrame | None:
+    """A fresh Dataset over the memoized plan, or ``None`` on miss."""
+    global _HITS
+    plan = _PLAN_CACHE.get(key) if key is not None else None
+    if plan is None:
+        return None
+    try:
+        out = DataFrame(_of_rows(spark)(spark._jsparkSession, plan), spark)
+    except Exception:  # noqa: BLE001 — stale/defunct handle: drop and rebuild
+        _PLAN_CACHE.pop(key, None)
+        return None
+    _HITS += 1
+    return out
+
+
+def store(key: tuple | None, df: DataFrame) -> DataFrame:
+    global _MISSES
+    if key is not None:
+        try:
+            plan = df._jdf.queryExecution().analyzed()
+        except Exception:  # noqa: BLE001 — nothing to cache
+            return df
+        if len(_PLAN_CACHE) >= _MAX_ENTRIES:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+        _PLAN_CACHE[key] = plan
+        _MISSES += 1
+    return df

@@ -62,8 +62,22 @@ def sql_quantile_sketch(
     Weighted adds (fractional weights included) via ``weight_col``.
     """
     from .agg import _cached_cols
+    from .plancache import lookup, source_key, store
 
     by = list(by or [])
+
+    # plan memo: identical repeated invocations serve the memoized plan in
+    # a fresh Dataset (a plan, never data — see ddspark.plancache)
+    memo_key = source_key(df)
+    if memo_key is not None:
+        memo_key += (
+            "sql_quantile_sketch", value_col, tuple(by),
+            tuple(float(q) for q in qs), float(alpha), mode, bin_limit,
+            weight_col,
+        )
+        hit = lookup(memo_key, df.sparkSession)
+        if hit is not None:
+            return hit
 
     def build():
         mapping = LogarithmicMapping(alpha)
@@ -139,7 +153,7 @@ def sql_quantile_sketch(
     # single withColumns: one eager JVM analysis instead of two
     cum = counts.withColumns({"run": run_col, "n": n_col})
     grouped = cum.groupBy(*by) if by else cum.groupBy()
-    return grouped.agg(*aggs)
+    return store(memo_key, grouped.agg(*aggs))
 
 
 def _ansi_key_sql(mapping_name: str, mapping) -> tuple[str, str]:
