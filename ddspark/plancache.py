@@ -67,7 +67,10 @@ def source_key(df: DataFrame) -> tuple | None:
         if not files:
             return None
         canon = df._jdf.queryExecution().analyzed().canonicalized().toString()
-        sess = df.sparkSession._jsparkSession._target_id
+        # session identity = (python gateway object, JVM object id): target
+        # ids restart per JVM, so the gateway id guards against a new JVM
+        # in the same process aliasing a stopped session's "oNN" id
+        sess = (id(df.sparkSession._jvm), df.sparkSession._jsparkSession._target_id)
         return (sess, canon, tuple(files))
     except Exception:  # noqa: BLE001 — any introspection failure: just rebuild
         return None

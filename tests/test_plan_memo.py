@@ -167,7 +167,8 @@ def test_key_carries_session_identity(spark, tmp_path):
     _write_parquet(p, [1.0])
     key = plancache.source_key(spark.read.parquet(p))
     assert key is not None
-    assert key[0] == spark._jsparkSession._target_id  # stale-session guard
+    # stale-session guard: (python gateway id, JVM object id)
+    assert key[0] == (id(spark._jvm), spark._jsparkSession._target_id)
 
 
 def test_kernel_engine_memoized_separately(spark, tmp_path):
